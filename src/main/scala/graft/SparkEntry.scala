@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7
+  * (build plan). Each operator group lives in its own module; this object
+  * only concatenates their registries. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the reference's signature schedule-expansion semantic
+    * (SURVEY §2-G1) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Etl.queries("etl_schedule_expand")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    operators.Scans.queries ++
+    operators.FilterProject.queries ++
+    operators.Joins.queries ++
+    operators.Aggregates.queries ++
+    operators.Windows.queries ++
+    operators.SortSet.queries ++
+    operators.Etl.queries ++
+    functions.Scalars.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    operators.Scans.oracleSql ++
+    operators.FilterProject.oracleSql ++
+    operators.Joins.oracleSql ++
+    operators.Aggregates.oracleSql ++
+    operators.Windows.oracleSql ++
+    operators.SortSet.oracleSql ++
+    operators.Etl.oracleSql ++
+    functions.Scalars.oracleSql
 }

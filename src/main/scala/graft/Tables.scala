@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table access for the engine.
+  *
+  * Scale notes (100 TB design intent):
+  *  - All reads are plain `spark.read.parquet` DataFrames — Catalyst pushes
+  *    filters/column pruning into the scan, so each query only pays for the
+  *    columns/rows it touches. No eager caching of full tables (at 100 TB the
+  *    fact tables don't fit in memory; rely on columnar scan + pushdown).
+  *  - Dimension tables (region/nation/supplier at realistic scale) stay small;
+  *    join sites use `broadcast()` explicitly.
+  *  - `events.ts` is written as Parquet TIMESTAMP(NANOS) which Spark 4 refuses
+  *    by default; we set `spark.sql.legacy.parquet.nanosAsLong` (runtime
+  *    settable) so `ts` surfaces as BIGINT epoch-ns — exact integer time
+  *    arithmetic, shared with the DuckDB oracle via epoch_ns().
+  */
+object Tables {
+  /** Must precede any read of events.parquet (harness session lacks the conf). */
+  def enableNanos(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") enableNanos(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Determinism rule R2: all DOUBLE measures go through DECIMAL(18,6) so
+    * aggregation is exact and associative on both engines. */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,6)")
+
+  /** Shared cross-engine time domain for `events.ts` (rule R3 refined):
+    * DuckDB ≤1.0 truncates the Parquet TIMESTAMP(NANOS) column to µs on
+    * read, so every oracle-facing comparison/output uses truncated epoch-µs
+    * (`ts div 1000` here, `epoch_us(ts)` in DuckDB — both truncate). */
+  val tsUs: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("ts div 1000")
+}

@@ -1,0 +1,164 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2-H: scalar-function matrix (string/date/math/json/array/conditional +
+  * the posexplode generator). All pure codegen'd built-ins — no UDFs in the
+  * hot path. Float-derived values are emitted as micro-scaled BIGINTs
+  * (round(x*1e4 or 1e6)) so cross-engine formatting can't drift (rule R2). */
+object Scalars {
+
+  val queries: Map[String, Q] = Map(
+    // H1: string functions.
+    "fn_string" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey",
+          upper($"p_name").as("name_up"),
+          lower($"p_type").as("type_lo"),
+          substring($"p_name", 1, 5).as("name5"),
+          length($"p_name").as("name_len"),
+          trim(lpad($"p_brand", 12, "_")).as("brand_pad"),
+          regexp_replace($"p_brand", "Brand#", "B").as("brand_short"),
+          regexp_extract($"p_type", "^([A-Z]+)", 1).as("type_first_word"))
+        .orderBy("p_partkey")
+    }),
+
+    // H2: date functions on NTZ timestamps.
+    "fn_date" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          date_trunc("month", $"o_orderdate").cast("date").cast("string").as("order_month"),
+          year($"o_orderdate").as("order_year"),
+          ((dayofweek($"o_orderdate") + lit(5)) % 7).as("order_wd_mon0"),
+          date_add($"o_orderdate".cast("date"), 7).cast("string").as("plus7"),
+          datediff(lit("2000-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_y2k"))
+        .orderBy("o_orderkey")
+    }),
+
+    // H3: integer/decimal math (no float transcendentals — rule R2).
+    "fn_math" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          abs($"l_linenumber" - 3).as("abs_ln"),
+          floor(Tables.dec($"l_quantity")).cast("long").as("qty_floor"),
+          ceil(Tables.dec($"l_quantity")).cast("long").as("qty_ceil"),
+          ($"l_orderkey" % 7).as("mod7"),
+          pmod($"l_orderkey" - 3, lit(7)).as("pmod7"),
+          pow(lit(2), $"l_linenumber").cast("long").as("pow2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // H4: JSON extraction from events.props, aggregated.
+    "fn_json" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // H5: array functions over the 64-dim embedding column, incl. a
+    // higher-order aggregate fold (sum of first 3 dims, micro-scaled).
+    "fn_array" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id", $"label",
+          size($"embedding").as("dim"),
+          round(element_at($"embedding", 1).cast("double") * 1e4).cast("long").as("e1_e4"),
+          round(aggregate(slice($"embedding", 1, 3), lit(0.0),
+            (acc, x) => acc + x.cast("double")) * 1e4).cast("long").as("sum3_e4"),
+          array_contains(array(lit(1), lit(3), lit(5)), $"label").as("label_odd135"))
+        .orderBy("vec_id")
+    }),
+
+    // H6: CASE WHEN / COALESCE / cast matrix.
+    "fn_case_cast" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          when($"c_acctbal" < 0, "neg")
+            .when($"c_acctbal" < 5000, "small")
+            .otherwise("big").as("bal_class"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("(bldg)")).as("seg_or_tag"),
+          $"c_custkey".cast("string").as("key_s"),
+          $"c_acctbal".cast("decimal(18,2)").cast("string").as("bal_s"),
+          $"c_nationkey".cast("decimal(10,0)").cast("int").as("nat_i"))
+        .orderBy("c_custkey")
+    }),
+
+    // H8: generator/UDTF surface — posexplode of tokenized text (0-based pos).
+    "fn_explode_pos" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 50)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  lower(p_type) AS type_lo,
+        |  substring(p_name, 1, 5) AS name5,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  trim(lpad(p_brand, 12, '_')) AS brand_pad,
+        |  replace(p_brand, 'Brand#', 'B') AS brand_short,
+        |  coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST((dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS INT) AS order_wd_mon0,
+        |  CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS plus7,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(abs(l_linenumber - 3) AS INT) AS abs_ln,
+        |  CAST(floor(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty_ceil,
+        |  l_orderkey % 7 AS mod7,
+        |  ((l_orderkey - 3) % 7 + 7) % 7 AS pmod7,
+        |  CAST(power(2, l_linenumber) AS BIGINT) AS pow2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS e1_e4,
+        |  CAST(round((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE)) * 10000) AS BIGINT) AS sum3_e4,
+        |  list_contains([1, 3, 5], label) AS label_odd135
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_case_cast" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'small'
+        |       ELSE 'big' END AS bal_class,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_or_tag,
+        |  CAST(c_custkey AS VARCHAR) AS key_s,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_s,
+        |  CAST(CAST(c_nationkey AS DECIMAL(10,0)) AS INT) AS nat_i
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_explode_pos" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

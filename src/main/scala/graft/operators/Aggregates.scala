@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2-D: aggregation family.
+  *
+  * All measure aggregation runs in DECIMAL(18,6) (determinism rule R2 —
+  * exact + associative, so map-side partial aggregation is safe at any
+  * parallelism). Counts stay BIGINT. Distinct aggs use Spark's expand-based
+  * RewriteDistinctAggregates plan; grouping sets / rollup / cube lower to
+  * a single Expand + hash aggregate (one shuffle).
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // D1: TPC-H Q1-style pricing summary, all-decimal.
+    "agg_q1_pricing" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(
+          $"l_returnflag", $"l_linestatus",
+          Tables.dec($"l_quantity").as("qty"),
+          Tables.dec($"l_extendedprice").as("price"),
+          Tables.dec($"l_discount").as("disc"),
+          Tables.dec($"l_tax").as("tax"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"qty").cast("decimal(18,6)").as("sum_qty"),
+          sum($"price").cast("decimal(18,6)").as("sum_base_price"),
+          sum(($"price" * (lit(1) - $"disc")).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_disc_price"),
+          sum(($"price" * (lit(1) - $"disc") * (lit(1) + $"tax")).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // D2: exact distinct customers per order priority.
+    "agg_count_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_cust"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // D3: two distinct aggregates in one pass (expand-based plan).
+    "agg_multi_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // D4: grouping sets at two granularities; group cols coalesced to a
+    // sentinel so NULLS-ordering dialect differences can't bite.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // D5: rollup region→nation totals over customers.
+    "agg_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(Tables.dec($"c_acctbal")).cast("decimal(18,6)").as("sum_bal"))
+        .select(
+          coalesce($"r_name", lit("ALL")).as("region"),
+          coalesce($"n_name", lit("ALL")).as("nation"),
+          $"n_cust", $"sum_bal")
+        .orderBy("region", "nation")
+    }),
+
+    // D6: cube on (returnflag, linestatus).
+    "agg_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec($"l_quantity")).cast("decimal(18,6)").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"n", $"sum_qty")
+        .orderBy("rflag", "lstatus")
+    }),
+
+    // D7: HAVING — post-aggregation filter.
+    "agg_having" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+        .filter($"n_lines" > 5)
+        .orderBy("l_orderkey")
+    }),
+
+    // D8: exact variance via integer arithmetic — quantities scaled ×100 to
+    // BIGINT, numerator/denominator emitted separately (no float, no
+    // division → bit-exact across engines). var = num / (den * 100^2).
+    "agg_variance_manual" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round($"l_quantity" * 100).cast("long").as("x"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+        .select($"l_returnflag", $"n",
+          ($"n" * $"sxx" - $"sx" * $"sx").as("var_num"),
+          ($"n" * ($"n" - 1)).as("var_den"))
+        .orderBy("l_returnflag")
+    }),
+
+    // D10: pivot event counts per user over event_type (explicit value list
+    // → no extra distinct pass; absent combos coalesced to 0).
+    "agg_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select($"user_id",
+          coalesce($"click", lit(0L)).as("n_click"),
+          coalesce($"error", lit(0L)).as("n_error"),
+          coalesce($"purchase", lit(0L)).as("n_purchase"),
+          coalesce($"signup", lit(0L)).as("n_signup"),
+          coalesce($"view", lit(0L)).as("n_view"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "agg_having" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 5
+        |ORDER BY l_orderkey""".stripMargin,
+    "agg_variance_manual" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS x
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM t GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  n * sxx - sx * sx AS var_num,
+        |  n * (n - 1) AS var_den
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-G: the flirt-consume ETL core, re-expressed Spark-first.
+  *
+  * G1 is the reference's signature semantic — expanding a recurring schedule
+  * (validity date range + day-of-week operating flags) into concrete per-date
+  * instances. In the reference that is a row-at-a-time loop; here it is a
+  * declarative `explode(sequence(...))` generator the optimizer can pipeline
+  * inside whole-stage codegen with zero shuffles — at 100 TB the expansion
+  * is embarrassingly parallel per input split.
+  *
+  * G2/G3 model MongoDB upsert / idempotent window-reload semantics as pure
+  * dataflow: dedup-last-wins via row_number, delete+insert via anti-join
+  * union. Both become MERGE INTO on an ACID table sink.
+  */
+object Etl {
+
+  // 2024-01-10 / 2024-01-20 UTC midnight, epoch-ns (G3 reload window).
+  private val T0 = 1704844800000000000L
+  private val T1 = 1705708800000000000L
+
+  val queries: Map[String, Q] = Map(
+    // G1: schedule expansion — each order expands over [o_orderdate, +13d],
+    // keeping dates whose Monday=0 weekday bit is set in (o_orderkey%127)+1.
+    "etl_schedule_expand" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          (($"o_orderkey" % 127) + 1).as("day_mask"),
+          explode(sequence(
+            $"o_orderdate".cast("date"),
+            date_add($"o_orderdate".cast("date"), 13))).as("flight_date"))
+        .withColumn("wd", (dayofweek($"flight_date") + lit(5)) % 7)
+        .filter(expr("shiftright(day_mask, wd) % 2 = 1"))
+        .select($"o_orderkey", $"flight_date".cast("string").as("flight_date"))
+        .orderBy("o_orderkey", "flight_date")
+    }),
+
+    // G2: upsert semantics — keep the latest record per natural key
+    // (shared-µs time domain; event_id breaks exact-µs ties identically
+    // on both engines).
+    "etl_dedup_lastwins" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"ts_us")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // G3: idempotent window reload — delete [T0,T1), insert the replacement
+    // batch (same rows, value doubled), checksum per event_type.
+    "etl_delete_insert_window" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", Tables.dec($"value").as("v"))
+      val kept = ev.filter($"ts" < T0 || $"ts" >= T1)
+      val replacement = ev.filter($"ts" >= T0 && $"ts" < T1)
+        .withColumn("v", ($"v" * 2).cast("decimal(18,6)"))
+      kept.unionAll(replacement)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"event_id").as("sum_id"),
+          sum($"v").cast("decimal(18,6)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // G4: UTC normalization — ns→µs truncation plus a per-row fixed offset
+    // (models local-time + UTC-variance → UTC instants; pure BIGINT math).
+    "etl_utc_normalize" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          (($"user_id" % 27 - 13) * 30).as("offset_min"),
+          (expr("ts div 1000") - ($"user_id" % 27 - 13) * 30 * 60000000L).as("utc_us"))
+        .orderBy("event_id")
+    }),
+
+    // G5: parser/validator quality report — per-column null/distinct/min/max
+    // union'd into one narrow report (the flirt validation pass analog).
+    "etl_quality_report" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      def col1(c: String) = o.agg(
+        lit(c).as("column"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_s"),
+        max(col(c).cast("string")).as("max_s"))
+        .select("column", "n_null", "n_distinct", "min_s", "max_s")
+      col1("o_orderstatus")
+        .unionAll(col1("o_orderpriority"))
+        .unionAll(col1("o_custkey"))
+        .orderBy("column")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_schedule_expand" ->
+      """SELECT o_orderkey, CAST(CAST(dt AS DATE) AS VARCHAR) AS flight_date FROM (
+        |  SELECT o_orderkey, o_orderkey % 127 + 1 AS day_mask,
+        |    unnest(generate_series(CAST(o_orderdate AS DATE),
+        |                           CAST(o_orderdate AS DATE) + INTERVAL 13 DAY,
+        |                           INTERVAL 1 DAY)) AS dt
+        |  FROM orders) t
+        |WHERE ((day_mask >> ((dayofweek(CAST(dt AS DATE)) + 6) % 7)) & 1) = 1
+        |ORDER BY o_orderkey, flight_date""".stripMargin,
+    "etl_dedup_lastwins" ->
+      """SELECT user_id, event_type, event_id, ts_us FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "etl_delete_insert_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts, event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |), merged AS (
+        |  SELECT event_id, event_type, v FROM ev
+        |  WHERE ts < 1704844800000000000 OR ts >= 1705708800000000000
+        |  UNION ALL
+        |  SELECT event_id, event_type, CAST(v * 2 AS DECIMAL(18,6)) AS v FROM ev
+        |  WHERE ts >= 1704844800000000000 AND ts < 1705708800000000000
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(v) AS DECIMAL(18,6)) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_utc_normalize" ->
+      """SELECT event_id,
+        |  (user_id % 27 - 13) * 30 AS offset_min,
+        |  epoch_ns(ts) // 1000 - (user_id % 27 - 13) * 30 * 60000000 AS utc_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_quality_report" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS "column",
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT o_orderstatus) AS n_distinct,
+        |    MIN(CAST(o_orderstatus AS VARCHAR)) AS min_s,
+        |    MAX(CAST(o_orderstatus AS VARCHAR)) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    MIN(CAST(o_orderpriority AS VARCHAR)),
+        |    MAX(CAST(o_orderpriority AS VARCHAR))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_custkey),
+        |    MIN(CAST(o_custkey AS VARCHAR)),
+        |    MAX(CAST(o_custkey AS VARCHAR))
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin
+  )
+}

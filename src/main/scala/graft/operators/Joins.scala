@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2-C: the join family.
+  *
+  * Scale strategy: equi-joins on fact tables shuffle on the join key
+  * (sort-merge at 100 TB, AQE may pick shuffled-hash); dimension joins are
+  * explicitly `broadcast()` so the fact side never shuffles; non-equi joins
+  * (C10/C11) keep an equi prefix (brand / custkey) so Spark plans them as
+  * equi-join + residual filter, not a cartesian BNLJ; the as-of join (C12)
+  * is rewritten as equi-join + max aggregation — fully shuffle-parallel,
+  * no per-row lookup.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // C1: fact-fact inner equi join + aggregate.
+    "join_inner_equi" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey", "inner")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(Tables.dec($"l_quantity")).cast("decimal(18,6)").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // C2: fact ⋈ broadcast small dim (flights⋈airports analog).
+    "join_broadcast_dim" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(Tables.dec($"l_extendedprice")).cast("decimal(18,6)").as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
+    // C3: two-hop star enrichment customer→nation→region (geo-enrich analog).
+    "join_star_2hop" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(Tables.dec($"c_acctbal")).cast("decimal(18,6)").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // C4: left outer — customers with/without orders; count of matches.
+    "join_left_outer" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // C5: right outer — mirror shape (lineitem ⟖ orders).
+    "join_right_outer" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey", "right")
+        .groupBy($"o_orderkey")
+        .agg(count($"l_linenumber").as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+
+    // C6: full outer on deliberately partial key sets; count the null sides.
+    "join_full_outer" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0).select($"o_orderkey")
+      val l = Tables.lineitem(s, d).filter($"l_orderkey" % 5 === 0)
+        .select($"l_orderkey").distinct()
+      o.join(l, $"o_orderkey" === $"l_orderkey", "full")
+        .agg(
+          sum(when($"o_orderkey".isNull, 1).otherwise(0)).as("n_left_null"),
+          sum(when($"l_orderkey".isNull, 1).otherwise(0)).as("n_right_null"),
+          sum(when($"o_orderkey".isNotNull && $"l_orderkey".isNotNull, 1).otherwise(0)).as("n_both"))
+    }),
+
+    // C7: left semi — customers WHERE EXISTS(order).
+    "join_left_semi" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // C8: left anti — customers WHERE NOT EXISTS(order).
+    "join_left_anti" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // C9: cross join of the 5-row region dim with itself (25 rows).
+    "join_cross" -> ((s, d) => {
+      import s.implicits._
+      val r1 = Tables.region(s, d).select($"r_name".as("r1_name"))
+      val r2 = Tables.region(s, d).select($"r_name".as("r2_name"))
+      r1.crossJoin(r2).orderBy("r1_name", "r2_name")
+    }),
+
+    // C10: theta/band self-join — same brand, strictly increasing size.
+    // Equi prefix on p_brand keeps this a hash/sort-merge join with a
+    // residual `<` predicate, NOT a BNLJ — essential at scale.
+    "join_theta_band" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d).select($"p_brand", $"p_partkey", $"p_size")
+      val q = Tables.part(s, d)
+        .select($"p_brand".as("q_brand"), $"p_partkey".as("q_partkey"), $"p_size".as("q_size"))
+      p.join(q, $"p_brand" === $"q_brand" && $"p_size" < $"q_size")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("p_brand")
+    }),
+
+    // C11: interval-overlap self-join — same customer, [orderdate, +30d)
+    // windows overlap, ordered pair. Equi prefix on custkey.
+    "join_interval_overlap" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.orders(s, d)
+        .select($"o_custkey".as("a_cust"), $"o_orderkey".as("a_key"), $"o_orderdate".as("a_start"))
+        .withColumn("a_end", expr("a_start + INTERVAL 30 DAY"))
+      val b = Tables.orders(s, d)
+        .select($"o_custkey".as("b_cust"), $"o_orderkey".as("b_key"), $"o_orderdate".as("b_start"))
+        .withColumn("b_end", expr("b_start + INTERVAL 30 DAY"))
+      a.join(b,
+          $"a_cust" === $"b_cust" && $"a_key" < $"b_key" &&
+          $"a_start" < $"b_end" && $"b_start" < $"a_end")
+        .groupBy($"a_cust".as("o_custkey"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("o_custkey")
+    }),
+
+    // C12: as-of join — for each purchase, ts of the most recent strictly
+    // prior click by the same user. Spark has no native ASOF JOIN; rewritten
+    // as equi-join on user + range predicate + max aggregation (distributes
+    // as one shuffle on user_id; no windowed sort of the full event stream).
+    "join_asof" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("ts_us", Tables.tsUs)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_us")
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts_us".as("c_ts"))
+      p.join(c, $"user_id" === $"c_user" && $"c_ts" < $"ts_us", "left")
+        .groupBy($"event_id", $"user_id", $"ts_us")
+        .agg(max($"c_ts").as("last_click_us"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_star_2hop" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right_outer" ->
+      """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
+        |FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_null,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_null,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0) o
+        |FULL JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 5 = 0) l
+        |  ON o_orderkey = l_orderkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY r1_name, r2_name""".stripMargin,
+    "join_theta_band" ->
+      """SELECT p.p_brand, COUNT(*) AS n_pairs
+        |FROM part p JOIN part q
+        |  ON p.p_brand = q.p_brand AND p.p_size < q.p_size
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "join_interval_overlap" ->
+      """SELECT a.o_custkey, COUNT(*) AS n_overlaps
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+        | AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY a.o_custkey ORDER BY a.o_custkey""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  MAX(epoch_us(c.ts)) AS last_click_us
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-E: window functions.
+  *
+  * Determinism: rank/dense_rank depend only on the sort-key VALUES (safe
+  * under ties); row_number/ntile additionally order by the unique key.
+  * percent_rank/cume_dist are emitted as exact integer numerator/denominator
+  * pairs (no float division → bit-exact across engines, rule R2).
+  * Scale: one shuffle per distinct partitionBy key set; frames evaluate
+  * streaming within each sorted partition.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    // E1: rank / dense_rank (value-determined) + row_number (key-broken).
+    "win_rank" -> ((s, d) => {
+      import s.implicits._
+      val byBal = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc)
+      val byBalKey = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          rank().over(byBal).as("rnk"),
+          dense_rank().over(byBal).as("drnk"),
+          row_number().over(byBalKey).as("rn"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // E2: top-3 customers per nation.
+    "win_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_nationkey", $"rn", $"c_custkey",
+          Tables.dec($"c_acctbal").as("acctbal"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    // E3: per-user inter-event gap in µs via lag/lead (shared-µs domain).
+    "win_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .select($"event_id", $"user_id", $"ts_us",
+          ($"ts_us" - lag($"ts_us", 1).over(w)).as("gap_us"),
+          (lead($"ts_us", 1).over(w) - $"ts_us").as("next_gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // E4: running decimal revenue per customer by order date.
+    "win_running_sum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          sum(Tables.dec($"o_totalprice")).over(w)
+            .cast("decimal(18,6)").as("running_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // E5: moving 1h event count per user over a BIGINT-µs RANGE frame.
+    "win_moving_range" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc)
+        .rangeBetween(-3600L * 1000 * 1000, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .select($"event_id", $"user_id", $"ts_us",
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("event_id")
+    }),
+
+    // E6: ntile + percent_rank/cume_dist as exact integer ratios.
+    "win_ntile_pct" -> ((s, d) => {
+      import s.implicits._
+      val byBal = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc)
+      val byBalKey = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val tieFrame = byBal.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val part = Window.partitionBy($"c_nationkey")
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          ntile(4).over(byBalKey).as("quartile"),
+          (rank().over(byBal) - 1).as("pr_num"),
+          (count(lit(1)).over(part) - 1).cast("int").as("pr_den"),
+          count(lit(1)).over(tieFrame).as("cd_num"),
+          count(lit(1)).over(part).as("cd_den"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // E7: first/last value with an explicit full frame.
+    "win_first_last" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          first($"c_custkey").over(w).as("richest_cust"),
+          last($"c_custkey").over(w).as("poorest_cust"))
+        .orderBy("c_nationkey", "c_custkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT c_nationkey, rn, c_custkey, acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS next_gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_moving_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_ntile_pct" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile,
+        |  CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) - 1 AS INT) AS pr_num,
+        |  CAST(COUNT(*) OVER (PARTITION BY c_nationkey) - 1 AS INT) AS pr_den,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd_num,
+        |  COUNT(*) OVER (PARTITION BY c_nationkey) AS cd_den
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT c_nationkey, c_custkey,
+        |  first_value(c_custkey) OVER w AS richest_cust,
+        |  last_value(c_custkey) OVER w AS poorest_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin
+  )
+}
