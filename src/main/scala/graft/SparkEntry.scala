@@ -21,7 +21,11 @@ object SparkEntry {
     operators.Windows.queries ++
     operators.SortSet.queries ++
     operators.Etl.queries ++
-    functions.Scalars.queries
+    functions.Scalars.queries ++
+    operators.TextOps.queries ++
+    operators.SimOps.queries ++
+    operators.Multimodal.queries ++
+    streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,9 @@ object SparkEntry {
     operators.Windows.oracleSql ++
     operators.SortSet.oracleSql ++
     operators.Etl.oracleSql ++
-    functions.Scalars.oracleSql
+    functions.Scalars.oracleSql ++
+    operators.TextOps.oracleSql ++
+    operators.SimOps.oracleSql ++
+    operators.Multimodal.oracleSql ++
+    streaming.Streams.oracleSql
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{WPoint, WeightedSumAgg}
+import org.apache.spark.sql.functions._
+
+/** §2-J: similarity search over the embedding column + UDF/UDAF surface.
+  *
+  * Cosine determinism: both engines compute the identical left-to-right
+  * float fold (Spark `aggregate(zip_with(...))` ↔ DuckDB
+  * `list_reduce(list_transform(list_zip(...)))`) and the identical final
+  * formula dot/(sqrt(na)*sqrt(nb)), then round to 1e-6 — IEEE doubles with
+  * the same op sequence are bit-identical, so the rounded score matches.
+  *
+  * Scale: brute-force top-k is one broadcast (the query vector) + one
+  * pass + TakeOrdered — linear, no shuffle of the embedding table. The
+  * pairwise threshold query is quadratic by nature; its scale path is the
+  * LSH bucketing in [[graft.functions.AnnSearch]] (bucket equi-join).
+  */
+object SimOps {
+
+  /** Left float fold (matches the oracle's list_reduce order). */
+  private def fsum(c: org.apache.spark.sql.Column) =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  /** cosine(a, b) rounded to 1e-6, as a BIGINT micro-score. */
+  private def cosE6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def prod(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      zip_with(u, v, (x, y) => x.cast("double") * y.cast("double"))
+    round(fsum(prod(a, b)) / (sqrt(fsum(prod(a, a))) * sqrt(fsum(prod(b, b)))) * 1000000)
+      .cast("long")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // J4: brute-force cosine top-20 vs the vec_id=0 query vector.
+    "sim_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", cosE6($"embedding", $"qv").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
+        .limit(20)
+    }),
+
+    // J5: all pairs among the first 200 vectors with cosine ≥ 0.25.
+    "sim_pairs_threshold" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).filter($"vec_id" < 200)
+      val a = e.select($"vec_id".as("v1"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("v2"), $"embedding".as("eb"))
+      a.join(b, $"v1" < $"v2")
+        .select($"v1", $"v2", cosE6($"ea", $"eb").as("cos_e6"))
+        .filter($"cos_e6" >= 250000)
+        .orderBy($"v1".asc, $"v2".asc)
+    }),
+
+    // J8: Scala UDF surface — integer Chebyshev distance on synthesized
+    // coords (exact integer math; the oracle replicates the formula).
+    "udf_scalar_demo" -> ((s, d) => {
+      import s.implicits._
+      val chebyshev = udf((x: Long, y: Long) =>
+        math.max(math.abs(x - 50L), math.abs(y - 40L)))
+      Tables.customer(s, d)
+        .select($"c_custkey",
+          ($"c_custkey" % 97).as("x"), ($"c_custkey" % 89).as("y"))
+        .withColumn("cheb", chebyshev($"x", $"y"))
+        .orderBy("c_custkey")
+    }),
+
+    // J9: typed Aggregator UDAF — weighted sum/total in integer cents,
+    // plus the exact integer weighted average (truncating division).
+    "udaf_aggregator_demo" -> ((s, d) => {
+      import s.implicits._
+      val pts = Tables.customer(s, d)
+        .select($"c_mktsegment".as("seg"),
+          ($"c_custkey" % 10 + 1).as("w"),
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      pts.as[WPoint]
+        .groupByKey(_.seg)
+        .agg(WeightedSumAgg.toColumn.name("ws"))
+        .toDF("c_mktsegment", "ws")
+        .select($"c_mktsegment", $"ws.wsum".as("wsum"), $"ws.wtot".as("wtot"))
+        .withColumn("wavg_cents", expr("wsum div wtot"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(round(
+        |    list_reduce(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000) AS BIGINT) AS cos_e6
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_pairs_threshold" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  CAST(round(
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000) AS BIGINT) AS cos_e6
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(round(
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000) AS BIGINT) >= 250000
+        |ORDER BY v1 ASC, v2 ASC""".stripMargin,
+    "udf_scalar_demo" ->
+      """SELECT c_custkey, c_custkey % 97 AS x, c_custkey % 89 AS y,
+        |  GREATEST(ABS(c_custkey % 97 - 50), ABS(c_custkey % 89 - 40)) AS cheb
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "udaf_aggregator_demo" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM((c_custkey % 10 + 1) * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS wsum,
+        |  CAST(SUM(c_custkey % 10 + 1) AS BIGINT) AS wtot,
+        |  CAST(SUM((c_custkey % 10 + 1) * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    // CAST(SUM(c_custkey % 10 + 1) AS BIGINT) AS wavg_cents
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2-J text-analysis + dedup operators for large-scale training-data
+  * pipelines (wordcount, exact dedup, quality scoring, token counting,
+  * fingerprinting, SimHash, n-gram Jaccard, MinHash candidate pairs).
+  *
+  * Cross-engine hashing: token→int via the first 8 (or 15) hex digits of
+  * md5 — bit-identical in Spark (`conv(substring(md5(x),1,8),16,10)`) and
+  * DuckDB (`CAST('0x' || substring(md5(x),1,8) AS BIGINT)`). All derived
+  * similarity scores are exact integer ratios (×1e4/×1e6, integer
+  * division) so hash-compare can't drift (rule R2).
+  *
+  * Scale: everything here is explode → hash-shuffle → aggregate; the
+  * pairwise stages (Jaccard / MinHash bands) join on an equi key (shingle /
+  * band signature) so candidate generation is a plain shuffle join, never a
+  * cartesian product — the LSH structure is exactly what keeps near-dup
+  * tractable at 100 TB.
+  */
+object TextOps {
+
+  /** 32-bit token hash shared with the DuckDB oracle. */
+  private def tokInt(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // J1: tokenize, explode, top-50 tokens.
+    "text_wordcount" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(50)
+    }),
+
+    // J2: exact duplicate detection via md5 fingerprint, per language.
+    "text_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", md5($"text".cast("binary")).as("h"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"h").as("n_distinct"),
+          (count(lit(1)) - countDistinct($"h")).as("n_dups"))
+        .orderBy("lang")
+    }),
+
+    // J3: per-language doc count + char totals; avg as exact integer
+    // micro-ratio (sum*1e4 div n — truncating division both engines).
+    "text_lang_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+        .select($"lang", $"n_docs", $"sum_chars",
+          expr("(sum_chars * 10000) div n_docs").as("avg_chars_e4"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring: per-doc integer metrics (length, token count, mean
+    // token length ×1e4, stopword count).
+    "text_quality_score" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id",
+          length($"text").as("len"),
+          size(split($"text", " ")).as("n_tokens"),
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'data', 'value')))")
+            .as("n_stop"))
+        .withColumn("avg_tok_len_e4",
+          expr("((len - (n_tokens - 1)) * 10000) div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + regex tokenizations side by side.
+    "text_token_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split($"text", " ")).as("n_ws"),
+          size(split($"text", "[^a-z0-9]+")).as("n_re"),
+          size(array_distinct(split($"text", " "))).as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: position-weighted polynomial over 32-bit
+    // token hashes — pure BIGINT, order-sensitive, cross-engine exact.
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 300)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+        .select($"doc_id", $"pos", tokInt($"tok").as("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"h" * ($"pos" + 1)).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash (60-bit) over distinct tokens: per bit, majority vote of
+    // token-hash bits; reassemble as a BIGINT signature.
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+        .select($"doc_id",
+          conv(substring(md5($"tok".cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("k"))
+        .groupBy($"doc_id", $"k")
+        .agg(sum(expr("CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
+        .groupBy($"doc_id")
+        .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup: distinct shingles,
+    // equi-join on shingle within language, top-100 most similar pairs.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang",
+          explode(expr(
+            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
+            .as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .select($"d1", $"d2", $"inter",
+          expr("(inter * 1000000) div (n1 + n2 - inter)").as("jac_e6"))
+        .orderBy($"jac_e6".desc, $"d1".asc, $"d2".asc)
+        .limit(100)
+    }),
+
+    // MinHash signatures (16 permutation hashes over 3-gram shingles) →
+    // candidate pairs ranked by matching hash count (Jaccard estimator).
+    "dedup_minhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id",
+          explode(expr(
+            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
+            .as("sh"))
+        .select($"doc_id", tokInt($"sh").as("x"))
+      val sig = sh
+        .select($"doc_id", $"x", explode(sequence(lit(0), lit(15))).as("j"))
+        .groupBy($"doc_id", $"j")
+        .agg(min(expr("((2 * j + 1) * x + 7 * j + 3) % 2147483647")).as("mh"))
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_match"))
+        .orderBy($"n_match".desc, $"d1".asc, $"d2".asc)
+        .limit(100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "text_exact_dedup" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  (CAST(SUM(n_chars) AS BIGINT) * 10000) // COUNT(*) AS avg_chars_e4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'data', 'value'))) AS INT) AS n_stop,
+        |  ((CAST(length(text) AS BIGINT) - (len(string_split(text, ' ')) - 1)) * 10000)
+        |    // len(string_split(text, ' ')) AS avg_tok_len_e4
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+        |  CAST(len(string_split_regex(text, '[^a-z0-9]+')) AS INT) AS n_re,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos1,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) * pos1) AS BIGINT) AS fingerprint
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    CAST(SUM(CASE WHEN (h >> k) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM h, range(0, 60) r(k) GROUP BY doc_id, k)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, inter,
+        |  (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) AS jac_e6
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |ORDER BY jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "dedup_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |ti AS (
+        |  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |x AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS x FROM sh),
+        |sig AS (
+        |  SELECT doc_id, j, MIN(((2 * j + 1) * x + 7 * j + 3) % 2147483647) AS mh
+        |  FROM x, range(0, 16) r(j) GROUP BY doc_id, j)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_match
+        |FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |ORDER BY n_match DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** §2-I: Structured Streaming operators.
+  *
+  * Every query reads the events table through a streaming file source,
+  * runs with `Trigger.AvailableNow` into a memory sink, and returns the
+  * finished result — deterministic because the input is static, so the
+  * final state equals the batch answer (the oracle SQL). Watermark
+  * late-data semantics (I6) are inherently multi-batch and live in the
+  * MemoryStream unit tests instead.
+  *
+  * Scale: these are the standard production shapes — hash-partitioned
+  * stateful aggregation keyed by (bucket, type) / user, state store per
+  * partition (RocksDB provider at real scale), watermarks bounding state.
+  */
+object Streams {
+
+  /** events schema as the streaming source sees it (ts already BIGINT ns
+    * via the nanosAsLong conf set in Tables.enableNanos). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def readEvents(s: SparkSession, d: String): DataFrame = {
+    Tables.enableNanos(s)
+    // The file source wants a directory; select just the events table from
+    // the sf dir via a glob filter (landing-directory consumption shape).
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+  }
+
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // I1: 1h tumbling counts + decimal sums per event_type (integer-µs
+    // bucketing — exact on both engines).
+    "stream_tumbling" -> ((s, d) => {
+      import s.implicits._
+      val agg = readEvents(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .withColumn("bucket_us", expr("ts_us - ts_us % 3600000000"))
+        .groupBy($"bucket_us", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec($"value")).cast("decimal(18,6)").as("sum_value"))
+      runToMemory(s, agg, "graft_stream_tumbling", "complete")
+        .orderBy("bucket_us", "event_type")
+    }),
+
+    // I2: 1h window sliding every 15min (4 overlapping buckets per event).
+    "stream_sliding" -> ((s, d) => {
+      import s.implicits._
+      val agg = readEvents(s, d)
+        .withColumn("t", timestamp_micros(Tables.tsUs))
+        .groupBy(window($"t", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"window.start").as("bucket_us"), $"event_type", $"n")
+      runToMemory(s, agg, "graft_stream_sliding", "complete")
+        .orderBy("bucket_us", "event_type")
+    }),
+
+    // I3: per-user session windows with a 30min gap.
+    "stream_session" -> ((s, d) => {
+      import s.implicits._
+      val agg = readEvents(s, d)
+        .withColumn("t", timestamp_micros(Tables.tsUs))
+        .groupBy(session_window($"t", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("session_start_us"),
+          $"n",
+          (unix_micros($"session_window.end") - unix_micros($"session_window.start")
+            - 1800000000L).as("span_us"))
+      runToMemory(s, agg, "graft_stream_session", "complete")
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // I4: stateful streaming dedup on the natural key (order-independent
+    // output: the key set).
+    "stream_dedup_state" -> ((s, d) => {
+      import s.implicits._
+      val deduped = readEvents(s, d)
+        .withColumn("t", timestamp_micros(Tables.tsUs))
+        .withWatermark("t", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select($"user_id", $"event_type")
+      runToMemory(s, deduped, "graft_stream_dedup", "append")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // I5: arbitrary stateful processing — running per-user event count via
+    // flatMapGroupsWithState; final state = batch COUNT(*).
+    "stream_stateful_count" -> ((s, d) => {
+      import s.implicits._
+      val counted = readEvents(s, d)
+        .select($"user_id")
+        .as[Long]
+        .groupByKey(identity)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            Iterator((uid, n))
+        }
+        .toDF("user_id", "n_events")
+      runToMemory(s, counted, "graft_stream_stateful", "update")
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """SELECT bucket_us, event_type, COUNT(*) AS n FROM (
+        |  SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS bucket_us, event_type
+        |  FROM events, range(0, 4) r(k))
+        |GROUP BY bucket_us, event_type ORDER BY bucket_us, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |o AS (SELECT user_id, tu,
+        |  CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tu,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+        |SELECT user_id, MIN(tu) AS session_start_us, COUNT(*) AS n,
+        |  MAX(tu) - MIN(tu) AS span_us
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "stream_dedup_state" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
