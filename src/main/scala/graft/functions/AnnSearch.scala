@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute force: broadcast the query vector, one linear
+  *    scan + TakeOrdered. Exact; O(N·d); the correctness baseline.
+  *  - [[lshBucketed]] + [[annTopK]] — the scale path: sign-random-projection
+  *    LSH. Each vector hashes to L bucket ids (one per hash table, nBits
+  *    hyperplanes each); candidates = union of the query's buckets, then
+  *    exact rerank. At 100 TB the bucket id becomes the partition/cluster
+  *    key, so a query touches only its buckets (an equi-join / point lookup,
+  *    never a full scan), and index build is one deterministic map pass.
+  *
+  * Hyperplanes are pseudo-random ±1 weights derived from a seeded integer
+  * mix — deterministic across runs and executors, no state to ship.
+  */
+object AnnSearch {
+
+  /** Left-fold double sum of an array column. */
+  private def fsum(c: Column): Column = aggregate(c, lit(0.0), (a, x) => a + x)
+
+  private def prod(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+
+  /** Exact cosine similarity of two array columns, as DOUBLE. */
+  def cosine(a: Column, b: Column): Column =
+    fsum(prod(a, b)) / (sqrt(fsum(prod(a, a))) * sqrt(fsum(prod(b, b))))
+
+  /** Brute-force exact top-k by cosine vs one query vector (given as the
+    * single row of `queryDf` with column `qv`). */
+  def cosineTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.crossJoin(broadcast(queryDf))
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic ±1 weight for (table, bit, dim) — a splitmix-style mix. */
+  private def planeWeight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
+    var z = seed + table * 1000003L + bit * 10007L + dim * 101L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Add `bucket_0..bucket_{L-1}` sign-LSH bucket ids for a `dim`-dim
+    * embedding column. */
+  def lshBucketed(df: DataFrame, dim: Int, nBits: Int = 8, nTables: Int = 4,
+                  seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
+    (0 until nTables).foldLeft(df) { (acc, t) =>
+      val bitCols = (0 until nBits).map { b =>
+        val weights = array((0 until dim).map(i => lit(planeWeight(seed, t, b, i))): _*)
+        when(fsum(prod(col(vecCol), weights)) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }
+      acc.withColumn(s"bucket_$t", bitCols.reduce(_ + _))
+    }
+  }
+
+  /** ANN top-k: candidates share ≥1 LSH bucket with the query vector, then
+    * exact cosine rerank. Returns (idCol, cos). */
+  def annTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val data = lshBucketed(embeddings, dim, nBits, nTables, seed, vecCol)
+    val q = lshBucketed(queryDf, dim, nBits, nTables, seed, "qv")
+      .select((0 until nTables).map(t => col(s"bucket_$t").as(s"qb_$t")) :+ col("qv"): _*)
+    val sameBucket = (0 until nTables)
+      .map(t => col(s"bucket_$t") === col(s"qb_$t"))
+      .reduce(_ || _)
+    data.join(broadcast(q), sameBucket)
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{AnnSearch, LangId, Media}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2-H7 map functions, lang-ID heuristic, ANN search recall, multimodal
+  * plumbing. */
+class FunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("H7: map construction + map functions") {
+    val df = Tables.nation(spark, TestSpark.sfDir)
+      .select(map(lit("key"), $"n_nationkey", lit("region"), $"n_regionkey").as("m"))
+    val row = df.select(
+      map_keys($"m").as("ks"),
+      element_at($"m", "key").as("k"),
+      size($"m").as("n")).orderBy($"k").head()
+    assert(row.getAs[scala.collection.Seq[String]]("ks").toSeq == Seq("key", "region"))
+    assert(row.getAs[Int]("k") == 0)
+    assert(row.getAs[Int]("n") == 2)
+    // map_from_entries + aggregation over map values
+    val agg = Tables.nation(spark, TestSpark.sfDir)
+      .select(map_from_arrays(array(lit("nk")), array($"n_nationkey")).as("m"))
+      .select(element_at($"m", "nk").as("v"))
+      .agg(sum($"v")).as[Long].head()
+    assert(agg == (0 until 25).sum)
+  }
+
+  test("lang-ID heuristic classifies authored sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("der hund ist nicht mit der katze", "de"),
+      ("le chien est dans la maison et il est content", "fr"),
+      ("el perro es una mascota en la casa", "es"),
+      ("这是 一个 中文 句子", "zh"),
+      ("zzz qqq xxx", "und"))
+    val df = samples.toDF("text", "expected")
+      .withColumn("got", LangId.langId($"text"))
+    val wrong = df.filter($"got" =!= $"expected").collect()
+    assert(wrong.isEmpty, wrong.mkString(", "))
+  }
+
+  test("ANN LSH top-k achieves good recall vs brute force") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = AnnSearch.annTopK(e.filter($"vec_id" =!= 0), q, 20, dim = 64,
+        nBits = 5, nTables = 12)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low; approx=$approx")
+  }
+
+  test("multimodal plumbing: schema, feature extraction, frame sampling") {
+    val media = Media.synthesize(spark, 30)
+    assert(media.toDF().schema.map(f => (f.name, f.dataType)) ==
+      Media.mediaSchema.map(f => (f.name, f.dataType)))
+    val feats = Media.extractFeatures(media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 30 && rows.forall(_.features.length == 8))
+    // deterministic: same bytes -> same features
+    val again = Media.extractFeatures(Media.synthesize(spark, 30), dim = 8).collect()
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+    val frames = Media.sampleFrames(media, frameBytes = 16, everyNth = 2)
+    assert(frames.count() > 0)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2-A2/A3/A4/A5: CSV / JSON-lines ingest, partitioned sink, streaming
+  * file source (batch-equivalence under AvailableNow). */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val scheduleCsv =
+    """carrier,flightnumber,effectiveDate,discontinuedDate,day1,day2,day3,day4,day5,day6,day7,departureAirport,arrivalAirport,departureTimeLocal,arrivalTimeLocal,departureUTCVariance,arrivalUTCVariance,arrivalDayIndicator,stops,firstSeats,businessSeats,economySeats,totalSeats,aircraftType,distanceMiles
+      |AA,100,2024-01-01,2024-01-14,true,false,true,false,true,false,false,JFK,LAX,08:00,11:30,-300,-480,0,0,8,24,130,162,738,2475
+      |BA,7,2024-01-01,2024-01-07,true,true,true,true,true,true,true,LHR,JFK,10:00,13:05,0,-300,0,0,14,48,200,262,744,3451
+      |ZZ,999,2024-02-01,2024-02-02,false,false,false,false,false,false,false,AAA,BBB,,,0,0,0,1,,,,,,""".stripMargin
+
+  test("A2: CSV ingest with explicit schema, header, nulls, dates") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "schedule.csv")
+    Files.writeString(f.toPath, scheduleCsv)
+    val df = Sources.readCsv(spark, f.getAbsolutePath, Sources.scheduleSchema)
+    assert(df.count() == 3)
+    assert(df.schema == Sources.scheduleSchema)
+    val aa = df.filter($"carrier" === "AA").head()
+    assert(aa.getAs[java.sql.Date]("effectiveDate").toString == "2024-01-01")
+    assert(aa.getAs[Boolean]("day1") && !aa.getAs[Boolean]("day2"))
+    val zz = df.filter($"carrier" === "ZZ").head()
+    assert(zz.isNullAt(zz.fieldIndex("totalSeats")), "empty string -> null int")
+    assert(zz.isNullAt(zz.fieldIndex("departureTimeLocal")), "empty string -> null string")
+  }
+
+  test("A3: JSON-lines ingest with explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "rows.jsonl")
+    Files.writeString(f.toPath,
+      """{"iata":"JFK","name":"Kennedy","longitude":-73.78,"latitude":40.64,"wac":22}
+        |{"iata":"LHR","name":"Heathrow","longitude":-0.45,"latitude":51.47,"wac":496}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("iata", StringType), StructField("name", StringType),
+      StructField("longitude", DoubleType), StructField("latitude", DoubleType),
+      StructField("wac", IntegerType)))
+    val df = Sources.readJsonLines(spark, f.getAbsolutePath, schema)
+    assert(df.count() == 2)
+    assert(df.filter($"iata" === "JFK").head().getAs[Double]("longitude") == -73.78)
+  }
+
+  test("A4: partitioned parquet sink writes directory keys + prunes on read") {
+    val out = Files.createTempDirectory("graft_sink").toString + "/part"
+    val df = Tables.orders(spark, TestSpark.sfDir)
+      .withColumn("status", $"o_orderstatus")
+    Sources.writePartitioned(df, out, Seq("status"))
+    assert(new java.io.File(out, "status=F").exists())
+    val back = spark.read.parquet(out).filter($"status" === "F")
+    assert(back.count() == df.filter($"o_orderstatus" === "F").count())
+    val scanned = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("status=O"), "partition pruning should skip status=O")
+  }
+
+  test("A5: streaming file source == batch result under AvailableNow") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.nation(spark, TestSpark.sfDir).write.mode("overwrite").parquet(dir)
+    val schema = Tables.nation(spark, TestSpark.sfDir).schema
+    val counted = Sources.readStreamDir(spark, dir, schema)
+      .groupBy($"n_regionkey").count()
+    val q = counted.writeStream.format("memory").queryName("a5_check")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamRows = spark.table("a5_check").orderBy("n_regionkey")
+      .as[(Int, Long)].collect().toSeq
+    val batchRows = Tables.nation(spark, TestSpark.sfDir)
+      .groupBy($"n_regionkey").count().orderBy("n_regionkey")
+      .as[(Int, Long)].collect().toSeq
+    assert(streamRows == batchRows)
+  }
+}
