@@ -26,9 +26,17 @@ object AnnSearch {
   private def prod(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
 
+  /** dot(a, b) through the native codegen'd expression (identical fold
+    * order to the HOF form, ~no per-row allocation). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.plans.DotFold(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
   /** Exact cosine similarity of two array columns, as DOUBLE. */
   def cosine(a: Column, b: Column): Column =
-    fsum(prod(a, b)) / (sqrt(fsum(prod(a, a))) * sqrt(fsum(prod(b, b))))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force exact top-k by cosine vs one query vector (given as the
     * single row of `queryDf` with column `qv`). */

@@ -84,20 +84,23 @@ object Etl {
     }),
 
     // G5: parser/validator quality report — per-column null/distinct/min/max
-    // union'd into one narrow report (the flirt validation pass analog).
+    // in ONE scan (multi-distinct expand), unpivoted via stack() into the
+    // narrow report (the flirt validation pass analog). A union of
+    // per-column aggs would scan the table once per column — wrong at scale.
     "etl_quality_report" -> ((s, d) => {
-      import s.implicits._
-      val o = Tables.orders(s, d)
-      def col1(c: String) = o.agg(
-        lit(c).as("column"),
-        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c).cast("string")).as("min_s"),
-        max(col(c).cast("string")).as("max_s"))
-        .select("column", "n_null", "n_distinct", "min_s", "max_s")
-      col1("o_orderstatus")
-        .unionAll(col1("o_orderpriority"))
-        .unionAll(col1("o_custkey"))
+      def m(c: String, suffix: String) = s"${c}_$suffix"
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1).otherwise(0)).as(m(c, "null")),
+          countDistinct(col(c)).as(m(c, "dist")),
+          min(col(c).cast("string")).as(m(c, "min")),
+          max(col(c).cast("string")).as(m(c, "max")))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${m(c, "null")}, ${m(c, "dist")}, ${m(c, "min")}, ${m(c, "max")}").mkString(", ")
+      Tables.orders(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, n_null, n_distinct, min_s, max_s)")
         .orderBy("column")
     })
   )

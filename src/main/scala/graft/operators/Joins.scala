@@ -145,19 +145,17 @@ object Joins {
     }),
 
     // C12: as-of join — for each purchase, ts of the most recent strictly
-    // prior click by the same user. Spark has no native ASOF JOIN; rewritten
-    // as equi-join on user + range predicate + max aggregation (distributes
-    // as one shuffle on user_id; no windowed sort of the full event stream).
+    // prior click by the same user. Spark has no native ASOF JOIN; the
+    // AsOfJoin rewrite (union + single shuffle + range-frame window) avoids
+    // the quadratic join+max blowup — see [[AsOfJoin.asOfPrior]].
     "join_asof" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).withColumn("ts_us", Tables.tsUs)
       val p = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts_us")
       val c = ev.filter($"event_type" === "click")
-        .select($"user_id".as("c_user"), $"ts_us".as("c_ts"))
-      p.join(c, $"user_id" === $"c_user" && $"c_ts" < $"ts_us", "left")
-        .groupBy($"event_id", $"user_id", $"ts_us")
-        .agg(max($"c_ts").as("last_click_us"))
+        .select($"user_id", $"ts_us")
+      AsOfJoin.asOfPrior(p, c, "user_id", "ts_us", "last_click_us")
         .orderBy("event_id")
     })
   )

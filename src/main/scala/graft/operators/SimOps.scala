@@ -19,17 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Left float fold (matches the oracle's list_reduce order). */
-  private def fsum(c: org.apache.spark.sql.Column) =
-    aggregate(c, lit(0.0), (acc, x) => acc + x)
-
-  /** cosine(a, b) rounded to 1e-6, as a BIGINT micro-score. */
-  private def cosE6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def prod(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
-      zip_with(u, v, (x, y) => x.cast("double") * y.cast("double"))
-    round(fsum(prod(a, b)) / (sqrt(fsum(prod(a, a))) * sqrt(fsum(prod(b, b)))) * 1000000)
-      .cast("long")
-  }
+  /** cosine(a, b) rounded to 1e-6, as a BIGINT micro-score. Runs through
+    * the native [[graft.plans.DotFold]] codegen expression — same left
+    * fold order as the DuckDB oracle's list_reduce, so bit-equal. */
+  private def cosE6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(graft.functions.AnnSearch.cosine(a, b) * 1000000).cast("long")
 
   val queries: Map[String, Q] = Map(
     // J4: brute-force cosine top-20 vs the vec_id=0 query vector.
@@ -54,6 +48,19 @@ object SimOps {
         .select($"v1", $"v2", cosE6($"ea", $"eb").as("cos_e6"))
         .filter($"cos_e6" >= 250000)
         .orderBy($"v1".asc, $"v2".asc)
+    }),
+
+    // ANN scale path (no oracle — LSH planes aren't SQL-replicable; the
+    // driver records a rows-only check and FunctionsSpec asserts recall
+    // against the exact top-k).
+    "sim_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      graft.functions.AnnSearch
+        .annTopK(e.filter($"vec_id" =!= 0), q, 20, dim = 64, nBits = 5, nTables = 12)
+        .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
     // J8: Scala UDF surface — integer Chebyshev distance on synthesized

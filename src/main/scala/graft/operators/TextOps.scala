@@ -103,6 +103,17 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Language-ID heuristic over documents (no oracle — the marker-token
+    // scoring isn't worth replicating in SQL; rows-only check + LangIdSpec
+    // accuracy assertions on authored fixtures).
+    "text_lang_id" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang".as("labeled"),
+          graft.functions.LangId.langId($"text").as("predicted"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash (60-bit) over distinct tokens: per bit, majority vote of
     // token-hash bits; reassemble as a BIGINT signature.
     "dedup_simhash" -> ((s, d) => {
