@@ -25,6 +25,7 @@ object SparkEntry {
     operators.TextOps.queries ++
     operators.SimOps.queries ++
     operators.Multimodal.queries ++
+    operators.Subqueries.queries ++
     streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
     operators.TextOps.oracleSql ++
     operators.SimOps.oracleSql ++
     operators.Multimodal.oracleSql ++
+    operators.Subqueries.oracleSql ++
     streaming.Streams.oracleSql
 }

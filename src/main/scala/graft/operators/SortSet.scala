@@ -60,6 +60,26 @@ object SortSet {
       Tables.customer(s, d).select($"c_custkey")
         .except(Tables.orders(s, d).select($"o_custkey".as("c_custkey")))
         .orderBy("c_custkey")
+    }),
+
+    // F7: multiset (bag) semantics — INTERSECT ALL keeps per-key
+    // multiplicity min, EXCEPT ALL subtracts multiplicities.
+    "set_intersect_all" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.lineitem(s, d).filter($"l_linenumber" <= 2).select($"l_orderkey")
+      val b = Tables.lineitem(s, d).filter($"l_linenumber" >= 2).select($"l_orderkey")
+      a.intersectAll(b).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("l_orderkey")
+    }),
+
+    "set_except_all" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.lineitem(s, d).select($"l_orderkey")
+      val b = Tables.lineitem(s, d).filter($"l_linenumber" >= 3).select($"l_orderkey")
+      a.exceptAll(b).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("l_orderkey")
     })
   )
 
@@ -94,6 +114,18 @@ object SortSet {
         |  SELECT c_custkey FROM customer
         |  EXCEPT
         |  SELECT o_custkey AS c_custkey FROM orders)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_orderkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+        |  INTERSECT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_orderkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT l_orderkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 3)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }
