@@ -161,6 +161,9 @@ object TextOps {
 
     // MinHash signatures (16 permutation hashes over 3-gram shingles) →
     // candidate pairs ranked by matching hash count (Jaccard estimator).
+    // Signatures come from the custom MinHashAgg sketch: one compact
+    // 16-long buffer per doc through the shuffle (map-side partial agg),
+    // not 16× exploded rows; the hash family matches the SQL oracle.
     "dedup_minhash_pairs" -> ((s, d) => {
       import s.implicits._
       val sh = Tables.documents(s, d)
@@ -172,9 +175,9 @@ object TextOps {
             .as("sh"))
         .select($"doc_id", tokInt($"sh").as("x"))
       val sig = sh
-        .select($"doc_id", $"x", explode(sequence(lit(0), lit(15))).as("j"))
-        .groupBy($"doc_id", $"j")
-        .agg(min(expr("((2 * j + 1) * x + 7 * j + 3) % 2147483647")).as("mh"))
+        .groupBy($"doc_id")
+        .agg(graft.plans.MinHashAgg.minhash($"x", 16).as("sig"))
+        .select($"doc_id", posexplode($"sig").as(Seq("j", "mh")))
       sig.as("a")
         .join(sig.as("b"),
           col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew + co-location utilities: result equivalence and plan shape. */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join") {
+    val l = Tables.lineitem(spark, TestSpark.sfDir)
+      .select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, TestSpark.sfDir)
+      .select($"o_orderkey", $"o_orderpriority")
+    val plain = l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("hotKeyJoin is row-identical to the plain join") {
+    val ev = Tables.events(spark, TestSpark.sfDir).select($"event_id", $"user_id")
+    val users = Tables.events(spark, TestSpark.sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_total"))
+    val plain = ev.join(users, "user_id").count()
+    val hot = Scale.hotKeyJoin(ev, users.withColumnRenamed("user_id", "u2"),
+      "user_id", "u2", lit(0L)).count()
+    assert(hot == plain)
+  }
+
+  test("bucketed tables join without any Exchange") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val l = Tables.lineitem(spark, TestSpark.sfDir).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, TestSpark.sfDir).select($"o_orderkey", $"o_totalprice")
+    Scale.writeBucketed(l, "graft_bl", s"$base/l", 8, "l_orderkey")
+    Scale.writeBucketed(o, "graft_bo", s"$base/o", 8, "o_orderkey")
+    // disable auto-broadcast so the planner actually uses the bucketed
+    // sort-merge path (at real fact-fact scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bl")
+        .join(spark.table("graft_bo"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(joined.count() == l.count(), "every lineitem matches its order")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
