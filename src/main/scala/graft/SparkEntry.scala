@@ -26,6 +26,7 @@ object SparkEntry {
     operators.SimOps.queries ++
     operators.Multimodal.queries ++
     operators.Subqueries.queries ++
+    operators.Advanced.queries ++
     streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
     operators.SimOps.oracleSql ++
     operators.Multimodal.oracleSql ++
     operators.Subqueries.oracleSql ++
+    operators.Advanced.oracleSql ++
     streaming.Streams.oracleSql
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Advanced SQL surface: recursive CTEs (new in Spark 4), sliding ROWS
+  * frames, higher-order array functions, ordered string aggregation. */
+object Advanced {
+
+  val queries: Map[String, Q] = Map(
+    // Recursive CTE: derive a 100-day calendar dimension and left-join
+    // order counts onto it (the date-spine pattern).
+    "sql_recursive_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_rc")
+      s.sql(
+        """WITH RECURSIVE spine(n) AS (
+          |  SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 99
+          |)
+          |SELECT CAST(date_add(DATE '1995-01-01', n) AS STRING) AS dt,
+          |       COUNT(o_orderkey) AS n_orders
+          |FROM spine LEFT JOIN graft_orders_rc
+          |  ON CAST(o_orderdate AS DATE) = date_add(DATE '1995-01-01', n)
+          |GROUP BY n ORDER BY dt""".stripMargin)
+    }),
+
+    // Sliding ROWS frame: centered 7-row decimal sum per customer.
+    "win_rows_sliding" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderkey".asc)
+        .rowsBetween(-3, 3)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          sum(Tables.dec($"o_totalprice")).over(w)
+            .cast("decimal(18,6)").as("win7_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Higher-order array functions over tokenized part names.
+    "fn_higher_order" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey", split($"p_name", " ").as("t"))
+        .select($"p_partkey",
+          size($"t").as("n_tok"),
+          size(filter($"t", x => length(x) > 4)).as("n_long"),
+          array_max(transform($"t", x => length(x))).as("max_len"),
+          (size(filter($"t", x => length(x) === 3)) > 0).as("has_len3"),
+          forall($"t", x => length(x) >= 2).as("all_ge2"))
+        .orderBy("p_partkey")
+    }),
+
+    // Ordered string aggregation (deterministic listagg).
+    "fn_string_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey")
+        .agg(
+          concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 99
+        |)
+        |SELECT CAST(DATE '1995-01-01' + n AS VARCHAR) AS dt,
+        |       COUNT(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders
+        |  ON CAST(o_orderdate AS DATE) = DATE '1995-01-01' + n
+        |GROUP BY n ORDER BY dt""".stripMargin,
+    "win_rows_sliding" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DECIMAL(18,6)) AS win7_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "fn_higher_order" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_tok,
+        |  CAST(len(list_filter(string_split(p_name, ' '), x -> length(x) > 4)) AS INT) AS n_long,
+        |  CAST(list_max(list_transform(string_split(p_name, ' '), x -> length(x))) AS INT) AS max_len,
+        |  len(list_filter(string_split(p_name, ' '), x -> length(x) = 3)) > 0 AS has_len3,
+        |  len(list_filter(string_split(p_name, ' '), x -> length(x) >= 2))
+        |    = len(string_split(p_name, ' ')) AS all_ge2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}
