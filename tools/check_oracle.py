@@ -29,6 +29,10 @@ def norm_cell(v):
     if v is None or v != v:  # None or NaN
         return "NULL"
     if isinstance(v, float):
+        # pandas turns nullable int64 parquet columns into float64; undo it
+        # so both sides stringify identically (exact below 2^53)
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
@@ -67,7 +71,11 @@ def main():
             n_bad += 1
             continue
         try:
-            duck_df = con.execute(sql).df()
+            # fetchall (not .df()) so wide DECIMALs stay exact Decimals —
+            # pandas converts DuckDB decimals to lossy float64.
+            cur = con.execute(sql)
+            duck_cols = [c[0] for c in cur.description]
+            duck_df = pd.DataFrame(cur.fetchall(), columns=duck_cols, dtype=object)
         except Exception as e:
             print(f"SQLERR {name}: {e}")
             n_bad += 1
