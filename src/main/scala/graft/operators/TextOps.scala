@@ -114,6 +114,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Embedding-cosine near-dup: documents paired via their embedding
+    // vectors (doc_id ↔ vec_id), same language, rounded cosine ≥ 0.25.
+    // At scale the pair generation goes through AnnSearch's LSH buckets;
+    // here the candidate set is bounded (doc_id < 200) so exact pairing
+    // doubles as the oracle-checkable reference.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 200)
+        .select($"doc_id", $"lang")
+      val embedded = docs.join(Tables.embeddings(s, d),
+        docs("doc_id") === col("vec_id"))
+        .select($"doc_id", $"lang", $"embedding")
+      val a = embedded.select($"doc_id".as("d1"), $"lang".as("l1"), $"embedding".as("e1"))
+      val b = embedded.select($"doc_id".as("d2"), $"lang".as("l2"), $"embedding".as("e2"))
+      a.join(b, $"d1" < $"d2" && $"l1" === $"l2")
+        .select($"d1", $"d2", $"l1".as("lang"),
+          round(graft.functions.AnnSearch.cosine($"e1", $"e2") * 1000000)
+            .cast("long").as("cos_e6"))
+        .filter($"cos_e6" >= 250000)
+        .orderBy("d1", "d2")
+    }),
+
     // SimHash (60-bit) over distinct tokens: per bit, majority vote of
     // token-hash bits; reassemble as a BIGINT signature.
     "dedup_simhash" -> ((s, d) => {
@@ -226,6 +248,25 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) * pos1) AS BIGINT) AS fingerprint
         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id < 200),
+        |e AS (
+        |  SELECT doc_id, lang, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM docs JOIN embeddings ON doc_id = vec_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.lang AS lang,
+        |  CAST(round(
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000) AS BIGINT) AS cos_e6
+        |FROM e a JOIN e b ON a.doc_id < b.doc_id AND a.lang = b.lang
+        |WHERE CAST(round(
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000) AS BIGINT) >= 250000
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
