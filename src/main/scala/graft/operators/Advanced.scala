@@ -51,6 +51,36 @@ object Advanced {
         .orderBy("p_partkey")
     }),
 
+    // Unpivot/melt: wide seat-class-style columns → long (col, value) rows.
+    "fn_unpivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(Tables.dec($"l_quantity")).cast("decimal(18,6)").as("qty"),
+          sum(Tables.dec($"l_extendedprice")).cast("decimal(18,6)").as("price"),
+          sum(Tables.dec($"l_tax")).cast("decimal(18,6)").as("tax"))
+        .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"tax"),
+          "measure", "total")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // LATERAL correlated subquery: per region, its top customer by acctbal.
+    "sub_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.bal
+          |FROM graft_nation_lat n,
+          |LATERAL (
+          |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+          |  FROM graft_customer_lat
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+          |) t
+          |ORDER BY n_name""".stripMargin)
+    }),
+
     // Ordered string aggregation (deterministic listagg).
     "fn_string_agg" -> ((s, d) => {
       import s.implicits._
@@ -88,6 +118,25 @@ object Advanced {
         |  len(list_filter(string_split(p_name, ' '), x -> length(x) >= 2))
         |    = len(string_split(p_name, ' ')) AS all_ge2
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_unpivot" ->
+      """SELECT l_returnflag, measure, total FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS price,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (total FOR measure IN (qty, price, tax))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "sub_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.bal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        |  FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+        |) t
+        |ORDER BY n_name""".stripMargin,
     "fn_string_agg" ->
       """SELECT c_nationkey,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
