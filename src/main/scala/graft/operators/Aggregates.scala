@@ -126,6 +126,26 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Exact median without float percentile machinery: the two middle
+    // elements by rank (equal when n is odd), in integer cents — exact and
+    // engine-agnostic where percentile_cont interpolation is not.
+    "agg_median_exact" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      val part = org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          round($"l_quantity" * 100).cast("long").as("x"))
+        .select($"l_returnflag", $"x",
+          row_number().over(w).as("rn"), count(lit(1)).over(part).as("n"))
+        .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+        .groupBy($"l_returnflag")
+        .agg(min($"x").as("med_lo_cents"), max($"x").as("med_hi_cents"),
+          max($"n").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // D10: pivot event counts per user over event_type (explicit value list
     // → no extra distinct pass; absent combos coalesced to 0).
     "agg_pivot" -> ((s, d) => {
@@ -206,6 +226,21 @@ object Aggregates {
         |  n * sxx - sx * sx AS var_num,
         |  n * (n - 1) AS var_den
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_median_exact" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY x ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM t)
+        |SELECT l_returnflag,
+        |  MIN(x) AS med_lo_cents, MAX(x) AS med_hi_cents, MAX(n) AS n
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
