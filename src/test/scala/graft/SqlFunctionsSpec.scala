@@ -1,0 +1,35 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom expressions exposed through the SQL surface. */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("vec_dot is callable from SQL and matches the manual fold") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS DOUBLE), 2.0, 3.0), array(CAST(4.0 AS DOUBLE), 5.0, 6.0)) AS d")
+      .head().getDouble(0)
+    assert(got == 32.0)
+    // against the embeddings table (float arrays)
+    Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("graft_emb_sql")
+    val norms = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS n2
+        |FROM graft_emb_sql ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(norms.length == 5 && norms.forall(_.getDouble(1) > 0))
+  }
+
+  test("minhash_sketch is callable from SQL and equals the elementwise min") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT minhash_sketch(x, 4) AS sig FROM (VALUES (CAST(10 AS BIGINT)), (25), (7)) t(x)""")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    // h_j(x) = ((2j+1)x + 7j+3) % p ; min over x in {10,25,7}
+    val expect = (0 until 4).map { j =>
+      Seq(10L, 25L, 7L).map(x => ((2L * j + 1) * x + 7L * j + 3) % 2147483647L).min
+    }
+    assert(row.toSeq == expect)
+  }
+}
