@@ -81,6 +81,34 @@ object Advanced {
           |ORDER BY n_name""".stripMargin)
     }),
 
+    // nth_value over an explicit full frame (2nd/3rd richest per nation).
+    "win_nth_value" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          nth_value($"c_custkey", 2).over(w).as("second_cust"),
+          nth_value($"c_custkey", 3).over(w).as("third_cust"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // Bitwise operator matrix (pure integer, engine-agnostic).
+    "fn_bitwise" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_orderkey".bitwiseAND(255)).as("and255"),
+          ($"l_orderkey".bitwiseOR(16)).as("or16"),
+          ($"l_orderkey".bitwiseXOR($"l_linenumber")).as("xor_ln"),
+          shiftleft($"l_linenumber", 4).as("shl4"),
+          shiftright($"l_orderkey", 3).as("shr3"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Ordered string aggregation (deterministic listagg).
     "fn_string_agg" -> ((s, d) => {
       import s.implicits._
@@ -137,6 +165,23 @@ object Advanced {
         |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
         |) t
         |ORDER BY n_name""".stripMargin,
+    "win_nth_value" ->
+      """SELECT c_nationkey, c_custkey,
+        |  nth_value(c_custkey, 2) OVER w AS second_cust,
+        |  nth_value(c_custkey, 3) OVER w AS third_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and255,
+        |  l_orderkey | 16 AS or16,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_ln,
+        |  CAST(l_linenumber AS BIGINT) << 4 AS shl4,
+        |  l_orderkey >> 3 AS shr3
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_string_agg" ->
       """SELECT c_nationkey,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,

@@ -126,6 +126,25 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Exact covariance via integer sums (the D8 technique on two vars):
+    // cov = (n·Σxy − Σx·Σy) / (n·(n−1)) — numerator/denominator emitted
+    // as exact BIGINTs. x = quantity units, y = whole-dollar price
+    // (bounds keep every product inside int64 at bench scale).
+    "agg_covar_manual" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round($"l_quantity").cast("long").as("x"),
+          round($"l_extendedprice").cast("long").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"l_returnflag", $"n",
+          ($"n" * $"sxy" - $"sx" * $"sy").as("cov_num"),
+          ($"n" * ($"n" - 1)).as("cov_den"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact median without float percentile machinery: the two middle
     // elements by rank (equal when n is odd), in integer cents — exact and
     // engine-agnostic where percentile_cont interpolation is not.
@@ -225,6 +244,21 @@ object Aggregates {
         |SELECT l_returnflag, n,
         |  n * sxx - sx * sx AS var_num,
         |  n * (n - 1) AS var_den
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+    "agg_covar_manual" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  n * sxy - sx * sy AS cov_num,
+        |  n * (n - 1) AS cov_den
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "agg_median_exact" ->
       """WITH t AS (

@@ -72,6 +72,22 @@ object Etl {
         .orderBy("event_type")
     }),
 
+    // SCD2 (slowly-changing-dimension type 2) build: per-user 'view'
+    // history becomes validity intervals [valid_from, valid_to) via lead();
+    // the open current row has NULL valid_to. One shuffle on the key.
+    "etl_scd2_intervals" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .filter($"event_type" === "view")
+        .withColumn("ts_us", Tables.tsUs)
+        .select($"user_id", $"event_id",
+          $"ts_us".as("valid_from"),
+          lead($"ts_us", 1).over(w).as("valid_to"),
+          Tables.dec($"value").as("v"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // G4: UTC normalization — ns→µs truncation plus a per-row fixed offset
     // (models local-time + UTC-variance → UTC instants; pure BIGINT math).
     "etl_utc_normalize" -> ((s, d) => {
@@ -138,6 +154,14 @@ object Etl {
         |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
         |  CAST(SUM(v) AS DECIMAL(18,6)) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_scd2_intervals" ->
+      """SELECT user_id, event_id, valid_from, valid_to, v FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS valid_to,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'view') t
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "etl_utc_normalize" ->
       """SELECT event_id,
         |  (user_id % 27 - 13) * 30 AS offset_min,

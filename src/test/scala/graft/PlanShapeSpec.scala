@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the scale-critical physical-plan shapes the engine was designed
+  * around — a regression here means a future change silently degraded the
+  * 100 TB story even if results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (fact side never shuffles)") {
+    val p = plan("join_star_2hop")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("limit_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("filter_multi")
+    assert(p.contains("PushedFilters: [IsNotNull"), "predicates must push down")
+    assert(!p.contains("o_custkey"), "unreferenced columns must be pruned")
+  }
+
+  test("theta/band joins keep their equi prefix (no BNLJ/cartesian)") {
+    assert(!plan("join_theta_band").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("join_interval_overlap").contains("CartesianProduct"))
+  }
+
+  test("aggregation is two-phase (map-side partial)") {
+    val p = plan("agg_q1_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final expected")
+  }
+
+  test("as-of join has exactly one data shuffle (plus the final order-by)") {
+    val p = plan("join_asof")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash shuffle, got $exchanges:\n${p.take(800)}")
+  }
+
+  test("cosine path uses the codegen'd DotFold expression") {
+    assert(plan("sim_cosine_topk").contains("dotfold"))
+  }
+}
