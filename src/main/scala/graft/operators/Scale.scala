@@ -45,4 +45,27 @@ object Scale {
                     buckets: Int, key: String): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .option("path", path).mode("overwrite").saveAsTable(table)
+
+  /** Compact a parquet directory to ~`targetFileMB` files (the small-file
+    * problem: streaming sinks and fine-grained partitions accumulate tiny
+    * files that wreck scan parallelism and NameNode/listing cost at scale).
+    * Sizes the rewrite from the actual on-disk bytes; `sortCols` optionally
+    * re-clusters for min/max skipping. Writes to `outPath` (never in-place:
+    * a failed rewrite must not destroy the source). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileMB: Int = 128,
+              sortCols: Seq[String] = Nil): Long = {
+    val bytes = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    out.write.mode("overwrite").parquet(outPath)
+    nFiles.toLong
+  }
 }

@@ -34,6 +34,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(hot == plain)
   }
 
+  test("compact merges a many-small-files directory, preserving rows") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val src = s"$base/src"
+    Tables.lineitem(spark, TestSpark.sfDir).repartition(64)
+      .write.parquet(src) // 64 tiny files
+    val before = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"setup should create many files, got $before")
+    graft.operators.Scale.compact(spark, src, s"$base/out", targetFileMB = 128,
+      sortCols = Seq("l_orderkey"))
+    val after = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 4, s"compacted to few files, got $after")
+    assert(spark.read.parquet(s"$base/out").count() ==
+      spark.read.parquet(src).count(), "row count preserved")
+  }
+
   test("bucketed tables join without any Exchange") {
     val base = Files.createTempDirectory("graft_bucket").toString
     val l = Tables.lineitem(spark, TestSpark.sfDir).select($"l_orderkey", $"l_quantity")
