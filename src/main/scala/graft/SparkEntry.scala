@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Multimodal.queries ++
     operators.Subqueries.queries ++
     operators.Advanced.queries ++
+    operators.TpchQueries.queries ++
     streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
     operators.Multimodal.oracleSql ++
     operators.Subqueries.oracleSql ++
     operators.Advanced.oracleSql ++
+    operators.TpchQueries.oracleSql ++
     streaming.Streams.oracleSql
 }
