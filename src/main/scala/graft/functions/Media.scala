@@ -57,6 +57,29 @@ object Media {
     }
   }
 
+  /** Resize stub: a real implementation decodes + resamples pixels; this
+    * deterministically folds the byte payload into a w×h "thumbnail" grid
+    * (averaged byte buckets), preserving the batch/schema contract. */
+  def resizeStub(ds: Dataset[MediaRow], w: Int, h: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val n = math.max(1, r.bytes.length / (w * h))
+        val thumb = Array.tabulate(w * h) { i =>
+          val from = i * n
+          val until = math.min(r.bytes.length, from + n)
+          if (from >= r.bytes.length) 0
+          else {
+            var s = 0; var j = from
+            while (j < until) { s += r.bytes(j) & 0xFF; j += 1 }
+            s / math.max(1, until - from)
+          }
+        }
+        (r.media_id, w, h, thumb)
+      }
+    }.toDF("media_id", "out_w", "out_h", "thumb")
+  }
+
   /** Frame sampling stub: every nth "frame" of a video payload, modeled as
     * fixed-size byte windows (a real impl would seek keyframes). */
   def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int, everyNth: Int): DataFrame = {

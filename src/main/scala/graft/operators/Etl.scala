@@ -72,6 +72,27 @@ object Etl {
         .orderBy("event_type")
     }),
 
+    // Gap filling: a dense hour spine (cross join of hour buckets ×
+    // event types) left-joined with actual counts, absent buckets
+    // zero-filled — the time-series densification every monitoring/ML
+    // feature pipeline needs. Spine bounds from fixed constants (the
+    // events table spans 2024-01: deterministic, no data-dependent spine).
+    "etl_gap_fill" -> ((s, d) => {
+      import s.implicits._
+      // 2024-01-01T00 .. 2024-01-03T00 UTC, hourly, in epoch-µs
+      val spine = s.range(0, 48)
+        .select((lit(1704067200000000L) + $"id" * 3600000000L).as("bucket_us"))
+      val types = Seq("click", "error", "purchase", "signup", "view").toDF("event_type")
+      val actual = Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .withColumn("bucket_us", expr("ts_us - ts_us % 3600000000"))
+        .groupBy($"bucket_us", $"event_type").agg(count(lit(1)).as("n"))
+      spine.crossJoin(types)
+        .join(actual, Seq("bucket_us", "event_type"), "left")
+        .select($"bucket_us", $"event_type", coalesce($"n", lit(0L)).as("n"))
+        .orderBy("bucket_us", "event_type")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) build: per-user 'view'
     // history becomes validity intervals [valid_from, valid_to) via lead();
     // the open current row has NULL valid_to. One shuffle on the key.
@@ -154,6 +175,20 @@ object Etl {
         |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
         |  CAST(SUM(v) AS DECIMAL(18,6)) AS sum_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT 1704067200000000 + n * 3600000000 AS bucket_us
+        |  FROM range(0, 48) r(n)),
+        |types AS (
+        |  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |actual AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.bucket_us, t.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN actual a ON a.bucket_us = s.bucket_us AND a.event_type = t.event_type
+        |ORDER BY s.bucket_us, t.event_type""".stripMargin,
     "etl_scd2_intervals" ->
       """SELECT user_id, event_id, valid_from, valid_to, v FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from,

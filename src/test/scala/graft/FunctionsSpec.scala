@@ -67,5 +67,9 @@ class FunctionsSpec extends AnyFunSuite {
     val frames = Media.sampleFrames(media, frameBytes = 16, everyNth = 2)
     assert(frames.count() > 0)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
+    val thumbs = Media.resizeStub(media, 4, 3).collect()
+    assert(thumbs.length == 30)
+    assert(thumbs.forall(_.getAs[scala.collection.Seq[Int]]("thumb").length == 12))
+    assert(thumbs.forall(r => r.getAs[Int]("out_w") == 4 && r.getAs[Int]("out_h") == 3))
   }
 }
