@@ -28,6 +28,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile tracks the exact rank-based median") {
+    val exact = SparkEntry.queries("agg_median_exact")(spark, TestSpark.sfDir)
+      .select($"l_returnflag", $"med_lo_cents").as[(String, Long)].collect().toMap
+    val approx = Tables.lineitem(spark, TestSpark.sfDir)
+      .select($"l_returnflag", round($"l_quantity" * 100).cast("long").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"x", lit(0.5), lit(1000)).as("p50"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (flag, med) =>
+      val p = approx(flag)
+      assert(math.abs(p - med).toDouble / med <= 0.05,
+        s"$flag: approx $p vs exact $med")
+    }
+  }
+
   test("J6: MinHash signature agreement tracks exact Jaccard") {
     // near-identical docs (one token edited) vs an unrelated doc
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

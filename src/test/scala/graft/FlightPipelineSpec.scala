@@ -60,6 +60,19 @@ class FlightPipelineSpec extends AnyFunSuite {
     val ba = flights.filter($"carrier" === "BA").head()
     assert(ba.getAs[String]("dep_country") == "GB" && ba.getAs[String]("arr_country") == "US")
 
+    // enrichment joins are broadcast (the fact side never shuffles)
+    val raw = graft.sources.Sources.readCsv(spark, schedules,
+      graft.sources.Sources.scheduleSchema)
+    val enrichPlan = FlightPipeline.enrich(
+        FlightPipeline.expandAndNormalize(
+          FlightPipeline.passengerOnly(FlightPipeline.validate(raw)._1)),
+        graft.sources.Sources.readCsv(spark, airports,
+          graft.sources.Sources.airportsSchema))
+      .queryExecution.executedPlan.toString
+    assert(enrichPlan.contains("BroadcastHashJoin"),
+      s"airports enrichment should broadcast:\n${enrichPlan.take(600)}")
+    assert(!enrichPlan.contains("SortMergeJoin"))
+
     // partitioned sink prunes by flight_date
     assert(new java.io.File(out, "flight_date=2024-01-01").exists())
     assert(spark.read.parquet(out).filter($"flight_date" === "2024-01-03").count() == 2) // AA Wed + BA
