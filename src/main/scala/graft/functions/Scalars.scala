@@ -93,6 +93,20 @@ object Scalars {
         .orderBy("c_custkey")
     }),
 
+    // VARIANT (Spark 4 semi-structured type): parse_json into a variant,
+    // typed extraction with variant_get — the shredding-friendly path for
+    // heterogeneous JSON at scale (vs per-query string re-parsing).
+    "fn_variant" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          countDistinct($"k").as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
     // H8: generator/UDTF surface — posexplode of tokenized text (0-based pos).
     "fn_explode_pos" -> ((s, d) => {
       import s.implicits._
@@ -154,6 +168,11 @@ object Scalars {
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_s,
         |  CAST(CAST(c_nationkey AS DECIMAL(10,0)) AS INT) AS nat_i
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fn_explode_pos" ->
       """SELECT doc_id,
         |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
