@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Generate seeded random SQL (shared Spark/DuckDB dialect subset) for the
+cross-engine fuzz gate.
+
+Usage: python3 tools/fuzz_gen.py <outFile.tsv> [n] [seed]
+
+Writes name<TAB>sql lines. The grammar stays inside the dialect-shared
+subset the engine's determinism rules allow: integer/double comparisons,
+string IN/LIKE, date casts from ISO strings, modulo buckets, conjunctions/
+disjunctions, key-only projections with total ORDER BY, and a join+count
+template. graft.FuzzVerify executes each with spark.sql;
+tools/check_oracle.py compares against DuckDB.
+"""
+import random
+import sys
+
+STATUSES = ["'F'", "'O'", "'P'"]
+PRIOS = ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'", "'4-NOT SPECIFIED'", "'5-LOW'"]
+
+
+def gen_pred(rnd):
+    kind = rnd.randrange(6)
+    if kind == 0:
+        lo = rnd.randrange(1000, 200000)
+        return f"o_totalprice BETWEEN {lo} AND {lo + rnd.randrange(1000, 100000)}"
+    if kind == 1:
+        vals = rnd.sample(STATUSES, rnd.randrange(1, 3))
+        return f"o_orderstatus IN ({', '.join(vals)})"
+    if kind == 2:
+        return f"o_orderpriority LIKE '{rnd.randrange(1, 6)}%'"
+    if kind == 3:
+        y = rnd.randrange(1995, 2001)
+        m = rnd.randrange(1, 13)
+        op = rnd.choice(["<", ">=", "<=", ">"])
+        return (f"CAST(o_orderdate AS DATE) {op} CAST('{y}-{m:02d}-01' AS DATE)")
+    if kind == 4:
+        k = rnd.randrange(2, 17)
+        return f"o_custkey % {k} = {rnd.randrange(k)}"
+    return f"o_orderkey % {rnd.randrange(2, 9)} <> 0"
+
+
+def gen_query(rnd, i):
+    preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
+    glue = " AND " if rnd.random() < 0.7 else " OR "
+    where = glue.join(f"({p})" for p in preds)
+    if rnd.random() < 0.3:
+        return (f"SELECT o_orderkey, COUNT(*) AS n_lines "
+                f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+                f"WHERE {where} GROUP BY o_orderkey ORDER BY o_orderkey")
+    if rnd.random() < 0.5:
+        return (f"SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+                f"FROM orders WHERE {where} "
+                f"GROUP BY o_orderstatus, o_orderpriority "
+                f"ORDER BY o_orderstatus, o_orderpriority")
+    return (f"SELECT o_orderkey, o_orderstatus FROM orders "
+            f"WHERE {where} ORDER BY o_orderkey")
+
+
+def main():
+    out = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    rnd = random.Random(seed)
+    with open(out, "w") as f:
+        for i in range(n):
+            f.write(f"fuzz_{i:03d}\t{gen_query(rnd, i)}\n")
+    print(f"wrote {n} queries to {out}")
+
+
+if __name__ == "__main__":
+    main()
