@@ -43,15 +43,35 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    if rnd.random() < 0.3:
+    kind = rnd.randrange(6)
+    if kind == 0:
         return (f"SELECT o_orderkey, COUNT(*) AS n_lines "
                 f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
                 f"WHERE {where} GROUP BY o_orderkey ORDER BY o_orderkey")
-    if rnd.random() < 0.5:
+    if kind == 1:
         return (f"SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
                 f"FROM orders WHERE {where} "
                 f"GROUP BY o_orderstatus, o_orderpriority "
                 f"ORDER BY o_orderstatus, o_orderpriority")
+    if kind == 2:  # decimal aggregation (rule R2 casts)
+        return (f"SELECT o_orderstatus, "
+                f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s, "
+                f"COUNT(*) AS n FROM orders WHERE {where} "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    if kind == 3:  # window rank with unique tie-break
+        return (f"SELECT o_orderkey, CAST(rn AS INT) AS rn FROM ("
+                f"SELECT o_orderkey, row_number() OVER ("
+                f"PARTITION BY o_orderstatus "
+                f"ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+                f"FROM orders WHERE {where}) t "
+                f"WHERE rn <= {rnd.randrange(2, 8)} ORDER BY o_orderkey")
+    if kind == 4:  # set op between two predicate slices
+        p2 = gen_pred(rnd)
+        op = rnd.choice(["INTERSECT", "EXCEPT", "UNION"])
+        return (f"SELECT * FROM ("
+                f"SELECT o_orderkey FROM orders WHERE {where} "
+                f"{op} SELECT o_orderkey FROM orders WHERE ({p2})) t "
+                f"ORDER BY o_orderkey")
     return (f"SELECT o_orderkey, o_orderstatus FROM orders "
             f"WHERE {where} ORDER BY o_orderkey")
 
