@@ -34,6 +34,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(hot == plain)
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key holding ~50% of 200k rows vs a uniform build side
+      val probe = spark.range(200000)
+        .select(when($"id" % 2 === 0, 7L).otherwise($"id").as("k"), $"id".as("v"))
+      val build = spark.range(200000).select($"id".as("k2"), ($"id" * 2).as("w"))
+      val j = probe.join(build, $"k" === $"k2")
+      // collect() executes j's own queryExecution (count() would plan a
+      // separate aggregate query and leave this one unexecuted)
+      assert(j.collect().length == 200000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should mark the skewed join:\n${finalPlan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compact merges a many-small-files directory, preserving rows") {
     val base = Files.createTempDirectory("graft_compact").toString
     val src = s"$base/src"
