@@ -109,6 +109,43 @@ object Advanced {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Boolean aggregates per group.
+    "agg_bool_logic" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
+          bool_or($"o_orderstatus" === "P").as("any_pending"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // arg-max/min: value of one column at another's extremum (unique key
+    // as the ordering argument -> deterministic).
+    "agg_arg_max" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(
+          max_by($"o_orderpriority", $"o_orderkey").as("latest_prio"),
+          min_by($"o_orderpriority", $"o_orderkey").as("first_prio"),
+          max($"o_orderkey").as("max_key"))
+        .orderBy("o_custkey")
+    }),
+
+    // Edit distance (classic text-analysis primitive, exact integer).
+    "fn_levenshtein" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select($"doc_id",
+          levenshtein(substring($"text", 1, 20), lit("the quick brown fox")).as("lev_const"),
+          levenshtein(element_at(split($"text", " "), 1),
+            element_at(split($"text", " "), 2)).as("lev_tok12"))
+        .orderBy("doc_id")
+    }),
+
     // Ordered string aggregation (deterministic listagg).
     "fn_string_agg" -> ((s, d) => {
       import s.implicits._
@@ -182,6 +219,23 @@ object Advanced {
         |  CAST(l_linenumber AS BIGINT) << 4 AS shl4,
         |  l_orderkey >> 3 AS shr3
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_bool_logic" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_arg_max" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderpriority, o_orderkey) AS latest_prio,
+        |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "fn_levenshtein" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS INT) AS lev_const,
+        |  CAST(levenshtein(string_split(text, ' ')[1], string_split(text, ' ')[2]) AS INT) AS lev_tok12
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "fn_string_agg" ->
       """SELECT c_nationkey,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
