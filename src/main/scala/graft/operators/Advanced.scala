@@ -134,6 +134,38 @@ object Advanced {
         .orderBy("o_custkey")
     }),
 
+    // Cryptographic fingerprints (md5 + sha256 hex, identical both engines).
+    "fn_hash_sha" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select($"doc_id",
+          md5($"text".cast("binary")).as("h_md5"),
+          sha2($"text".cast("binary"), 256).as("h_sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // Batch gaps-and-islands sessionization (the manual-window dual of the
+    // streaming session_window operator I3 — same 30min-gap semantics).
+    "win_gaps_islands" -> ((s, d) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .withColumn("brk",
+          when($"ts_us" - lag($"ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum($"brk").over(cum))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"ts_us").as("session_start_us"), count(lit(1)).as("n"),
+          (max($"ts_us") - min($"ts_us")).as("span_us"))
+        .select($"user_id", $"session_start_us", $"n", $"span_us")
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Edit distance (classic text-analysis primitive, exact integer).
     "fn_levenshtein" -> ((s, d) => {
       import s.implicits._
@@ -231,6 +263,22 @@ object Advanced {
         |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "fn_hash_sha" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "win_gaps_islands" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |o AS (SELECT user_id, event_id, tu,
+        |  CASE WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC, event_id ASC)),
+        |g AS (SELECT user_id, tu,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(tu) AS session_start_us, COUNT(*) AS n,
+        |  MAX(tu) - MIN(tu) AS span_us
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "fn_levenshtein" ->
       """SELECT doc_id,
         |  CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS INT) AS lev_const,
