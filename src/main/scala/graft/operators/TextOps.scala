@@ -181,6 +181,38 @@ object TextOps {
         .limit(100)
     }),
 
+    // Dedup as an ACTION, not a report: drop every document that is the
+    // higher-id member of a near-dup pair (Jaccard ≥ 5%), keeping the
+    // lowest-id representative — the corpus-cleaning step of a training
+    // pipeline (greedy one-pass policy; a connected-components pass would
+    // refine clusters at the cost of iteration).
+    "dedup_corpus_keep" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang",
+          explode(expr(
+            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
+            .as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val dupIds = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .filter(expr("(inter * 1000000) div (n1 + n2 - inter) >= 50000"))
+        .select($"d2".as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy("doc_id")
+    }),
+
     // MinHash signatures (16 permutation hashes over 3-gram shingles) →
     // candidate pairs ranked by matching hash count (Jaccard estimator).
     // Signatures come from the custom MinHashAgg sketch: one compact
@@ -299,6 +331,27 @@ object TextOps {
         |  (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) AS jac_e6
         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |ORDER BY jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "dedup_corpus_keep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |dups AS (
+        |  SELECT DISTINCT d2 AS doc_id
+        |  FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) >= 50000)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 150 AND doc_id NOT IN (SELECT doc_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t
