@@ -39,11 +39,33 @@ def gen_pred(rnd):
     return f"o_orderkey % {rnd.randrange(2, 9)} <> 0"
 
 
+def gen_li_pred(rnd):
+    kind = rnd.randrange(4)
+    if kind == 0:
+        flags = rnd.sample(["'A'", "'N'", "'R'"], rnd.randrange(1, 3))
+        return f"l_returnflag IN ({', '.join(flags)})"
+    if kind == 1:
+        lo = rnd.randrange(1, 40)
+        return f"l_quantity BETWEEN {lo} AND {lo + rnd.randrange(5, 20)}"
+    if kind == 2:
+        return f"l_linenumber <= {rnd.randrange(1, 8)}"
+    return f"l_partkey % {rnd.randrange(2, 13)} = {rnd.randrange(2)}"
+
+
 def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(6)
+    kind = rnd.randrange(7)
+    if kind == 6:  # lineitem decimal-measure aggregation
+        lw = " AND ".join(f"({gen_li_pred(rnd)})" for _ in range(rnd.randrange(1, 3)))
+        return (f"SELECT l_returnflag, l_linestatus, "
+                f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sq, "
+                f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+                f"(1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS sd, "
+                f"COUNT(*) AS n FROM lineitem WHERE {lw} "
+                f"GROUP BY l_returnflag, l_linestatus "
+                f"ORDER BY l_returnflag, l_linestatus")
     if kind == 0:
         return (f"SELECT o_orderkey, COUNT(*) AS n_lines "
                 f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
