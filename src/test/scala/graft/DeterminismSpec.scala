@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repeat-execution determinism for the queries where nondeterminism could
+  * hide (ties under limit/top-k, window ranks, pivot, set ops, hash-based
+  * candidates): two independent executions must produce byte-identical
+  * ordered output — the property the driver's hash compare depends on. */
+class DeterminismSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val tieProne = Seq(
+    "limit_topk_global", "win_rank", "win_topk_per_group", "win_ntile_pct",
+    "agg_pivot", "set_union_distinct", "text_wordcount", "sim_cosine_topk",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "tpch_q3_shipping",
+    "agg_median_exact", "join_asof", "etl_dedup_lastwins", "sub_lateral")
+
+  test("tie-prone queries are stable across repeated execution") {
+    tieProne.foreach { name =>
+      val q = SparkEntry.queries(name)
+      val a = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+      val b = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+      assert(a == b, s"$name differed between executions")
+      assert(a.nonEmpty || name == "join_left_anti", s"$name empty")
+    }
+  }
+}
