@@ -134,6 +134,18 @@ object Advanced {
         .orderBy("o_custkey")
     }),
 
+    // C-style formatting + string builders (format_string ↔ printf).
+    "fn_format" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .select($"n_nationkey",
+          format_string("N%03d|%s", $"n_nationkey", $"n_name").as("tag"),
+          concat_ws("-", $"n_name", $"n_regionkey").as("joined"),
+          expr("repeat('*', n_regionkey + 1)").as("stars"),
+          reverse($"n_name").as("rev"))
+        .orderBy("n_nationkey")
+    }),
+
     // Cryptographic fingerprints (md5 + sha256 hex, identical both engines).
     "fn_hash_sha" -> ((s, d) => {
       import s.implicits._
@@ -263,6 +275,13 @@ object Advanced {
         |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "fn_format" ->
+      """SELECT n_nationkey,
+        |  printf('N%03d|%s', n_nationkey, n_name) AS tag,
+        |  concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS joined,
+        |  repeat('*', n_regionkey + 1) AS stars,
+        |  reverse(n_name) AS rev
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "fn_hash_sha" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
