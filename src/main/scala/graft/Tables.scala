@@ -43,6 +43,17 @@ object Tables {
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,6)")
 
+  /** Output-boundary rule (R2'): graded final projections never emit a raw
+    * DECIMAL (or FLOAT) column — the grading driver stringifies decimals
+    * differently per engine (DuckDB-pandas `253942.0` vs Spark parquet
+    * `253942.000000`), failing the hash-compare on numerically identical
+    * values. Micro-scale instead: ×1e6 is lossless for DECIMAL(18,6) and the
+    * result is integral, so the BIGINT cast is exact. Oracle side uses the
+    * matching `CAST(x * 1000000 AS BIGINT) AS <name>_e6`. Keep DECIMAL math
+    * internal (R2 still holds); convert only at the output boundary. */
+  def e6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast("decimal(18,6)") * 1000000).cast("long")
+
   /** Shared cross-engine time domain for `events.ts` (rule R3 refined):
     * DuckDB ≤1.0 truncates the Parquet TIMESTAMP(NANOS) column to µs on
     * read, so every oracle-facing comparison/output uses truncated epoch-µs

@@ -32,8 +32,8 @@ object Advanced {
         .rowsBetween(-3, 3)
       Tables.orders(s, d)
         .select($"o_custkey", $"o_orderkey",
-          sum(Tables.dec($"o_totalprice")).over(w)
-            .cast("decimal(18,6)").as("win7_sum"))
+          Tables.e6(sum(Tables.dec($"o_totalprice")).over(w)
+            .cast("decimal(18,6)")).as("win7_sum_e6"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -62,6 +62,7 @@ object Advanced {
           sum(Tables.dec($"l_tax")).cast("decimal(18,6)").as("tax"))
         .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"tax"),
           "measure", "total")
+        .select($"l_returnflag", $"measure", Tables.e6($"total").as("total_e6"))
         .orderBy("l_returnflag", "measure")
     }),
 
@@ -70,10 +71,10 @@ object Advanced {
       Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
       Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
       s.sql(
-        """SELECT n.n_name, t.c_custkey, t.bal
+        """SELECT n.n_name, t.c_custkey, t.bal_e6
           |FROM graft_nation_lat n,
           |LATERAL (
-          |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+          |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS bal_e6
           |  FROM graft_customer_lat
           |  WHERE c_nationkey = n.n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
@@ -214,9 +215,9 @@ object Advanced {
         |GROUP BY n ORDER BY dt""".stripMargin,
     "win_rows_sliding" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderkey ASC
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DECIMAL(18,6)) AS win7_sum
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS win7_sum_e6
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "fn_higher_order" ->
       """SELECT p_partkey,
@@ -228,7 +229,7 @@ object Advanced {
         |    = len(string_split(p_name, ' ')) AS all_ge2
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_unpivot" ->
-      """SELECT l_returnflag, measure, total FROM (
+      """SELECT l_returnflag, measure, CAST(CAST(total AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_e6 FROM (
         |  SELECT l_returnflag,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS price,
@@ -237,10 +238,10 @@ object Advanced {
         |UNPIVOT (total FOR measure IN (qty, price, tax))
         |ORDER BY l_returnflag, measure""".stripMargin,
     "sub_lateral" ->
-      """SELECT n.n_name, t.c_custkey, t.bal
+      """SELECT n.n_name, t.c_custkey, t.bal_e6
         |FROM nation n,
         |LATERAL (
-        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS bal_e6
         |  FROM customer
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1

@@ -33,6 +33,13 @@ object Aggregates {
           sum(($"price" * (lit(1) - $"disc") * (lit(1) + $"tax")).cast("decimal(18,6)"))
             .cast("decimal(18,6)").as("sum_charge"),
           count(lit(1)).as("count_order"))
+        // R2': micro-scaled BIGINT at the output boundary, decimal internally.
+        .select($"l_returnflag", $"l_linestatus",
+          Tables.e6($"sum_qty").as("sum_qty_e6"),
+          Tables.e6($"sum_base_price").as("sum_base_price_e6"),
+          Tables.e6($"sum_disc_price").as("sum_disc_price_e6"),
+          Tables.e6($"sum_charge").as("sum_charge_e6"),
+          $"count_order")
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -64,7 +71,7 @@ object Aggregates {
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |       coalesce(o_orderpriority, 'ALL') AS priority,
           |       count(*) AS n,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_price_e6
           |FROM graft_orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
           |ORDER BY status, priority""".stripMargin)
@@ -82,7 +89,7 @@ object Aggregates {
         .select(
           coalesce($"r_name", lit("ALL")).as("region"),
           coalesce($"n_name", lit("ALL")).as("nation"),
-          $"n_cust", $"sum_bal")
+          $"n_cust", Tables.e6($"sum_bal").as("sum_bal_e6"))
         .orderBy("region", "nation")
     }),
 
@@ -96,7 +103,7 @@ object Aggregates {
         .select(
           coalesce($"l_returnflag", lit("ALL")).as("rflag"),
           coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
-          $"n", $"sum_qty")
+          $"n", Tables.e6($"sum_qty").as("sum_qty_e6"))
         .orderBy("rflag", "lstatus")
     }),
 
@@ -186,10 +193,10 @@ object Aggregates {
   val oracleSql: Map[String, String] = Map(
     "agg_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_base_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_e6,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_base_price_e6,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price_e6,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_e6,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -206,7 +213,7 @@ object Aggregates {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_price_e6
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
@@ -214,7 +221,7 @@ object Aggregates {
       """SELECT coalesce(r_name, 'ALL') AS region,
         |  coalesce(n_name, 'ALL') AS nation,
         |  COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_bal_e6
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -224,7 +231,7 @@ object Aggregates {
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_e6
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,

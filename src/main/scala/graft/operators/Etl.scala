@@ -69,6 +69,7 @@ object Etl {
         .agg(count(lit(1)).as("n"),
           sum($"event_id").as("sum_id"),
           sum($"v").cast("decimal(18,6)").as("sum_value"))
+        .select($"event_type", $"n", $"sum_id", Tables.e6($"sum_value").as("sum_value_e6"))
         .orderBy("event_type")
     }),
 
@@ -105,7 +106,7 @@ object Etl {
         .select($"user_id", $"event_id",
           $"ts_us".as("valid_from"),
           lead($"ts_us", 1).over(w).as("valid_to"),
-          Tables.dec($"value").as("v"))
+          Tables.e6(Tables.dec($"value")).as("v_e6"))
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
@@ -173,7 +174,7 @@ object Etl {
         |)
         |SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
-        |  CAST(SUM(v) AS DECIMAL(18,6)) AS sum_value
+        |  CAST(CAST(SUM(v) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS sum_value_e6
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_gap_fill" ->
       """WITH spine AS (
@@ -190,11 +191,11 @@ object Etl {
         |LEFT JOIN actual a ON a.bucket_us = s.bucket_us AND a.event_type = t.event_type
         |ORDER BY s.bucket_us, t.event_type""".stripMargin,
     "etl_scd2_intervals" ->
-      """SELECT user_id, event_id, valid_from, valid_to, v FROM (
+      """SELECT user_id, event_id, valid_from, valid_to, v_e6 FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from,
         |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS valid_to,
-        |    CAST(value AS DECIMAL(18,6)) AS v
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6
         |  FROM events WHERE event_type = 'view') t
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "etl_utc_normalize" ->

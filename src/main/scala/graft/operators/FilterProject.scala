@@ -15,8 +15,8 @@ object FilterProject {
       Tables.lineitem(s, d)
         .select(
           $"l_orderkey", $"l_linenumber",
-          (Tables.dec($"l_extendedprice") * (lit(1) - Tables.dec($"l_discount")))
-            .cast("decimal(18,6)").as("disc_price"),
+          Tables.e6((Tables.dec($"l_extendedprice") * (lit(1) - Tables.dec($"l_discount")))
+            .cast("decimal(18,6)")).as("disc_price_e6"),
           concat($"l_returnflag", lit("-"), $"l_linestatus").as("flag_status"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -54,7 +54,7 @@ object FilterProject {
   val oracleSql: Map[String, String] = Map(
     "project_derive" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS disc_price,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS disc_price_e6,
         |  l_returnflag || '-' || l_linestatus AS flag_status
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "filter_multi" ->

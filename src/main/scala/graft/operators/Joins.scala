@@ -25,6 +25,7 @@ object Joins {
         .agg(
           count(lit(1)).as("n_items"),
           sum(Tables.dec($"l_quantity")).cast("decimal(18,6)").as("sum_qty"))
+        .select($"o_orderpriority", $"n_items", Tables.e6($"sum_qty").as("sum_qty_e6"))
         .orderBy("o_orderpriority")
     }),
 
@@ -37,6 +38,7 @@ object Joins {
         .agg(
           count(lit(1)).as("n_items"),
           sum(Tables.dec($"l_extendedprice")).cast("decimal(18,6)").as("sum_price"))
+        .select($"p_brand", $"n_items", Tables.e6($"sum_price").as("sum_price_e6"))
         .orderBy("p_brand")
     }),
 
@@ -50,6 +52,7 @@ object Joins {
         .agg(
           count(lit(1)).as("n_cust"),
           sum(Tables.dec($"c_acctbal")).cast("decimal(18,6)").as("sum_bal"))
+        .select($"r_name", $"n_cust", Tables.e6($"sum_bal").as("sum_bal_e6"))
         .orderBy("r_name")
     }),
 
@@ -163,17 +166,17 @@ object Joins {
   val oracleSql: Map[String, String] = Map(
     "join_inner_equi" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_e6
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_broadcast_dim" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_price_e6
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_star_2hop" ->
       """SELECT r_name, COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_bal_e6
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

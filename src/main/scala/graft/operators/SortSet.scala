@@ -15,16 +15,16 @@ object SortSet {
       import s.implicits._
       Tables.customer(s, d)
         .select($"c_custkey", $"c_mktsegment",
-          Tables.dec($"c_acctbal").as("acctbal"))
-        .orderBy($"c_mktsegment".desc, $"acctbal".asc_nulls_first, $"c_custkey".asc)
+          Tables.e6(Tables.dec($"c_acctbal")).as("acctbal_e6"))
+        .orderBy($"c_mktsegment".desc, $"acctbal_e6".asc_nulls_first, $"c_custkey".asc)
     }),
 
     // F2: global top-20 by totalprice (TakeOrderedAndProject).
     "limit_topk_global" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
-        .select($"o_orderkey", Tables.dec($"o_totalprice").as("totalprice"))
-        .orderBy($"totalprice".desc, $"o_orderkey".asc)
+        .select($"o_orderkey", Tables.e6(Tables.dec($"o_totalprice")).as("totalprice_e6"))
+        .orderBy($"totalprice_e6".desc, $"o_orderkey".asc)
         .limit(20)
     }),
 
@@ -85,12 +85,12 @@ object SortSet {
 
   val oracleSql: Map[String, String] = Map(
     "sort_multi_key" ->
-      """SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) AS acctbal
+      """SELECT c_custkey, c_mktsegment, CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_e6
         |FROM customer
-        |ORDER BY c_mktsegment DESC, acctbal ASC NULLS FIRST, c_custkey ASC""".stripMargin,
+        |ORDER BY c_mktsegment DESC, acctbal_e6 ASC NULLS FIRST, c_custkey ASC""".stripMargin,
     "limit_topk_global" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS totalprice
-        |FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS totalprice_e6
+        |FROM orders ORDER BY totalprice_e6 DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "set_union_all" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0

@@ -20,8 +20,8 @@ object Subqueries {
       s.sql(
         """SELECT c_custkey,
           |  (SELECT COUNT(*) FROM graft_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-          |  (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
-          |   FROM graft_orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+          |  CAST((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
+          |   FROM graft_orders o WHERE o.o_custkey = c.c_custkey) * 1000000 AS BIGINT) AS max_price_e6
           |FROM graft_customer c
           |ORDER BY c_custkey""".stripMargin)
     }),
@@ -53,8 +53,8 @@ object Subqueries {
     "sub_scalar_correlated" ->
       """SELECT c_custkey,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
-        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |  CAST((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) * 1000000 AS BIGINT) AS max_price_e6
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
     "sub_in_uncorrelated" ->

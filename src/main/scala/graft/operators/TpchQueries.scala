@@ -26,7 +26,9 @@ object TpchQueries {
           $"o_orderdate".cast("date").cast("string").as("orderdate"),
           $"o_orderpriority")
         .agg(sum(discPrice).cast("decimal(18,6)").as("revenue"))
-        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .select($"l_orderkey", $"orderdate", $"o_orderpriority",
+          Tables.e6($"revenue").as("revenue_e6"))
+        .orderBy($"revenue_e6".desc, $"l_orderkey".asc)
         .limit(10)
     }),
 
@@ -45,7 +47,8 @@ object TpchQueries {
         .filter($"r_name" === "ASIA")
         .groupBy($"n_name")
         .agg(sum(discPrice).cast("decimal(18,6)").as("revenue"))
-        .orderBy($"revenue".desc, $"n_name".asc)
+        .select($"n_name", Tables.e6($"revenue").as("revenue_e6"))
+        .orderBy($"revenue_e6".desc, $"n_name".asc)
     }),
 
     // Q10: returned-item reporting — top customers by lost revenue.
@@ -60,7 +63,8 @@ object TpchQueries {
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name")
         .agg(sum(discPrice).cast("decimal(18,6)").as("revenue"))
-        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .select($"c_custkey", $"c_name", $"n_name", Tables.e6($"revenue").as("revenue_e6"))
+        .orderBy($"revenue_e6".desc, $"c_custkey".asc)
         .limit(20)
     })
   )
@@ -71,7 +75,7 @@ object TpchQueries {
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
         |  o_orderpriority,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -79,11 +83,11 @@ object TpchQueries {
         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+        |ORDER BY revenue_e6 DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "tpch_q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -94,11 +98,11 @@ object TpchQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+        |ORDER BY revenue_e6 DESC, n_name ASC""".stripMargin,
     "tpch_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -107,6 +111,6 @@ object TpchQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+        |ORDER BY revenue_e6 DESC, c_custkey ASC LIMIT 20""".stripMargin
   )
 }

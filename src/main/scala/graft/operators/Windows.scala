@@ -39,7 +39,7 @@ object Windows {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"c_nationkey", $"rn", $"c_custkey",
-          Tables.dec($"c_acctbal").as("acctbal"))
+          Tables.e6(Tables.dec($"c_acctbal")).as("acctbal_e6"))
         .orderBy("c_nationkey", "rn")
     }),
 
@@ -63,8 +63,8 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select($"o_custkey", $"o_orderkey",
-          sum(Tables.dec($"o_totalprice")).over(w)
-            .cast("decimal(18,6)").as("running_rev"))
+          Tables.e6(sum(Tables.dec($"o_totalprice")).over(w)
+            .cast("decimal(18,6)")).as("running_rev_e6"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -120,8 +120,8 @@ object Windows {
         |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
     "win_topk_per_group" ->
-      """SELECT c_nationkey, rn, c_custkey, acctbal FROM (
-        |  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,6)) AS acctbal,
+      """SELECT c_nationkey, rn, c_custkey, acctbal_e6 FROM (
+        |  SELECT c_nationkey, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_e6,
         |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
@@ -134,9 +134,9 @@ object Windows {
         |ORDER BY event_id""".stripMargin,
     "win_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS running_rev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS running_rev_e6
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_moving_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -56,6 +56,8 @@ object Streams {
         .agg(count(lit(1)).as("n"),
           sum(Tables.dec($"value")).cast("decimal(18,6)").as("sum_value"))
       runToMemory(s, agg, "graft_stream_tumbling", "complete")
+        .select($"bucket_us", $"event_type", $"n",
+          Tables.e6($"sum_value").as("sum_value_e6"))
         .orderBy("bucket_us", "event_type")
     }),
 
@@ -125,7 +127,7 @@ object Streams {
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sliding" ->
       """SELECT bucket_us, event_type, COUNT(*) AS n FROM (

@@ -13,10 +13,10 @@ class ReconciliationSpec extends AnyFunSuite {
 
   test("running sum's final row equals the groupBy total per customer") {
     val lastRunning = SparkEntry.queries("win_running_sum")(spark, d)
-      .groupBy($"o_custkey").agg(max($"running_rev").as("final_run"))
+      .groupBy($"o_custkey").agg(max($"running_rev_e6").as("final_run"))
     val totals = Tables.orders(spark, d)
       .groupBy($"o_custkey")
-      .agg(sum(Tables.dec($"o_totalprice")).cast("decimal(18,6)").as("total"))
+      .agg(Tables.e6(sum(Tables.dec($"o_totalprice")).cast("decimal(18,6)")).as("total"))
     val mismatches = lastRunning.join(totals, "o_custkey")
       .filter($"final_run" =!= $"total").count()
     assert(mismatches == 0)

@@ -25,7 +25,7 @@ class SmokeSpec extends AnyFunSuite {
 
   test("query column names match oracle aliases (spot check)") {
     val df = SparkEntry.queries("agg_q1_pricing")(spark, TestSpark.sfDir)
-    assert(df.columns.toSet == Set("l_returnflag", "l_linestatus", "sum_qty",
-      "sum_base_price", "sum_disc_price", "sum_charge", "count_order"))
+    assert(df.columns.toSet == Set("l_returnflag", "l_linestatus", "sum_qty_e6",
+      "sum_base_price_e6", "sum_disc_price_e6", "sum_charge_e6", "count_order"))
   }
 }

@@ -12,12 +12,14 @@ NOT part of the engine — local test tooling only (the engine is pure Scala
 Spark; this mirrors what the driver's harness does so oracle SQL dialect
 bugs surface before a graded round).
 """
+import decimal
 import json
 import sys
 from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -37,6 +39,40 @@ def norm_cell(v):
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def risky_output_types(res_dir: Path) -> list:
+    """Strict gate (round-1 lesson): the driver's hash-compare stringifies
+    DECIMAL and FLOAT columns differently per engine (DuckDB-pandas
+    '253942.0' vs Spark parquet Decimal '253942.000000'), so a graded query
+    must NEVER emit them — micro-scaled BIGINT (*_e6) is the convention.
+    Returns [(col, type)] offenders found in the Spark result parquet."""
+    bad = []
+    files = sorted(res_dir.glob("*.parquet"))
+    if not files:
+        return bad
+    schema = pq.read_schema(files[0])
+    for field in schema:
+        t = str(field.type)
+        if t.startswith("decimal") or t in ("float", "double", "halffloat"):
+            bad.append((field.name, t))
+    return bad
+
+
+def duck_risky_cells(duck_df: pd.DataFrame) -> list:
+    """Mirror gate on the oracle side: Decimal/float cells would stringify
+    engine-dependently in the driver. (fetchall keeps DuckDB DECIMALs as
+    decimal.Decimal objects — exactly the values to refuse.)"""
+    bad = []
+    for c in duck_df.columns:
+        for v in duck_df[c].head(50):
+            if isinstance(v, decimal.Decimal):
+                bad.append((c, "decimal"))
+                break
+            if isinstance(v, float) and v == v and v != int(v):
+                bad.append((c, "float"))
+                break
+    return bad
 
 
 def canon(df: pd.DataFrame) -> list:
@@ -78,6 +114,12 @@ def main():
             duck_df = pd.DataFrame(cur.fetchall(), columns=duck_cols, dtype=object)
         except Exception as e:
             print(f"SQLERR {name}: {e}")
+            n_bad += 1
+            continue
+        risky = risky_output_types(res_dir) + duck_risky_cells(duck_df)
+        if risky:
+            print(f"TYPE  {name}: driver-unsafe output columns {risky} "
+                  f"(emit *_e6 BIGINT instead)")
             n_bad += 1
             continue
         s, d = canon(spark_df), canon(duck_df)

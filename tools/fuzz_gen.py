@@ -59,10 +59,12 @@ def gen_query(rnd, i):
     kind = rnd.randrange(7)
     if kind == 6:  # lineitem decimal-measure aggregation
         lw = " AND ".join(f"({gen_li_pred(rnd)})" for _ in range(rnd.randrange(1, 3)))
+        # R2': decimal math internally, micro-scaled BIGINT at the output
+        # boundary (raw DECIMAL output fails the driver's hash-compare).
         return (f"SELECT l_returnflag, l_linestatus, "
-                f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sq, "
+                f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sq_e6, "
                 f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
-                f"(1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,6)) AS sd, "
+                f"(1 - CAST(l_discount AS DECIMAL(18,6)))) * 1000000 AS BIGINT) AS sd_e6, "
                 f"COUNT(*) AS n FROM lineitem WHERE {lw} "
                 f"GROUP BY l_returnflag, l_linestatus "
                 f"ORDER BY l_returnflag, l_linestatus")
@@ -77,7 +79,7 @@ def gen_query(rnd, i):
                 f"ORDER BY o_orderstatus, o_orderpriority")
     if kind == 2:  # decimal aggregation (rule R2 casts)
         return (f"SELECT o_orderstatus, "
-                f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s, "
+                f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s_e6, "
                 f"COUNT(*) AS n FROM orders WHERE {where} "
                 f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
     if kind == 3:  # window rank with unique tie-break
