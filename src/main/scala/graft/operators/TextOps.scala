@@ -25,6 +25,17 @@ object TextOps {
   private def tokInt(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Distinct 3-token shingles of array column `t`, guarded for docs with
+    * fewer than 3 tokens: sequence(0, size-3) on a short doc descends
+    * through -1 and slice(t, 0, 3) throws (SQL arrays are 1-based), so
+    * short docs yield an empty array — matching the oracle, where
+    * `WHERE i <= len(t)-2` simply generates no shingle rows. */
+  private val shingles3 = expr(
+    """CASE WHEN size(t) >= 3
+      |  THEN array_distinct(transform(sequence(0, size(t) - 3),
+      |    i -> concat_ws(' ', slice(t, i + 1, 3))))
+      |  ELSE array() END""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     // J1: tokenize, explode, top-50 tokens.
     "text_wordcount" -> ((s, d) => {
@@ -156,15 +167,22 @@ object TextOps {
 
     // Exact n-gram (3-shingle) Jaccard near-dup: distinct shingles,
     // equi-join on shingle within language, top-100 most similar pairs.
+    // Skew guard: shingles present in > 20 documents (stopword 3-grams)
+    // carry ~no Jaccard signal but dominate the self-join fan-out at
+    // 100 TB (a shingle in k docs emits k² candidate rows). The hot list
+    // is tiny, so dropping it is a broadcast anti-join; Jaccard is then
+    // computed consistently over the filtered shingle sets on BOTH
+    // engines (sizes AND intersections exclude hot shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val sh = Tables.documents(s, d)
+      val allSh = Tables.documents(s, d)
         .filter($"doc_id" < 150)
         .select($"doc_id", $"lang", split($"text", " ").as("t"))
-        .select($"doc_id", $"lang",
-          explode(expr(
-            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
-            .as("sh"))
+        .select($"doc_id", $"lang", explode(shingles3).as("sh"))
+      // rows are distinct per (doc_id, sh), so count(*) = document frequency
+      val hot = allSh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 20).select($"sh")
+      val sh = allSh.join(broadcast(hot), Seq("sh"), "left_anti")
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
@@ -191,10 +209,7 @@ object TextOps {
       val sh = Tables.documents(s, d)
         .filter($"doc_id" < 150)
         .select($"doc_id", $"lang", split($"text", " ").as("t"))
-        .select($"doc_id", $"lang",
-          explode(expr(
-            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
-            .as("sh"))
+        .select($"doc_id", $"lang", explode(shingles3).as("sh"))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val dupIds = sh.as("a")
         .join(sh.as("b"),
@@ -223,10 +238,7 @@ object TextOps {
       val sh = Tables.documents(s, d)
         .filter($"doc_id" < 200)
         .select($"doc_id", split($"text", " ").as("t"))
-        .select($"doc_id",
-          explode(expr(
-            "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3))))"))
-            .as("sh"))
+        .select($"doc_id", explode(shingles3).as("sh"))
         .select($"doc_id", tokInt($"sh").as("x"))
       val sig = sh
         .groupBy($"doc_id")
@@ -319,9 +331,12 @@ object TextOps {
         |  FROM documents WHERE doc_id < 150),
         |ti AS (
         |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         |  FROM ti WHERE i <= len(t) - 2),
+        |sh AS (
+        |  SELECT * FROM sh0 WHERE sh NOT IN (
+        |    SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 20)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

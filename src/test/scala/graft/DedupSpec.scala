@@ -73,4 +73,27 @@ class DedupSpec extends AnyFunSuite {
     assert(nearMatches >= 8, s"near-dup pair should agree on most hashes, got $nearMatches/16")
     assert(farMatches <= 2, s"unrelated pair should rarely agree, got $farMatches/16")
   }
+
+  test("shingle queries survive documents with fewer than 3 tokens") {
+    // sequence(0, size-3) descends through -1 for short docs and
+    // slice(t, 0, 3) throws — the guarded shingle template must instead
+    // yield no shingles (matching the oracle's generate_subscripts range).
+    val dir = java.nio.file.Files.createTempDirectory("graft_short_docs").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "EDIT" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "t", base.length.toLong),
+      (1L, near, "en", "t", near.length.toLong),
+      (2L, "one", "en", "t", 3L),
+      (3L, "two words", "en", "t", 9L),
+      (4L, "", "en", "t", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    assert(jac.nonEmpty, "near-dup docs 0/1 should still pair")
+    val kept = SparkEntry.queries("dedup_corpus_keep")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(Set(2L, 3L, 4L).subsetOf(kept), "short docs pass through unharmed")
+    // minhash path: short docs contribute no signatures, no crash
+    SparkEntry.queries("dedup_minhash_pairs")(spark, dir).collect()
+  }
 }
