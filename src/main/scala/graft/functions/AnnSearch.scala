@@ -47,13 +47,16 @@ object AnnSearch {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
-  /** Deterministic ±1 weight for (table, bit, dim) — a splitmix-style mix. */
-  private def planeWeight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
-    var z = seed + table * 1000003L + bit * 10007L + dim * 101L + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
+  /** Deterministic ±1 weight for (table, bit, dim): parity of the first
+    * hex nibble of md5("seed:table:bit:dim"). md5 (not an integer mix)
+    * because it is replicable in ANY SQL engine without 64-bit wrapping
+    * arithmetic — DuckDB BIGINT ops error on overflow, so a splitmix-style
+    * mix can't serve as a cross-engine oracle. Computed driver-side only
+    * (nTables×nBits×dim constants), never per row. */
+  private[functions] def planeWeight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$table:$bit:$dim".getBytes("UTF-8"))
+    if ((((h(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
   }
 
   /** Add `bucket_0..bucket_{L-1}` sign-LSH bucket ids for a `dim`-dim

@@ -50,9 +50,10 @@ object SimOps {
         .orderBy($"v1".asc, $"v2".asc)
     }),
 
-    // ANN scale path (no oracle — LSH planes aren't SQL-replicable; the
-    // driver records a rows-only check and FunctionsSpec asserts recall
-    // against the exact top-k).
+    // ANN scale path — fully oracle-checked: the ±1 hyperplane weights are
+    // md5-parity constants (see AnnSearch.planeWeight), so the DuckDB SQL
+    // below rebuilds the same buckets, candidate set, and exact rerank.
+    // FunctionsSpec additionally asserts recall against the exact top-k.
     "sim_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
@@ -95,6 +96,41 @@ object SimOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Replicates AnnSearch end-to-end: ±1 weights from md5("42:t:b:i")
+    // first-nibble parity; bit b of bucket t set iff the left-fold dot of
+    // (vector, plane) is >= 0; candidates share any of the 12 bucket ids
+    // with the query vector; exact cosine rerank picks top-20 by the RAW
+    // double (same fold order both engines), output re-sorted by cos_e6.
+    "sim_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT t, b, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(('0x' || substring(md5('42:' || CAST(t AS VARCHAR) || ':'
+        |        || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS wv
+        |  FROM range(0, 12) r1(t), range(0, 5) r2(b)),
+        |bits AS (
+        |  SELECT e.vec_id, w.t,
+        |    CAST(SUM(CASE WHEN list_reduce(
+        |        list_transform(list_zip(e.v, w.wv), p -> p[1] * p[2]), (x, y) -> x + y) >= 0
+        |      THEN 1 << w.b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e CROSS JOIN w GROUP BY e.vec_id, w.t),
+        |cand AS (
+        |  SELECT DISTINCT d.vec_id
+        |  FROM bits d JOIN bits q ON d.t = q.t AND d.bucket = q.bucket
+        |  WHERE q.vec_id = 0 AND d.vec_id <> 0),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, q.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
+        |  CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
+        |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
