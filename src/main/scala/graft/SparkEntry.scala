@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Subqueries.queries ++
     operators.Advanced.queries ++
     operators.TpchQueries.queries ++
+    operators.TypeProbes.queries ++
     streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
     operators.Subqueries.oracleSql ++
     operators.Advanced.oracleSql ++
     operators.TpchQueries.oracleSql ++
+    operators.TypeProbes.oracleSql ++
     streaming.Streams.oracleSql
 }

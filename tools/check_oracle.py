@@ -28,6 +28,9 @@ TABLES = [
 
 
 def norm_cell(v):
+    # array cells first: `v != v` is ambiguous on ndarrays
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if v is None or v != v:  # None or NaN
         return "NULL"
     if isinstance(v, float):
@@ -36,8 +39,6 @@ def norm_cell(v):
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
