@@ -114,9 +114,11 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Language-ID heuristic over documents (no oracle — the marker-token
-    // scoring isn't worth replicating in SQL; rows-only check + LangIdSpec
-    // accuracy assertions on authored fixtures).
+    // Language-ID heuristic over documents — oracle-checked: the marker
+    // scoring is pure integer math and the (score, lang) argmax with its
+    // lexicographic tie-break is replicated in SQL via a zero-padded
+    // sortable string (LangIdSpec additionally asserts accuracy on
+    // authored fixtures).
     "text_lang_id" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -256,6 +258,27 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors LangId.langId: marker-token counts per candidate language,
+    // argmax with ties to the lexicographically larger language code
+    // (Spark's greatest over struct(score, lang)) — encoded here as
+    // greatest over '%09d|lang' padded strings, which sorts identically.
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled, text,
+        |    string_split_regex(lower(text), '[^\p{L}]+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled, text, greatest(
+        |    printf('%09d|%s', len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with'))), 'en'),
+        |    printf('%09d|%s', len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von'))), 'de'),
+        |    printf('%09d|%s', len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','que','pour'))), 'fr'),
+        |    printf('%09d|%s', len(list_filter(toks, x -> x IN ('el','los','las','es','una','en','que','por','con'))), 'es')) AS b
+        |  FROM t)
+        |SELECT doc_id, labeled,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN CAST(substring(b, 1, 9) AS INT) > 0 THEN substring(b, 11)
+        |       ELSE 'und' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_wordcount" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
