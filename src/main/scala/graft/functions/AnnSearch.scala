@@ -20,12 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object AnnSearch {
 
-  /** Left-fold double sum of an array column. */
-  private def fsum(c: Column): Column = aggregate(c, lit(0.0), (a, x) => a + x)
-
-  private def prod(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
-
   /** dot(a, b) through the native codegen'd expression (identical fold
     * order to the HOF form, ~no per-row allocation). */
   def dot(a: Column, b: Column): Column = {
@@ -66,7 +60,10 @@ object AnnSearch {
     (0 until nTables).foldLeft(df) { (acc, t) =>
       val bitCols = (0 until nBits).map { b =>
         val weights = array((0 until dim).map(i => lit(planeWeight(seed, t, b, i))): _*)
-        when(fsum(prod(col(vecCol), weights)) >= 0,
+        // codegen'd DotFold (same left fold order as the HOF chain and the
+        // SQL oracle's list_reduce) — the per-row cost is nTables×nBits
+        // dots, so the 7x faster expression matters here
+        when(dot(col(vecCol), weights) >= 0,
           lit(1L << b)).otherwise(lit(0L))
       }
       acc.withColumn(s"bucket_$t", bitCols.reduce(_ + _))

@@ -171,20 +171,24 @@ object TextOps {
     // equi-join on shingle within language, top-100 most similar pairs.
     // Skew guard: shingles present in > 20 documents (stopword 3-grams)
     // carry ~no Jaccard signal but dominate the self-join fan-out at
-    // 100 TB (a shingle in k docs emits k² candidate rows). The hot list
-    // is tiny, so dropping it is a broadcast anti-join; Jaccard is then
-    // computed consistently over the filtered shingle sets on BOTH
-    // engines (sizes AND intersections exclude hot shingles).
+    // 100 TB (a shingle in k docs emits k² candidate rows). Document
+    // frequency comes from ONE count-over-shingle window — a single
+    // shuffle by sh whose partitioning the subsequent self-join on sh
+    // reuses (vs a groupBy hot-list + anti-join, which recomputes the
+    // shingle explode twice). Jaccard is then computed consistently over
+    // the filtered sets on BOTH engines (sizes AND intersections exclude
+    // hot shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val allSh = Tables.documents(s, d)
+      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
+      val sh = Tables.documents(s, d)
         .filter($"doc_id" < 150)
         .select($"doc_id", $"lang", split($"text", " ").as("t"))
         .select($"doc_id", $"lang", explode(shingles3).as("sh"))
-      // rows are distinct per (doc_id, sh), so count(*) = document frequency
-      val hot = allSh.groupBy($"sh").agg(count(lit(1)).as("df"))
-        .filter($"df" > 20).select($"sh")
-      val sh = allSh.join(broadcast(hot), Seq("sh"), "left_anti")
+        // rows are distinct per (doc_id, sh), so count(*) = doc frequency
+        .withColumn("df", count(lit(1)).over(byShingle))
+        .filter($"df" <= 20)
+        .drop("df")
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = sh.as("a")
         .join(sh.as("b"),
