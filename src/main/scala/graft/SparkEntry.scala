@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Advanced.queries ++
     operators.TpchQueries.queries ++
     operators.TypeProbes.queries ++
+    operators.Pipeline.queries ++
     streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
     operators.Advanced.oracleSql ++
     operators.TpchQueries.oracleSql ++
     operators.TypeProbes.oracleSql ++
+    operators.Pipeline.oracleSql ++
     streaming.Streams.oracleSql
 }
