@@ -172,15 +172,18 @@ object TextOps {
     // Skew guard: shingles present in > 20 documents (stopword 3-grams)
     // carry ~no Jaccard signal but dominate the self-join fan-out at
     // 100 TB (a shingle in k docs emits k² candidate rows). Document
-    // frequency comes from ONE count-over-shingle window — a single
-    // shuffle by sh whose partitioning the subsequent self-join on sh
-    // reuses (vs a groupBy hot-list + anti-join, which recomputes the
-    // shingle explode twice). Jaccard is then computed consistently over
-    // the filtered sets on BOTH engines (sizes AND intersections exclude
-    // hot shingles).
+    // frequency comes from ONE count-over-(sh, lang) window — partitioned
+    // on exactly the self-join's keys, so the join reuses the window's
+    // shuffle instead of adding its own (PlanShapeSpec pins this; a
+    // groupBy hot-list + anti-join would recompute the shingle explode
+    // twice). Per-language DF is also the right unit: pairing is
+    // within-language, so cross-language occurrences of a shingle can't
+    // generate candidates anyway. Jaccard is then computed consistently
+    // over the filtered sets on BOTH engines (sizes AND intersections
+    // exclude hot shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
+      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"sh", $"lang")
       val sh = Tables.documents(s, d)
         .filter($"doc_id" < 150)
         .select($"doc_id", $"lang", split($"text", " ").as("t"))
@@ -362,8 +365,9 @@ object TextOps {
         |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         |  FROM ti WHERE i <= len(t) - 2),
         |sh AS (
-        |  SELECT * FROM sh0 WHERE sh NOT IN (
-        |    SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 20)),
+        |  SELECT sh0.* FROM sh0
+        |  JOIN (SELECT sh, lang FROM sh0 GROUP BY sh, lang HAVING COUNT(*) <= 20) k
+        |  USING (sh, lang)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -48,4 +48,32 @@ class PlanShapeSpec extends AnyFunSuite {
   test("cosine path uses the codegen'd DotFold expression") {
     assert(plan("sim_cosine_topk").contains("dotfold"))
   }
+
+  test("LSH bucketing uses the codegen'd DotFold expression") {
+    assert(plan("sim_ann_lsh").contains("dotfold"))
+  }
+
+  test("chunking is a pure generate pipeline (no shuffle before the sort)") {
+    val p = plan("pipe_chunk_overlap")
+    assert(p.contains("Generate"), p.take(500))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"chunking must not hash-shuffle:\n${p.take(800)}")
+  }
+
+  test("stratified sample prunes to the two columns it needs") {
+    val p = plan("pipe_sample_stratified")
+    assert(!p.contains("text"), "text column must be pruned from the scan")
+  }
+
+  test("ngram DF guard: runtime reuses the shingle shuffle across branches") {
+    // The static plan repeats the scan→generate→window(sh,lang) subtree for
+    // the a/b join sides and both size branches; at runtime exchange reuse
+    // must collapse those into ONE materialized shingle shuffle. Assert on
+    // the final adaptive plan after execution.
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(fin).size
+    assert(reused >= 2, s"expected >=2 reused exchanges, got $reused:\n${fin.take(1200)}")
+  }
 }
