@@ -22,6 +22,33 @@ object Multimodal {
           length($"blob").as("byte_len"),
           substring(hex($"blob"), 1, 16).as("hex16"))
         .orderBy("doc_id")
+    }),
+
+    // Media-catalog metadata pass: synthesize a 32-byte payload per doc
+    // (two chained md5 blocks — deterministic, no real media in the
+    // testdata), sniff a "container type" from the first payload nibble
+    // (the magic-bytes pattern of a real ingest), and report per-type
+    // volume stats. The shape — binary column + metadata extraction +
+    // group-report — is the catalog scan a multimodal corpus runs before
+    // any decode; decode itself stays in Media.decodeStub (unit-tested).
+    "multimodal_type_sniff" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          unhex(concat(md5($"text".cast("binary")),
+            md5(reverse($"text").cast("binary")))).as("blob"))
+        .select($"doc_id", $"blob",
+          expr("""CASE
+            | WHEN substring(hex(blob), 1, 1) IN ('0','1','2','3') THEN 'image'
+            | WHEN substring(hex(blob), 1, 1) IN ('4','5','6','7') THEN 'audio'
+            | WHEN substring(hex(blob), 1, 1) IN ('8','9','A','B') THEN 'video'
+            | ELSE 'other' END""".stripMargin).as("kind"))
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(length($"blob")).as("total_bytes"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+        .orderBy("kind")
     })
   )
 
@@ -30,6 +57,22 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(octet_length(unhex(md5(text))) AS INT) AS byte_len,
         |  substring(hex(unhex(md5(text))), 1, 16) AS hex16
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_type_sniff" ->
+      """WITH b AS (
+        |  SELECT doc_id, unhex(md5(text) || md5(reverse(text))) AS blob
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, blob,
+        |    CASE
+        |      WHEN upper(substring(hex(blob), 1, 1)) IN ('0','1','2','3') THEN 'image'
+        |      WHEN upper(substring(hex(blob), 1, 1)) IN ('4','5','6','7') THEN 'audio'
+        |      WHEN upper(substring(hex(blob), 1, 1)) IN ('8','9','A','B') THEN 'video'
+        |      ELSE 'other' END AS kind
+        |  FROM b)
+        |SELECT kind, COUNT(*) AS n_assets,
+        |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM k GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

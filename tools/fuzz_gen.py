@@ -56,7 +56,25 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(7)
+    kind = rnd.randrange(9)
+    if kind == 8:  # e6 running sum over a sliding ROWS frame
+        lo = rnd.randrange(0, 4)
+        hi = rnd.randrange(0, 4)
+        return (f"SELECT o_custkey, o_orderkey, "
+                f"CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER ("
+                f"PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+                f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS DECIMAL(38,6)) "
+                f"* 1000000 AS BIGINT) AS s_e6 "
+                f"FROM orders WHERE {where} ORDER BY o_custkey, o_orderkey")
+    if kind == 7:  # lag/lead deltas with unique-key ordering
+        off = rnd.randrange(1, 4)
+        # parens required: Spark parses `OVER w - x` as identifier `w-x`
+        return (f"SELECT o_orderkey, "
+                f"o_orderkey - (lag(o_orderkey, {off}) OVER w) AS lag_d, "
+                f"(lead(o_orderkey, {off}) OVER w) - o_orderkey AS lead_d "
+                f"FROM orders WHERE {where} "
+                f"WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC) "
+                f"ORDER BY o_orderkey")
     if kind == 6:  # lineitem decimal-measure aggregation
         lw = " AND ".join(f"({gen_li_pred(rnd)})" for _ in range(rnd.randrange(1, 3)))
         # R2': decimal math internally, micro-scaled BIGINT at the output
