@@ -64,4 +64,20 @@ object Graft {
 
   /** Heuristic language ID (pure Catalyst expression). */
   def langId(text: Column): Column = functions.LangId.langId(text)
+
+  /** Overlapping token-window chunking (context-window preparation). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20, stride: Int = 10): DataFrame =
+    operators.Pipeline.chunkOverlap(docs, idCol, textCol, window, stride)
+
+  /** Deterministic md5-bucket sampling: keep `keepPct`% of rows by key. */
+  def sampleCorpus(df: DataFrame, keyCol: String, keepPct: Int): DataFrame =
+    operators.Pipeline.sampleByHash(df, keyCol, keepPct)
+
+  /** Redact emails and 3+-digit runs with placeholder tokens. */
+  def scrubPii(c: Column): Column = operators.Pipeline.scrubPii(c)
+
+  /** Distinct-token ratio ×1e4 (repetition/boilerplate signal). */
+  def repetitionRatioE4(textCol: Column): Column =
+    operators.Pipeline.uniqRatioE4(textCol)
 }

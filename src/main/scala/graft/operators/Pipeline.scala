@@ -11,24 +11,56 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  /** Overlapping token-window chunks of `textCol`: (idCol, chunk_id, n_tok,
+    * chunk_tok, chunk). Chunk starts at 1, 1+stride, ... ≤ max(n-window+1, 1)
+    * so every token is covered and short docs yield one ragged chunk. */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 20, stride: Int = 10): DataFrame = {
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), size(col("t")).as("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(t) - ${window - 1}, 1), $stride), " +
+          s"p -> concat_ws(' ', slice(t, p, $window)))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id"), col("n_tok"),
+        size(split(col("chunk"), " ")).as("chunk_tok"), col("chunk"))
+  }
+
+  /** Deterministic keep-filter: md5-bucket `keyCol` into 100 buckets, keep
+    * bucket < keepPct. No rand() — reproducible across runs and engines. */
+  def sampleByHash(df: DataFrame, keyCol: String, keepPct: Int): DataFrame =
+    df.filter(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100 < keepPct)
+
+  /** Redact emails then 3+-digit runs with placeholder tokens. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+      "[0-9]{3,}", "<NUM>")
+
+  /** Distinct-token ratio of a whitespace-tokenized text column as an exact
+    * ×1e4 BIGINT. Truncating integer division built as (a - a mod b) / b:
+    * Column./ is double division, but an exactly-divisible quotient this
+    * small is exact in double, so the result matches SQL `div`. */
+  def uniqRatioE4(textCol: Column): Column = {
+    val t = split(textCol, " ")
+    val a = size(array_distinct(t)).cast("long") * 10000
+    val b = size(t).cast("long")
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
   val queries: Map[String, Q] = Map(
     // Overlapping token-window chunking (context-window preparation):
     // 20-token windows, stride 10. Chunk starts are 1, 11, 21, ... up to
     // greatest(n-19, 1) so every token lands in ≥1 chunk and a short doc
     // still yields its single (possibly ragged) chunk. Zero shuffles —
     // generator + projection inside whole-stage codegen.
-    "pipe_chunk_overlap" -> ((s, d) => {
-      import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", split($"text", " ").as("t"))
-        .select($"doc_id", size($"t").as("n_tok"),
-          posexplode(expr(
-            "transform(sequence(1, greatest(size(t) - 19, 1), 10), p -> concat_ws(' ', slice(t, p, 20)))"))
-            .as(Seq("chunk_id", "chunk")))
-        .select($"doc_id", $"chunk_id", $"n_tok",
-          size(split($"chunk", " ")).as("chunk_tok"), $"chunk")
-        .orderBy("doc_id", "chunk_id")
-    }),
+    "pipe_chunk_overlap" -> ((s, d) =>
+      chunkOverlap(Tables.documents(s, d), "doc_id", "text", 20, 10)
+        .orderBy("doc_id", "chunk_id")),
 
     // Deterministic stratified corpus sampling: md5-bucket each doc_id into
     // 100 buckets, keep bucket < 20 (a reproducible 20% sample — no rand(),
@@ -36,11 +68,7 @@ object Pipeline {
     // prove the strata survive.
     "pipe_sample_stratified" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", $"lang",
-          (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % 100).as("bucket"))
-        .filter($"bucket" < 20)
+      sampleByHash(Tables.documents(s, d), "doc_id", 20)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("id_checksum"))
         .orderBy("lang")
@@ -59,7 +87,7 @@ object Pipeline {
         .select($"doc_id",
           size(expr("regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+', 0)")).as("n_email"),
           size(expr("regexp_extract_all(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'), '[0-9]{3,}', 0)")).as("n_num"),
-          expr("regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'), '[0-9]{3,}', '<NUM>')").as("scrubbed"))
+          scrubPii($"raw").as("scrubbed"))
         .orderBy("doc_id")
     }),
 
@@ -69,11 +97,12 @@ object Pipeline {
     "pipe_repetition_filter" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang", split($"text", " ").as("t"),
+          uniqRatioE4($"text").as("uniq_ratio_e4"))
         .select($"doc_id", $"lang",
           size($"t").as("n_tok"),
-          size(array_distinct($"t")).as("n_uniq"))
-        .withColumn("uniq_ratio_e4", expr("(n_uniq * 10000) div n_tok"))
+          size(array_distinct($"t")).as("n_uniq"),
+          $"uniq_ratio_e4")
         .filter($"uniq_ratio_e4" >= 3000)
         .orderBy("doc_id")
     })
