@@ -94,10 +94,16 @@ object FlightPipeline {
       col("dep_utc_us") < windowStartUs || col("dep_utc_us") >= windowEndUs)
     val replacement = incoming.filter(
       col("dep_utc_us") >= windowStartUs && col("dep_utc_us") < windowEndUs)
-    val w = Window.partitionBy(naturalKey.map(col): _*)
-      .orderBy(col("__batch").desc)
-    kept.withColumn("__batch", lit(0))
+    // Tie-break beyond __batch: duplicate natural keys WITHIN one side would
+    // otherwise pick an arbitrary row_number winner. A full-row hash makes
+    // the choice deterministic (identical duplicate rows are interchangeable,
+    // distinct ones order by hash — stable across runs and partitionings).
+    val union = kept.withColumn("__batch", lit(0))
       .unionByName(replacement.withColumn("__batch", lit(1)))
+    val rowHash = xxhash64(union.columns.filterNot(_ == "__batch").sorted.map(col): _*)
+    val w = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(col("__batch").desc, rowHash.asc)
+    union
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__batch", "__rn")

@@ -96,4 +96,24 @@ class FlightPipelineSpec extends AnyFunSuite {
     val again = FlightPipeline.upsertWindow(merged, incoming, t0, t1)
     assert(again.exceptAll(merged).count() == 0 && merged.exceptAll(again).count() == 0)
   }
+
+  test("E2: duplicate natural keys within a batch resolve deterministically") {
+    val out = Files.createTempDirectory("graft_fp_out3").toString + "/flights"
+    val (flights, _) = FlightPipeline.runImport(spark, schedules, airports, out)
+    val existing = flights.cache()
+    val t0 = 1704240000000000L
+    val t1 = 1704326400000000L
+    // two conflicting rows per natural key in the SAME incoming batch:
+    // without a full-row tie-break, row_number picks an arbitrary winner
+    val incoming = existing.withColumn("totalSeats", $"totalSeats" + 1000)
+      .unionByName(existing.withColumn("totalSeats", $"totalSeats" + 2000))
+    val runs = (1 to 3).map { _ =>
+      FlightPipeline.upsertWindow(existing, incoming, t0, t1)
+        .repartition(7) // shuffle-perturb to expose order dependence
+        .orderBy(FlightPipeline.naturalKey.map(col): _*)
+        .collect().toSeq
+    }
+    assert(runs(0) == runs(1) && runs(1) == runs(2),
+      "upsert winner must not depend on partitioning/run")
+  }
 }

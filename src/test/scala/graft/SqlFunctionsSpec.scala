@@ -32,4 +32,21 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(row.toSeq == expect)
   }
+
+  test("minhash_sketch width accepts foldable BIGINT and rejects non-constants") {
+    GraftFunctions.register(spark)
+    // BIGINT literal under a foldable cast must work (not ClassCastException)
+    val row = spark.sql(
+      """SELECT minhash_sketch(x, CAST(4 AS BIGINT)) AS sig
+        |FROM (VALUES (CAST(10 AS BIGINT))) t(x)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(row.length == 4)
+    // a per-row (non-foldable) width must raise a clean AnalysisException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT minhash_sketch(x, CAST(x AS INT)) AS sig
+          |FROM (VALUES (CAST(10 AS BIGINT))) t(x)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
 }

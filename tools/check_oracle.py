@@ -63,14 +63,17 @@ def risky_output_types(res_dir: Path) -> list:
 def duck_risky_cells(duck_df: pd.DataFrame) -> list:
     """Mirror gate on the oracle side: Decimal/float cells would stringify
     engine-dependently in the driver. (fetchall keeps DuckDB DECIMALs as
-    decimal.Decimal objects — exactly the values to refuse.)"""
+    decimal.Decimal objects — exactly the values to refuse.) STRICT on
+    floats: even an integral DOUBLE (e.g. DuckDB round() yields DOUBLE) is
+    rejected, because the driver's pandas path renders it '5.0' against
+    Spark's BIGINT '5' — norm_cell's collapsing would mask that here."""
     bad = []
     for c in duck_df.columns:
-        for v in duck_df[c].head(50):
+        for v in duck_df[c].head(200):
             if isinstance(v, decimal.Decimal):
                 bad.append((c, "decimal"))
                 break
-            if isinstance(v, float) and v == v and v != int(v):
+            if isinstance(v, float) and v == v:
                 bad.append((c, "float"))
                 break
     return bad
