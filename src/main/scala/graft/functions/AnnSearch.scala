@@ -86,4 +86,44 @@ object AnnSearch {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF-style ANN: `nCentroids` sampled centroid vectors (the lowest ids —
+    * a deterministic sample; a production build would k-means-refine them
+    * offline), every vector assigned to its nearest centroid, and a query
+    * probing only its `nProbe` closest centroid lists before the exact
+    * rerank. Returns (idCol, cos) for the top `k`, query row(s) excluded
+    * via `excludeId`.
+    *
+    * Scale shape: assignment is one broadcast(centroids) map pass — the
+    * cluster id becomes the partition key of the inverted file, so a probe
+    * reads nProbe/nCentroids of the corpus (partition pruning), never a
+    * full scan. The per-vector argmax here is a row_number window (2 k rows
+    * locally; deterministic cid tie-break); the billion-row variant is the
+    * associative max(struct(cos, cid)) map-side aggregate. */
+  def ivfTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int, excludeId: Long = -1L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val wAsg = Window.partitionBy(col(idCol))
+      .orderBy(col("cc").desc, col("cid").asc)
+    val assigned = embeddings.crossJoin(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("cid"),
+        cosine(col(vecCol), col("cv")).as("cc"))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val probes = cent.crossJoin(broadcast(queryDf))
+      .select(col("cid"), cosine(col("cv"), col("qv")).as("qc"))
+      .orderBy(col("qc").desc, col("cid").asc)
+      .limit(nProbe)
+      .select("cid")
+    assigned.filter(col(idCol) =!= excludeId)
+      .join(broadcast(probes), "cid")
+      .crossJoin(broadcast(queryDf))
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -64,6 +64,22 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // IVF scale path — fully oracle-checked: centroids are the 8 lowest-id
+    // vectors (deterministic sample), assignment is the nearest-centroid
+    // argmax with a cid tie-break, the query probes its 2 closest centroid
+    // lists, exact rerank. Both engines compute the identical cosine fold,
+    // so assignment, probe choice, and rerank all agree bit-for-bit.
+    // FunctionsSpec additionally asserts recall against the exact top-k.
+    "sim_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      graft.functions.AnnSearch
+        .ivfTopK(e, q, 20, nCentroids = 8, nProbe = 2, excludeId = 0L)
+        .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
+    }),
+
     // J8: Scala UDF surface — integer Chebyshev distance on synthesized
     // coords (exact integer math; the oracle replicates the formula).
     "udf_scalar_demo" -> ((s, d) => {
@@ -128,6 +144,46 @@ object SimOps {
         |       * sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))) AS c
         |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
         |  CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
+        |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // Replicates ivfTopK end-to-end: same centroid sample (vec_id < 8),
+    // same row_number nearest-centroid assignment (cid tie-break), same
+    // 2-probe selection, same exact rerank — every comparison is on the
+    // identical left-fold cosine, so the plans agree bit-for-bit.
+    "sim_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |        / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+        |           * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))) DESC,
+        |        c.cid ASC) AS rn
+        |    FROM e CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM cent c, q
+        |  ORDER BY
+        |    list_reduce(list_transform(list_zip(c.cv, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) DESC,
+        |    cid ASC
+        |  LIMIT 2),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM asg
+        |  JOIN probe p ON asg.cid = p.cid
+        |  JOIN e a ON a.vec_id = asg.vec_id, q
+        |  WHERE a.vec_id <> 0
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,

@@ -100,6 +100,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish token budget estimate: GPT-2-style pre-tokenization (letter
+    // runs | digit runs | punctuation runs — the same regex splits in Java
+    // regex and RE2) and a length-based subword count, ceil(len/4) per
+    // pre-token (the ~4-chars-per-BPE-token rule of thumb). Pure map-side
+    // integer math via array HOFs — no explode, no shuffle; at 100 TB this
+    // is the per-document token-budget pass before context packing.
+    "text_bpe_subword_est" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)").as("toks"))
+        .select($"doc_id",
+          size($"toks").as("n_pretok"),
+          expr("aggregate(toks, 0L, (a, t) -> a + (length(t) + 3) div 4)")
+            .as("n_subword_est"),
+          size(expr("filter(toks, t -> length(t) > 8)")).as("n_long"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: position-weighted polynomial over 32-bit
     // token hashes — pure BIGINT, order-sensitive, cross-engine exact.
     "text_fingerprint" -> ((s, d) => {
@@ -313,6 +332,18 @@ object TextOps {
         |  CAST(len(string_split_regex(text, '[^a-z0-9]+')) AS INT) AS n_re,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_subword_est" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_pretok,
+        |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE list_reduce(
+        |    list_transform(toks, t -> (length(t) + 3) // 4), (x, y) -> x + y)
+        |  END AS BIGINT) AS n_subword_est,
+        |  CAST(len(list_filter(toks, t -> length(t) > 8)) AS INT) AS n_long
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -40,7 +40,10 @@ object TpchQueries {
         .filter($"o_orderdate" >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
           $"o_orderdate" < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
         .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
-        .join(Tables.supplier(s, d),
+        // supplier is the smallest non-tiny table (10x smaller than
+        // customer in TPC-H proportions) — broadcast it to save the third
+        // shuffle; at extreme scale AQE's size estimate would make the call
+        .join(broadcast(Tables.supplier(s, d)),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")

@@ -54,6 +54,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low; approx=$approx")
   }
 
+  test("ANN IVF top-k beats the probe-fraction prior vs brute force") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = AnnSearch.ivfTopK(e, q, 20, nCentroids = 8, nProbe = 2,
+        excludeId = 0L)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(approx.size == 20, s"probed clusters must hold >= k candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // probing 2/8 clusters at random would catch ~25% of the true top-k;
+    // probing the query's NEAREST clusters must do meaningfully better
+    assert(recall >= 0.35, s"recall $recall no better than random probing")
+  }
+
   test("multimodal plumbing: schema, feature extraction, frame sampling") {
     val media = Media.synthesize(spark, 30)
     assert(media.toDF().schema.map(f => (f.name, f.dataType)) ==
