@@ -105,6 +105,74 @@ object Pipeline {
           $"uniq_ratio_e4")
         .filter($"uniq_ratio_e4" >= 3000)
         .orderBy("doc_id")
+    }),
+
+    // Context-window packing: assign documents to fixed token-budget bins
+    // (2048 tokens) per language by cumulative fill in doc_id order — the
+    // deterministic first-fit packing that precedes sequence building.
+    // One window cumsum per lang partition; at 100 TB the lang (or shard)
+    // key bounds the sort, so packing runs per-partition, never globally.
+    "pipe_context_pack" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum($"n_tok").over(before), lit(0L)))
+        .select($"doc_id", $"lang", $"n_tok",
+          expr("tok_before div 2048").as("bin_id"),
+          expr("tok_before - (tok_before div 2048) * 2048").as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // Train/eval decontamination: flag training documents sharing >= 2
+    // distinct 3-gram shingles with any held-out eval document (doc_id
+    // divisible by 50 plays the eval set here). Candidate generation is a
+    // shingle equi-join — the same LSH-style structure as the dedup family,
+    // never an all-pairs scan, so the eval side (tiny by construction)
+    // behaves like a broadcast dimension at 100 TB.
+    "pipe_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")))
+          .as("sh"))
+      val evalSh = sh.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("eval_id"), $"sh")
+      val trainSh = sh.filter($"doc_id" % 50 =!= 0)
+      trainSh.join(evalSh, "sh")
+        .groupBy($"doc_id".as("train_id"), $"eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // Composite curation verdict: every document gets exactly one keep/drop
+    // reason with a fixed precedence (too_short > too_long > repetitive >
+    // exact_dup > keep) — the single-pass quality gate that fans a raw
+    // corpus into keep/reject streams. Length and repetition signals are
+    // map-side; the only shuffle is the md5 dup-rank window.
+    "pipe_corpus_curation" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dupW = Window.partitionBy($"h").orderBy($"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).as("n_tok"),
+          uniqRatioE4($"text").as("uniq_e4"),
+          md5($"text".cast("binary")).as("h"))
+        .withColumn("dup_rank", row_number().over(dupW))
+        .select($"doc_id", $"lang", $"n_tok", $"uniq_e4",
+          when($"n_tok" < 10, "too_short")
+            .when($"n_tok" > 1000, "too_long")
+            .when($"uniq_e4" < 3000, "repetitive")
+            .when($"dup_rank" > 1, "exact_dup")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
     })
   )
 
@@ -148,6 +216,54 @@ object Pipeline {
         |FROM documents
         |WHERE (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
         |    // len(string_split(text, ' ')) >= 3000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_context_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(coalesce(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |  tok_before // 2048 AS bin_id,
+        |  tok_before - (tok_before // 2048) * 2048 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pipe_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |ti AS (
+        |  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2)
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.sh = b.sh
+        |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "pipe_corpus_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
+        |      // len(string_split(text, ' ')) AS uniq_e4,
+        |    md5(text) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS dup_rank
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok, uniq_e4,
+        |  CASE WHEN n_tok < 10 THEN 'too_short'
+        |       WHEN n_tok > 1000 THEN 'too_long'
+        |       WHEN uniq_e4 < 3000 THEN 'repetitive'
+        |       WHEN dup_rank > 1 THEN 'exact_dup'
+        |       ELSE 'keep' END AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

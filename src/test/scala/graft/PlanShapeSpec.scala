@@ -65,6 +65,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("text"), "text column must be pruned from the scan")
   }
 
+  test("IVF probe path broadcasts centroids and probes (no embedding shuffle join)") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"),
+      "candidate selection must be a broadcast probe, not a sort-merge")
+    assert(p.contains("dotfold"), "assignment must use the codegen'd fold")
+  }
+
+  test("decontamination is a shingle equi-join, never a cartesian") {
+    val p = plan("pipe_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("context packing shuffles once on the packing key") {
+    val p = plan("pipe_context_pack")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected 1 shuffle (lang window):\n${p.take(800)}")
+  }
+
+  test("BPE subword estimate is pure map-side (no shuffle before the sort)") {
+    val p = plan("text_bpe_subword_est")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"HOF token math must not shuffle:\n${p.take(800)}")
+  }
+
   test("ngram DF guard: runtime reuses the shingle shuffle across branches") {
     // The static plan repeats the scan→generate→window(sh,lang) subtree for
     // the a/b join sides and both size branches; at runtime exchange reuse
