@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-construction wiring for the engine's custom Catalyst functions:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *
+  * or programmatically `SparkSession.builder().withExtensions(new
+  * GraftExtensions())`. Every session built this way has `vec_dot` and
+  * `minhash_sketch` available in SQL from the first query — no per-session
+  * `GraftFunctions.register` call needed. Both paths share the same
+  * expression builders, so behavior is identical.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotFold].getName, "vec_dot"),
+      GraftFunctions.vecDotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      GraftFunctions.minhashBuilder))
+  }
+}

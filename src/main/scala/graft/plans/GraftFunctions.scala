@@ -9,38 +9,45 @@ import org.apache.spark.sql.AnalysisException
   *   SELECT vec_dot(a, b)                  -- codegen'd dot-product fold
   *   SELECT minhash_sketch(hash_col, 16)   -- MinHash sketch aggregate
   *
-  * Registered per-session via the function registry (runtime-registrable
-  * on the driver harness's pre-built session; a from-scratch deployment
-  * would wire the same through SparkSessionExtensions.injectFunction).
+  * Two wirings share the same builders: [[register]] patches a pre-built
+  * session's function registry (the harness path), and [[GraftExtensions]]
+  * injects them at session construction via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (the deployment path).
   */
 object GraftFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private[plans] val vecDotBuilder: Seq[Expression] => Expression =
+    exprs => DotFold(exprs(0), exprs(1))
+
+  private[plans] val minhashBuilder: Seq[Expression] => Expression =
+    exprs => {
+      // Second arg must fold to an integer constant: the sketch width is a
+      // plan-time constant, not a per-row value. Accept INT/BIGINT/SMALLINT
+      // (including under foldable casts); anything else is a clean
+      // AnalysisException instead of a ClassCastException/NPE.
+      def bad(detail: String) = new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"minhash_sketch: nHashes must be an integer literal, got $detail"))
+      val arg = exprs(1)
+      if (!arg.foldable) throw bad(s"non-constant expression ${arg.sql}")
+      val n = arg.eval() match {
+        case i: Int   => i
+        case l: Long  => l.toInt
+        case s: Short => s.toInt
+        case b: Byte  => b.toInt
+        case other => throw bad(
+          s"${arg.sql} of type ${arg.dataType.simpleString}" +
+            (if (other == null) " (NULL)" else ""))
+      }
+      MinHashAgg(exprs.head, n).toAggregateExpression()
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("vec_dot",
-      exprs => DotFold(exprs(0), exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("minhash_sketch",
-      exprs => {
-        // Second arg must fold to an integer constant: the sketch width is a
-        // plan-time constant, not a per-row value. Accept INT/BIGINT/SMALLINT
-        // (including under foldable casts); anything else is a clean
-        // AnalysisException instead of a ClassCastException/NPE.
-        def bad(detail: String) = new AnalysisException(
-          errorClass = "INTERNAL_ERROR",
-          messageParameters = Map("message" ->
-            s"minhash_sketch: nHashes must be an integer literal, got $detail"))
-        val arg = exprs(1)
-        if (!arg.foldable) throw bad(s"non-constant expression ${arg.sql}")
-        val n = arg.eval() match {
-          case i: Int   => i
-          case l: Long  => l.toInt
-          case s: Short => s.toInt
-          case b: Byte  => b.toInt
-          case other => throw bad(
-            s"${arg.sql} of type ${arg.dataType.simpleString}" +
-              (if (other == null) " (NULL)" else ""))
-        }
-        MinHashAgg(exprs.head, n).toAggregateExpression()
-      }, "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_sketch", minhashBuilder, "scala_udf")
   }
 }

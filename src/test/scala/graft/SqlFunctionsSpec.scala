@@ -49,4 +49,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("GraftExtensions injects the functions at session construction") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh session over the same SparkContext, extensions applied at build
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      assert(ext ne orig, "must be a newly constructed session")
+      val got = ext.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0)) AS d")
+        .head().getDouble(0)
+      assert(got == 11.0)
+      val sig = ext.sql(
+        "SELECT minhash_sketch(x, 2) AS sig FROM (VALUES (CAST(5 AS BIGINT))) t(x)")
+        .head().getAs[scala.collection.Seq[Long]](0)
+      assert(sig.length == 2)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
