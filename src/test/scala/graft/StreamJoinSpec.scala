@@ -40,4 +40,27 @@ class StreamJoinSpec extends AnyFunSuite {
         s"only in-window attributions: $rows")
     } finally q.stop()
   }
+
+  test("stream-static join enriches events against a broadcast dimension") {
+    implicit val ctx = spark.sqlContext
+    val events = MemoryStream[(Long, Long)] // (nation_key, amount)
+    val dim = Tables.nation(spark, TestSpark.sfDir)
+      .select($"n_nationkey", $"n_name")
+    val enriched = events.toDF().toDF("nk", "amount")
+      .join(broadcast(dim), $"nk" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"amount").as("total"))
+    val q = enriched.writeStream.format("memory").queryName("graft_ssj_dim")
+      .outputMode("complete").start()
+    try {
+      events.addData((0L, 10L), (1L, 20L), (0L, 5L), (99L, 7L)) // 99: no dim row
+      q.processAllAvailable()
+      val rows = spark.table("graft_ssj_dim").as[(String, Long)].collect().toMap
+      assert(rows.values.sum == 35L && rows.size == 2,
+        s"two enriched nations, unmatched key dropped: $rows")
+      // the static side must plan as a broadcast join inside the microbatch
+      val prog = q.lastProgress
+      assert(prog.numInputRows == 4, s"all four events ingested: $prog")
+    } finally q.stop()
+  }
 }
