@@ -107,6 +107,23 @@ object Scalars {
         .orderBy("event_type")
     }),
 
+    // URL decomposition: parse_url on synthesized catalog URLs. The oracle
+    // replicates host/path/query with anchored regexes (DuckDB 1.0 has no
+    // URL functions), which also documents the exact grammar relied on.
+    "fn_url_parse" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .filter($"c_custkey" < 500)
+        .select($"c_custkey",
+          concat(lit("https://shop.example.com/seg/"), lower($"c_mktsegment"),
+            lit("/item?id="), $"c_custkey", lit("&ref=home")).as("url"))
+        .select($"c_custkey", $"url",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY")).as("query"))
+        .orderBy("c_custkey")
+    }),
+
     // H8: generator/UDTF surface — posexplode of tokenized text (0-based pos).
     "fn_explode_pos" -> ((s, d) => {
       import s.implicits._
@@ -118,6 +135,17 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_url_parse" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://shop.example.com/seg/' || lower(c_mktsegment)
+        |      || '/item?id=' || CAST(c_custkey AS VARCHAR) || '&ref=home' AS url
+        |  FROM customer WHERE c_custkey < 500)
+        |SELECT c_custkey, url,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |FROM u ORDER BY c_custkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_up,
