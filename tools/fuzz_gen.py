@@ -56,7 +56,25 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(9)
+    kind = rnd.randrange(11)
+    if kind == 10:  # CASE-precedence verdict (curation-verdict shape)
+        x = rnd.randrange(20000, 200000)
+        k = rnd.randrange(3, 9)
+        return (f"SELECT CASE WHEN o_totalprice < {x} THEN 'low' "
+                f"WHEN o_orderpriority LIKE '{rnd.randrange(1, 6)}%' THEN 'prio' "
+                f"WHEN o_custkey % {k} = 0 THEN 'bucket' "
+                f"ELSE 'other' END AS verdict, COUNT(*) AS n "
+                f"FROM orders WHERE {where} GROUP BY 1 ORDER BY 1")
+    if kind == 9:  # cumulative-fill bin id (context-packing shape); floor of
+        # a double division replaces integer `div`/`//` (dialects differ);
+        # exact below 2^53
+        b = rnd.choice([1000, 5000, 20000, 100000])
+        return (f"SELECT o_custkey, o_orderkey, "
+                f"CAST(FLOOR(coalesce(SUM(CAST(round(o_totalprice) AS BIGINT)) OVER ("
+                f"PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {b}) "
+                f"AS BIGINT) AS bin_id "
+                f"FROM orders WHERE {where} ORDER BY o_custkey, o_orderkey")
     if kind == 8:  # e6 running sum over a sliding ROWS frame
         lo = rnd.randrange(0, 4)
         hi = rnd.randrange(0, 4)
