@@ -147,6 +147,30 @@ object Joins {
         .orderBy("o_custkey")
     }),
 
+    // Pure range join WITHOUT a natural equi key — all event pairs across
+    // all users within 1 s of each other. A naive theta join is O(N²)
+    // comparisons (DuckDB needs minutes on 100k rows); bucketing time into
+    // threshold-width cells and replicating ONE side to its 3 neighboring
+    // cells turns it into an equi-join on the cell id with an exact refine,
+    // finding each pair exactly once (the probe side keeps a single cell).
+    // At scale the cell id is the shuffle key — population per cell is
+    // bounded by event rate × threshold; salt hot cells if skewed.
+    "join_range_bucket" -> ((s, d) => {
+      import s.implicits._
+      val thrUs = 1000000L
+      val e = Tables.events(s, d).select($"event_id", Tables.tsUs.as("t"))
+      val a = e.select($"event_id".as("a_id"), $"t".as("a_t"))
+        .withColumn("bkt", explode(array(
+          expr(s"a_t div $thrUs - 1"), expr(s"a_t div $thrUs"),
+          expr(s"a_t div $thrUs + 1"))))
+      val b = e.select($"event_id".as("b_id"), $"t".as("b_t"))
+        .withColumn("bkt", expr(s"b_t div $thrUs"))
+      a.join(b, Seq("bkt"))
+        .filter($"a_id" < $"b_id" && abs($"b_t" - $"a_t") <= thrUs)
+        .select($"a_id", $"b_id", ($"b_t" - $"a_t").as("delta_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // C12: as-of join — for each purchase, ts of the most recent strictly
     // prior click by the same user. Spark has no native ASOF JOIN; the
     // AsOfJoin rewrite (union + single shuffle + range-frame window) avoids
@@ -221,6 +245,20 @@ object Joins {
         | AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
         | AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
         |GROUP BY a.o_custkey ORDER BY a.o_custkey""".stripMargin,
+    // Same bucket-replication plan as the Spark side — the oracle documents
+    // the algorithm, not just the answer (a naive theta join over 100k²
+    // pairs is impractically slow even in DuckDB).
+    "join_range_bucket" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |a AS (
+        |  SELECT event_id AS a_id, t AS a_t,
+        |    unnest([t // 1000000 - 1, t // 1000000, t // 1000000 + 1]) AS bkt
+        |  FROM e),
+        |b AS (SELECT event_id AS b_id, t AS b_t, t // 1000000 AS bkt FROM e)
+        |SELECT a_id, b_id, b_t - a_t AS delta_us
+        |FROM a JOIN b USING (bkt)
+        |WHERE a_id < b_id AND abs(a_t - b_t) <= 1000000
+        |ORDER BY a_id, b_id""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  MAX(epoch_us(c.ts)) AS last_click_us

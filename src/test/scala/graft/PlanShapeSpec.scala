@@ -91,6 +91,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashShuffles == 0, s"HOF token math must not shuffle:\n${p.take(800)}")
   }
 
+  test("bucketed range join is an equi-join on the cell id, never quadratic") {
+    val p = plan("join_range_bucket")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("bkt"), "cell id must be the join key")
+  }
+
   test("ngram DF guard: runtime reuses the shingle shuffle across branches") {
     // The static plan repeats the scan→generate→window(sh,lang) subtree for
     // the a/b join sides and both size branches; at runtime exchange reuse
