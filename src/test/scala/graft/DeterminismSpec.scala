@@ -13,7 +13,9 @@ class DeterminismSpec extends AnyFunSuite {
     "limit_topk_global", "win_rank", "win_topk_per_group", "win_ntile_pct",
     "agg_pivot", "set_union_distinct", "text_wordcount", "sim_cosine_topk",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "tpch_q3_shipping",
-    "agg_median_exact", "join_asof", "etl_dedup_lastwins", "sub_lateral")
+    "agg_median_exact", "join_asof", "etl_dedup_lastwins", "sub_lateral",
+    "sim_ann_ivf", "dedup_cluster_cc", "join_range_bucket",
+    "pipe_context_pack", "pipe_corpus_curation", "pipe_decontaminate")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
