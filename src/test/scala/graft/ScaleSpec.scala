@@ -77,6 +77,39 @@ class ScaleSpec extends AnyFunSuite {
       spark.read.parquet(src).count(), "row count preserved")
   }
 
+  test("sorted compaction enables parquet row-group min-max skipping") {
+    val base = Files.createTempDirectory("graft_skip").toString
+    // small row groups so one file holds many skippable groups
+    val prev = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize", "4096")
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 64 * 1024)
+    try {
+      def scannedRows(path: String): Long = {
+        // range predicate over ~1% of the key domain: with clustered row
+        // groups only the first group's min-max overlaps; with shuffled
+        // groups every group contains some key in range, so nothing skips
+        val scan = spark.read.parquet(path).filter($"l_orderkey" <= 60L)
+        scan.collect()
+        scan.queryExecution.executedPlan.collectLeaves()
+          .head.metrics("numOutputRows").value
+      }
+      graft.operators.Scale.compact(spark, s"${TestSpark.sfDir}/lineitem.parquet",
+        s"$base/clustered", targetFileMB = 128, sortCols = Seq("l_orderkey"))
+      // same data, same row-group size, shuffled layout: every group spans
+      // the whole key range, so min-max stats can't skip anything
+      Tables.lineitem(spark, TestSpark.sfDir)
+        .orderBy($"l_partkey") // uncorrelated with the filter key
+        .coalesce(1).write.parquet(s"$base/shuffled")
+      val clustered = scannedRows(s"$base/clustered")
+      val shuffled = scannedRows(s"$base/shuffled")
+      assert(clustered * 3 <= shuffled,
+        s"clustering must let min-max stats skip row groups: " +
+          s"clustered scan $clustered rows vs shuffled $shuffled")
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prev)
+    }
+  }
+
   test("bucketed tables join without any Exchange") {
     val base = Files.createTempDirectory("graft_bucket").toString
     val l = Tables.lineitem(spark, TestSpark.sfDir).select($"l_orderkey", $"l_quantity")
