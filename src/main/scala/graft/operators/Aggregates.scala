@@ -172,6 +172,37 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Width-bucket histogram of order totals — the profiling pass before
+    // choosing range-partition bounds. Pure integer bucket math, one
+    // hash-agg; buckets with no rows are absent (no dense spine needed).
+    "agg_histogram" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        // FLOOR before the BIGINT cast: Spark's double→long cast truncates
+        // but DuckDB's rounds, so the floor pins both to the same integer
+        .select(expr("CAST(FLOOR(o_totalprice) AS BIGINT) div 25000").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Exact per-group mode with a total tie-break (highest count, then
+    // lowest value) — two hash-aggs + one row_number window, the
+    // deterministic replacement for any first()-based "most common" hack.
+    "agg_mode_exact" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus")
+        .orderBy($"cnt".desc, $"o_orderpriority".asc)
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"cnt")
+        .orderBy("o_orderstatus")
+    }),
+
     // D10: pivot event counts per user over event_type (explicit value list
     // → no extra distinct pass; absent combos coalesced to 0).
     "agg_pivot" -> ((s, d) => {
@@ -282,6 +313,19 @@ object Aggregates {
         |  MIN(x) AS med_lo_cents, MAX(x) AS med_hi_cents, MAX(n) AS n
         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_mode_exact" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

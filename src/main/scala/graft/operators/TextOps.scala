@@ -119,6 +119,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF-ish keyword extraction: per-document top-3 distinctive tokens
+    // by the exact integer score tf×1e6 div df (df = docs containing the
+    // token within the same bounded corpus slice). Two hash-aggs (term
+    // frequency, document frequency) + an equi-join on the token + one
+    // per-doc top-k window — every stage shuffles on a key it aggregates
+    // by, nothing quadratic, the standard distributed TF-IDF shape.
+    "text_tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_e6".desc, $"tok".asc)
+      tf.join(dfc, "tok")
+        .withColumn("score_e6", expr("(tf * 1000000) div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"tok", $"tf", $"df", $"score_e6")
+        .orderBy("doc_id", "rn")
+    }),
+
     // Document fingerprinting: position-weighted polynomial over 32-bit
     // token hashes — pure BIGINT, order-sensitive, cross-engine exact.
     "text_fingerprint" -> ((s, d) => {
@@ -387,6 +410,21 @@ object TextOps {
         |  END AS BIGINT) AS n_subword_est,
         |  CAST(len(list_filter(toks, t -> length(t) > 8)) AS INT) AS n_long
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+        |    (tf.tf * 1000000) // dfc.df AS score_e6
+        |  FROM tf JOIN dfc USING (tok)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_e6 DESC, tok ASC) AS rn FROM s)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, tok, tf, df, score_e6
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,
