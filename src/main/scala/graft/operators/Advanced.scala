@@ -160,6 +160,51 @@ object Advanced {
 
     // Batch gaps-and-islands sessionization (the manual-window dual of the
     // streaming session_window operator I3 — same 30min-gap semantics).
+    // Funnel analysis: which users completed view -> click -> purchase in
+    // timestamp order, and the stage timestamps. One conditional-min
+    // hash-agg per user (no join per stage — the single-pass funnel) +
+    // ordering predicate. Emits one row per user with the per-stage first
+    // µs and the funnel depth reached (0-3, stages in order).
+    "win_funnel_stages" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts_us")).as("first_view_us"),
+          min(when($"event_type" === "click", $"ts_us")).as("first_click_us"),
+          min(when($"event_type" === "purchase", $"ts_us")).as("first_purchase_us"))
+        .withColumn("funnel_depth",
+          when($"first_view_us".isNull, 0)
+            .when($"first_click_us".isNull || $"first_click_us" <= $"first_view_us", 1)
+            .when($"first_purchase_us".isNull || $"first_purchase_us" <= $"first_click_us", 2)
+            .otherwise(3))
+        .orderBy("user_id")
+    }),
+
+    // Bigram language-model statistics: count(w1 w2) and the conditional
+    // probability p(w2|w1) as an exact integer micro-ratio. Adjacent-token
+    // pairing is a zip of the token array with its tail (map-side), then
+    // two hash-aggs — the n-gram-count shape of corpus LM preprocessing.
+    "text_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select(split($"text", " ").as("t"))
+        .filter(size($"t") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+          .as("b"))
+        .select($"b.w1", $"b.w2")
+      val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      c12.join(c1, "w1")
+        .select($"w1", $"w2", $"c12", $"c1",
+          expr("(c12 * 1000000) div c1").as("p_e6"))
+        .filter($"c12" >= 5)
+        .orderBy("w1", "w2")
+    }),
+
     "win_gaps_islands" -> ((s, d) => {
       import s.implicits._
       val byUser = org.apache.spark.sql.expressions.Window
@@ -286,6 +331,34 @@ object Advanced {
     "fn_hash_sha" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "win_funnel_stages" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+        |  MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
+        |  CASE
+        |    WHEN MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) IS NULL THEN 0
+        |    WHEN MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) IS NULL
+        |      OR MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |         <= MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) THEN 1
+        |    WHEN MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NULL
+        |      OR MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |         <= MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) THEN 2
+        |    ELSE 3 END AS funnel_depth
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 2),
+        |ti AS (SELECT t, generate_subscripts(t, 1) AS j FROM t),
+        |bi AS (SELECT t[j] AS w1, t[j+1] AS w2 FROM ti WHERE j <= len(t) - 1),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |  (c12.c12 * 1000000) // c1.c1 AS p_e6
+        |FROM c12 JOIN c1 USING (w1)
+        |WHERE c12.c12 >= 5
+        |ORDER BY w1, w2""".stripMargin,
     "win_gaps_islands" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
         |o AS (SELECT user_id, event_id, tu,
