@@ -110,6 +110,38 @@ object Etl {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // CDC apply: a change batch of I/U/D operations merged into a base
+    // snapshot in one pass — upserts (I/U) replace by key, deletes drop the
+    // key, untouched base rows pass through. Op codes are synthesized
+    // deterministically from the key (keys ≡ 0 mod 7 → D, ≡ 1..2 → U with
+    // bumped values, ≡ 3 → I of a shifted key). The union + per-key
+    // row_number (change wins over base) is exactly the dataflow a MERGE
+    // INTO compiles to on an ACID table; one hash shuffle on the key.
+    "etl_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"),
+          round($"o_totalprice" * 100).cast("long").as("price_cents"))
+      val changes = base
+        .filter($"k" % 7 < 4)
+        .select($"k",
+          when($"k" % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          when($"k" % 7 === 0, lit(0L))
+            .otherwise($"price_cents" + 1000L).as("price_cents"))
+        .unionByName(
+          base.filter($"k" % 7 === 3)
+            .select(($"k" + 1000000000L).as("k"), lit("I").as("op"),
+              ($"price_cents" + 5L).as("price_cents")))
+      val w = Window.partitionBy($"k").orderBy($"__src".desc)
+      base.withColumn("op", lit(null: String)).withColumn("__src", lit(0))
+        .unionByName(changes.withColumn("__src", lit(1)))
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1 && ($"op".isNull || $"op" =!= "D"))
+        .select($"k", $"price_cents",
+          coalesce($"op", lit("B")).as("src_op"))
+        .orderBy("k")
+    }),
+
     // G4: UTC normalization — ns→µs truncation plus a per-row fixed offset
     // (models local-time + UTC-variance → UTC instants; pure BIGINT math).
     "etl_utc_normalize" -> ((s, d) => {
@@ -206,6 +238,28 @@ object Etl {
         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6
         |  FROM events WHERE event_type = 'view') t
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "etl_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CASE WHEN k % 7 = 0 THEN 0 ELSE price_cents + 1000 END AS price_cents
+        |  FROM base WHERE k % 7 < 4
+        |  UNION ALL
+        |  SELECT k + 1000000000 AS k, 'I' AS op, price_cents + 5 AS price_cents
+        |  FROM base WHERE k % 7 = 3),
+        |u AS (
+        |  SELECT k, price_cents, NULL AS op, 0 AS __src FROM base
+        |  UNION ALL
+        |  SELECT k, price_cents, op, 1 AS __src FROM changes),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY __src DESC) AS rn
+        |  FROM u)
+        |SELECT k, price_cents, coalesce(op, 'B') AS src_op
+        |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+        |ORDER BY k""".stripMargin,
     "etl_utc_normalize" ->
       """SELECT event_id,
         |  (user_id % 27 - 13) * 30 AS offset_min,
