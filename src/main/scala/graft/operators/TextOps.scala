@@ -225,21 +225,31 @@ object TextOps {
     // exclude hot shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy($"sh", $"lang")
-      val sh = Tables.documents(s, d)
+      // Group shingles ONCE per (sh, lang) into a sorted doc-id list; the
+      // DF guard becomes size(ids) <= 20 (rows are distinct per (doc, sh)).
+      // Pairs are then generated MAP-SIDE from each list (i < j over a
+      // sorted array ⇒ d1 < d2, ≤ 190 pairs/shingle by the guard) instead
+      // of a shingle self-join — one grouped subtree feeds both the pair
+      // counts and the per-doc sizes, so the exchange is reused, where the
+      // self-join shape recomputed the scan+window four times. This is the
+      // posting-list pair-count shape that survives 100 TB: shuffle volume
+      // is one row per distinct shingle, fan-out bounded by the DF cap.
+      val grouped = Tables.documents(s, d)
         .filter($"doc_id" < 150)
         .select($"doc_id", $"lang", split($"text", " ").as("t"))
         .select($"doc_id", $"lang", explode(shingles3).as("sh"))
-        // rows are distinct per (doc_id, sh), so count(*) = doc frequency
-        .withColumn("df", count(lit(1)).over(byShingle))
-        .filter($"df" <= 20)
-        .drop("df")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .groupBy($"sh", $"lang")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") <= 20)
+      val sizes = grouped
+        .select(explode($"ids").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
+        .select(expr(
+          """explode(flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |            y -> struct(x AS d1, y AS d2))))) AS p""".stripMargin))
+        .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
         .agg(count(lit(1)).as("inter"))
       pairs
         .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")

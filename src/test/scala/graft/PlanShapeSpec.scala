@@ -99,10 +99,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("ngram DF guard: runtime reuses the shingle shuffle across branches") {
-    // The static plan repeats the scan→generate→window(sh,lang) subtree for
-    // the a/b join sides and both size branches; at runtime exchange reuse
-    // must collapse those into ONE materialized shingle shuffle. Assert on
-    // the final adaptive plan after execution.
+    // The static plan repeats the scan→generate→groupBy(sh,lang) posting-list
+    // subtree for the pair branch and both size branches; at runtime exchange
+    // reuse must collapse those into ONE materialized shingle shuffle. Assert
+    // on the final adaptive plan after execution.
     val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
