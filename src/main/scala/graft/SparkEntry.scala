@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Advanced.queries ++
     operators.TpchQueries.queries ++
     operators.TypeProbes.queries ++
+    operators.Analytics.queries ++
     operators.Pipeline.queries ++
     streaming.Streams.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
     operators.Advanced.oracleSql ++
     operators.TpchQueries.oracleSql ++
     operators.TypeProbes.oracleSql ++
+    operators.Analytics.oracleSql ++
     operators.Pipeline.oracleSql ++
     streaming.Streams.oracleSql
 }

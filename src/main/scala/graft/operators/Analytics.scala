@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics and statistics operators: cohort retention, exact
+  * percentiles, integer-exact correlation, and an unrolled PageRank over
+  * the part–supplier co-purchase graph.
+  *
+  * Determinism notes (SURVEY §2.0): every output column is BIGINT or
+  * STRING; all ratios are integer-scaled with truncating division (`div`
+  * here ≡ `//` in DuckDB, verified on negatives in round 1); every query
+  * ends in a total order.
+  */
+object Analytics {
+
+  val queries: Map[String, Q] = Map(
+
+    // Cohort retention: bucket customers by first-order week (epoch-week =
+    // days-since-1970 div 7), then count distinct customers active at each
+    // week offset. ONE window shuffle on o_custkey computes the cohort
+    // assignment; the (cohort, offset) aggregation shuffles only the
+    // deduplicated triples — at 100 TB both keys are low-cardinality so the
+    // second shuffle is tiny, and the first co-partitions with any other
+    // per-customer analysis.
+    "win_cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      val byCust = Window.partitionBy($"c")
+      Tables.orders(s, d)
+        .select($"o_custkey".as("c"),
+          expr("datediff(cast(o_orderdate as date), date'1970-01-01') div 7")
+            .cast("long").as("wk"))
+        .withColumn("wk0", min($"wk").over(byCust))
+        .groupBy($"wk0".as("cohort_week"), ($"wk" - $"wk0").as("week_offset"))
+        .agg(count_distinct($"c").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Exact discrete percentiles (p50/p90/p99) per group, computed the
+    // portable way: row_number over the sorted partition, pick the value at
+    // position ceil(p·n/100) = (n·p + 99) div 100. The selected VALUE is
+    // deterministic even with ties (equal ranks hold equal values). At
+    // scale this is one sort-shuffle per group set — the same cost profile
+    // as any exact-percentile computation; approx_percentile is the
+    // documented sketch alternative when exactness isn't required.
+    "agg_percentile_disc" -> ((s, d) => {
+      import s.implicits._
+      val byFlag = Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+        .withColumn("rn", row_number().over(byFlag.orderBy($"qty_c")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .groupBy($"l_returnflag")
+        .agg(
+          max($"n").as("n"),
+          max(when($"rn" === expr("(n * 50 + 99) div 100"), $"qty_c")).as("p50_c"),
+          max(when($"rn" === expr("(n * 90 + 99) div 100"), $"qty_c")).as("p90_c"),
+          max(when($"rn" === expr("(n * 99 + 99) div 100"), $"qty_c")).as("p99_c"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pearson r² per group in EXACT integer arithmetic: r² =
+    // (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)), with the big
+    // products in DECIMAL(38,0) (HUGEINT on the oracle side). The ratio is
+    // computed STEPWISE — (num² div d1) · 1e6 div d2 — so every `div`
+    // quotient fits int64: Spark's `div` always returns BIGINT and WRAPS
+    // silently past 2^63 (non-ANSI), so a single d1·d2 denominator (~1e28)
+    // divided down would corrupt; num² ≤ d1·d2 (Cauchy–Schwarz) bounds the
+    // first quotient by d2. Both engines evaluate the identical truncating
+    // steps. One map-side partial aggregation; no second mean-centered scan.
+    "agg_corr_r2" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_quantity")).cast("long").as("x"),
+          // hundreds of dollars: cents div 10000, truncating — keeps every
+          // intermediate comfortably inside DECIMAL(38,0)/HUGEINT
+          expr("round(cast(l_extendedprice as decimal(18,6)) * 100) div 10000")
+            .as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"l_returnflag", $"n",
+          expr("""cast(
+                 |  cast(cast(n * sxy - sx * sy as decimal(38,0)) *
+                 |       cast(n * sxy - sx * sy as decimal(38,0)) div
+                 |       (cast(n as decimal(38,0)) * cast(sxx as decimal(38,0)) -
+                 |        cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+                 |    as decimal(38,0)) * 1000000 div
+                 |  (cast(n as decimal(38,0)) * cast(syy as decimal(38,0)) -
+                 |   cast(sy as decimal(38,0)) * cast(sy as decimal(38,0)))
+                 |as bigint)""".stripMargin.replaceAll("\n", " "))
+            .as("r2_e6"))
+        .orderBy("l_returnflag")
+    }),
+
+    // PageRank, 2 unrolled rounds, over the undirected bipartite
+    // part–supplier graph from lineitem (node ids: part p → 2p, supplier
+    // s → 2s+1). Pure integer mass-passing: rank'(v) = 0.15e6 +
+    // 0.85·Σ_{u~v} (rank(u) div deg(u)), truncating division both engines.
+    // Each round is one equi-join on the edge key + one hash aggregation —
+    // the standard Pregel-as-join shape; at 100 TB the edge table is
+    // pre-partitioned by src once and every round reuses that partitioning.
+    "graph_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val edges1 = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+        .distinct()
+      val edges = edges1.unionByName(edges1.select($"v".as("u"), $"u".as("v")))
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val r0 = deg.select($"u", lit(1000000L).as("pr"), $"deg")
+      def round1(r: org.apache.spark.sql.DataFrame) =
+        edges.join(r, "u")
+          .groupBy($"v".as("u"))
+          .agg(expr(
+            "cast(150000 + (850000 * sum(pr div deg)) div 1000000 as bigint)")
+            .as("pr"))
+          .join(deg, "u")
+      val r2 = round1(round1(r0))
+      r2.select($"u".as("node"), $"pr".as("rank_e6"), $"deg")
+        .orderBy($"rank_e6".desc, $"node".asc)
+        .limit(100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT o_custkey AS c,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk
+        |  FROM orders),
+        |m AS (SELECT c, wk, min(wk) OVER (PARTITION BY c) AS wk0 FROM w)
+        |SELECT wk0 AS cohort_week, wk - wk0 AS week_offset,
+        |  count(DISTINCT c) AS n_users
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_percentile_disc" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, qty_c,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag, max(n) AS n,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN qty_c END) AS p50_c,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN qty_c END) AS p90_c,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN qty_c END) AS p99_c
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_corr_r2" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      // 10000 AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST(CAST(n * sxy - sx * sy AS HUGEINT) *
+        |            CAST(n * sxy - sx * sy AS HUGEINT) //
+        |            (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
+        |             CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS HUGEINT)
+        |       * 1000000 //
+        |       (CAST(n AS HUGEINT) * CAST(syy AS HUGEINT) -
+        |        CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT))
+        |    AS BIGINT) AS r2_e6
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e1 AS (
+        |  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM lineitem),
+        |edges AS (SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1),
+        |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS pr, deg FROM deg),
+        |r1 AS (
+        |  SELECT d.u, CAST(150000 + (850000 * sum(r.pr // r.deg)) // 1000000
+        |    AS BIGINT) AS pr, d.deg
+        |  FROM edges e JOIN r0 r ON e.u = r.u JOIN deg d ON d.u = e.v
+        |  GROUP BY d.u, d.deg),
+        |r2 AS (
+        |  SELECT d.u, CAST(150000 + (850000 * sum(r.pr // r.deg)) // 1000000
+        |    AS BIGINT) AS pr, d.deg
+        |  FROM edges e JOIN r1 r ON e.u = r.u JOIN deg d ON d.u = e.v
+        |  GROUP BY d.u, d.deg)
+        |SELECT u AS node, pr AS rank_e6, deg FROM r2
+        |ORDER BY rank_e6 DESC, node ASC LIMIT 100""".stripMargin
+  )
+}

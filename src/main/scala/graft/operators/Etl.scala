@@ -142,6 +142,36 @@ object Etl {
         .orderBy("k")
     }),
 
+    // Snapshot diff (reconciliation audit): FULL OUTER join two snapshots
+    // on the natural key, classify each key as added / removed / changed,
+    // drop the unchanged majority. Snapshot B is a deterministic mutation
+    // of A (k ≡ 0 mod 5 deleted, ≡ 1 repriced, ≡ 2 also cloned to a new
+    // key). One co-partitioned shuffle on the key; at 100 TB both sides
+    // would be bucketed by k and the join is exchange-free.
+    "etl_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"),
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_cents"))
+      val b = a.filter($"k" % 5 =!= 0)
+        .select($"k",
+          ($"price_cents" + when($"k" % 5 === 1, 50L).otherwise(0L)).as("price_cents"))
+        .unionByName(
+          a.filter($"k" % 5 === 2)
+            .select(($"k" + 3000000000L).as("k"), ($"price_cents" + 7L).as("price_cents")))
+      a.as("a").join(b.as("b"), $"a.k" === $"b.k", "full_outer")
+        .select(
+          coalesce($"a.k", $"b.k").as("k"),
+          coalesce($"a.price_cents", lit(-1L)).as("old_cents"),
+          coalesce($"b.price_cents", lit(-1L)).as("new_cents"),
+          when($"a.k".isNull, "added")
+            .when($"b.k".isNull, "removed")
+            .when($"a.price_cents" =!= $"b.price_cents", "changed")
+            .otherwise("same").as("status"))
+        .filter($"status" =!= "same")
+        .orderBy("k")
+    }),
+
     // G4: UTC normalization — ns→µs truncation plus a per-row fixed offset
     // (models local-time + UTC-variance → UTC instants; pure BIGINT math).
     "etl_utc_normalize" -> ((s, d) => {
@@ -260,6 +290,27 @@ object Etl {
         |SELECT k, price_cents, coalesce(op, 'B') AS src_op
         |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
         |ORDER BY k""".stripMargin,
+    "etl_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, price_cents + CASE WHEN k % 5 = 1 THEN 50 ELSE 0 END AS price_cents
+        |  FROM a WHERE k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k + 3000000000 AS k, price_cents + 7 AS price_cents
+        |  FROM a WHERE k % 5 = 2),
+        |j AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    coalesce(a.price_cents, -1) AS old_cents,
+        |    coalesce(b.price_cents, -1) AS new_cents,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.price_cents <> b.price_cents THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT * FROM j WHERE status <> 'same' ORDER BY k""".stripMargin,
     "etl_utc_normalize" ->
       """SELECT event_id,
         |  (user_id % 27 - 13) * 30 AS offset_min,

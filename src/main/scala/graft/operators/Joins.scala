@@ -115,6 +115,26 @@ object Joins {
       r1.crossJoin(r2).orderBy("r1_name", "r2_name")
     }),
 
+    // Skew-safe salted join, oracle-proven equivalent to the plain join:
+    // Scale.saltedJoin replicates the dim 8x and scatters the fact by a
+    // content hash, so one hot custkey spreads over 8 reducers — and the
+    // per-segment aggregate must match the unsalted SQL join exactly. This
+    // is the rewrite you reach for at 100 TB when AQE's runtime skew split
+    // can't help (e.g. a skewed BROADCAST-ineligible build side); the
+    // oracle here is the proof the rewrite preserves semantics.
+    "join_salted_equiv" -> ((s, d) => {
+      import s.implicits._
+      val fact = Tables.orders(s, d)
+        .select($"o_custkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      val dim = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      Scale.saltedJoin(fact, dim, "o_custkey", "c_custkey", 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"cents").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // C10: theta/band self-join — same brand, strictly increasing size.
     // Equi prefix on p_brand keeps this a hash/sort-merge join with a
     // residual `<` predicate, NOT a BNLJ — essential at scale.
@@ -233,6 +253,12 @@ object Joins {
       """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
         |FROM region r1 CROSS JOIN region r2
         |ORDER BY r1_name, r2_name""".stripMargin,
+    "join_salted_equiv" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_theta_band" ->
       """SELECT p.p_brand, COUNT(*) AS n_pairs
         |FROM part p JOIN part q

@@ -15,7 +15,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "tpch_q3_shipping",
     "agg_median_exact", "join_asof", "etl_dedup_lastwins", "sub_lateral",
     "sim_ann_ivf", "dedup_cluster_cc", "join_range_bucket",
-    "pipe_context_pack", "pipe_corpus_curation", "pipe_decontaminate")
+    "pipe_context_pack", "pipe_corpus_curation", "pipe_decontaminate",
+    "graph_pagerank", "agg_percentile_disc", "agg_corr_r2",
+    "win_cohort_retention", "etl_snapshot_diff", "etl_cdc_apply",
+    "join_salted_equiv")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
