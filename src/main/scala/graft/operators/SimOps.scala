@@ -50,6 +50,32 @@ object SimOps {
         .orderBy($"v1".asc, $"v2".asc)
     }),
 
+    // k-NN graph (k=3) over the bounded candidate set: cosine on the i<j
+    // half-matrix only, then symmetrize by swapping — half the dot products
+    // of the naive all-ordered-pairs join — and row_number per center picks
+    // the 3 nearest (ties broken by neighbor id). The k-NN graph is the
+    // substrate for graph-based ANN indexes (HNSW/NSG layers) and for
+    // embedding-cluster analysis; at corpus scale the half-matrix stage is
+    // replaced by LSH/IVF candidate generation (sim_ann_lsh / sim_ann_ivf)
+    // feeding the same symmetrize + per-center top-k tail.
+    "sim_knn_graph" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).filter($"vec_id" < 200)
+      val a = e.select($"vec_id".as("v1"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("v2"), $"embedding".as("eb"))
+      val half = a.join(b, $"v1" < $"v2")
+        .select($"v1", $"v2", cosE6($"ea", $"eb").as("cos_e6"))
+      val sym = half.unionByName(
+        half.select($"v2".as("v1"), $"v1".as("v2"), $"cos_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"v1").orderBy($"cos_e6".desc, $"v2".asc)
+      sym.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"v1".as("vec_id"), $"rank".cast("long").as("rank"),
+          $"v2".as("nbr_id"), $"cos_e6")
+        .orderBy("vec_id", "rank")
+    }),
+
     // ANN scale path — fully oracle-checked: the ±1 hyperplane weights are
     // md5-parity constants (see AnnSearch.planeWeight), so the DuckDB SQL
     // below rebuilds the same buckets, candidate set, and exact rerank.
@@ -187,6 +213,27 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |half AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    CAST(round(
+        |      list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |      * 1000000) AS BIGINT) AS cos_e6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |sym AS (
+        |  SELECT v1, v2, cos_e6 FROM half
+        |  UNION ALL SELECT v2 AS v1, v1 AS v2, cos_e6 FROM half),
+        |r AS (
+        |  SELECT v1, v2, cos_e6, row_number() OVER
+        |    (PARTITION BY v1 ORDER BY cos_e6 DESC, v2 ASC) AS rank
+        |  FROM sym)
+        |SELECT v1 AS vec_id, rank, v2 AS nbr_id, cos_e6 FROM r
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

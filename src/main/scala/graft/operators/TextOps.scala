@@ -49,6 +49,29 @@ object TextOps {
     }),
 
     // J2: exact duplicate detection via md5 fingerprint, per language.
+    // Inverted index build — the IR/retrieval primitive: token → document
+    // frequency + posting-list head (10 lowest doc ids). The head is ranked
+    // BEFORE any collect (row_number per token, filter rn ≤ 10, then a
+    // 10-element collect_list), so no operator ever materializes an
+    // unbounded array: an uncapped collect_list on a stopword is the
+    // classic executor OOM — at 100 TB full postings live as chunked rows
+    // or bitmaps, never a single array cell, and this query's shape is
+    // exactly that bounded-head form.
+    "text_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"token")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("token"))
+        .withColumn("df", count(lit(1)).over(byTok))
+        .withColumn("rn", row_number().over(byTok.orderBy($"doc_id")))
+        .filter($"rn" <= 10)
+        .groupBy($"token")
+        .agg(max($"df").as("df"),
+          sort_array(collect_list($"doc_id")).as("postings_head"))
+        .orderBy("token")
+    }),
+
     "text_exact_dedup" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -385,6 +408,18 @@ object TextOps {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "text_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    count(*) OVER (PARTITION BY token) AS df,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM t)
+        |SELECT token, max(df) AS df, list_sort(list(doc_id)) AS postings_head
+        |FROM r WHERE rn <= 10
+        |GROUP BY token ORDER BY token""".stripMargin,
     "text_exact_dedup" ->
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
