@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
       GraftFunctions.minhashBuilder))
+    // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite):
+    // inert unless spark.graft.approxCountDistinct=true, so injecting it
+    // unconditionally costs nothing.
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite())
   }
 }

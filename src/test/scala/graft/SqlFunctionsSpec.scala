@@ -74,4 +74,49 @@ class SqlFunctionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("ApproxDistinctRewrite: opt-in HLL rewrite of count(DISTINCT x)") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val sql = "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+      Tables.orders(ext, TestSpark.sfDir).createOrReplaceTempView("orders")
+
+      // flag off (default): exact plan, no HLL anywhere
+      val exact = ext.sql(sql)
+      assert(!exact.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      val exactRows = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // flag on: the optimizer rewrites to HLL; values within the rsd bound
+      ext.conf.set("spark.graft.approxCountDistinct", "true")
+      val approx = ext.sql(sql)
+      assert(approx.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"),
+        approx.queryExecution.optimizedPlan.toString.take(500))
+      approx.collect().foreach { r =>
+        val (status, est) = (r.getString(0), r.getLong(1))
+        val truth = exactRows(status).toDouble
+        assert(math.abs(est - truth) / truth < 0.15,
+          s"$status: est $est vs exact $truth")
+      }
+
+      // multi-arg distinct count must NOT be rewritten (tuple semantics)
+      val multi = ext.sql("SELECT count(DISTINCT o_custkey, o_orderstatus) " +
+        "AS n FROM orders")
+      assert(!multi.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      assert(multi.head().getLong(0) > 0)
+      ext.conf.set("spark.graft.approxCountDistinct", "false")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
