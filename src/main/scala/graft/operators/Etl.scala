@@ -172,6 +172,31 @@ object Etl {
         .orderBy("k")
     }),
 
+    // Incremental aggregation maintenance (materialized-view refresh): the
+    // standing state is a PARTIAL aggregate of the old data, a new batch
+    // arrives, and the refreshed view is the algebraic MERGE of the two
+    // partials (union → re-aggregate: counts add, sums add) — never a
+    // rescan of the base. The oracle computes the aggregate directly over
+    // everything, so the hash-match PROVES merge(partial(old), partial(new))
+    // ≡ agg(old ∪ new). At 100 TB this is the only affordable refresh
+    // shape, and it's exactly how Spark's own partial aggregation and
+    // streaming state stores combine under the hood.
+    "etl_incremental_agg" -> ((s, d) => {
+      import s.implicits._
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .select($"o_orderstatus",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      val all = Tables.orders(s, d)
+      val state = partial(all.filter($"o_orderkey" % 10 =!= 0))
+      val delta = partial(all.filter($"o_orderkey" % 10 === 0))
+      state.unionByName(delta)
+        .groupBy($"o_orderstatus")
+        .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // G4: UTC normalization — ns→µs truncation plus a per-row fixed offset
     // (models local-time + UTC-variance → UTC instants; pure BIGINT math).
     "etl_utc_normalize" -> ((s, d) => {
@@ -311,6 +336,11 @@ object Etl {
         |         ELSE 'same' END AS status
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT * FROM j WHERE status <> 'same' ORDER BY k""".stripMargin,
+    "etl_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "etl_utc_normalize" ->
       """SELECT event_id,
         |  (user_id % 27 - 13) * 30 AS offset_min,

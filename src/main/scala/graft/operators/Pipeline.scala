@@ -173,10 +173,54 @@ object Pipeline {
             .when($"dup_rank" > 1, "exact_dup")
             .otherwise("keep").as("verdict"))
         .orderBy("doc_id")
+    }),
+
+    // Training-mix allocation: apportion a 1M-sample budget across the 20
+    // corpus sources proportionally to token mass, using largest-remainder
+    // (Hamilton) apportionment so the integer allocations sum EXACTLY to
+    // the budget: base_i = (B·tok_i) div T, then the B − Σbase leftovers go
+    // to the largest remainders (ties by source name). The global windows
+    // run over the 20-row per-source aggregate, not the raw corpus — the
+    // heavy lifting is one map-side token count + one 20-group hash agg,
+    // so the single-partition step is O(#sources) at any corpus size.
+    "pipe_source_mixture" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy(lit(0))
+      val rankW = all.orderBy($"rem".desc, $"source".asc)
+      Tables.documents(s, d)
+        .select($"source", size(split($"text", " ")).cast("long").as("tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+        .withColumn("total", sum($"n_tokens").over(all))
+        .withColumn("base", expr("(1000000 * n_tokens) div total"))
+        .withColumn("rem", expr("(1000000 * n_tokens) % total"))
+        .withColumn("extra", lit(1000000) - sum($"base").over(all))
+        .withColumn("rk", row_number().over(rankW))
+        .select($"source", $"n_docs", $"n_tokens",
+          ($"base" + when($"rk" <= $"extra", 1L).otherwise(0L)).as("alloc"))
+        .orderBy("source")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_source_mixture" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    (1000000 * n_tokens) // (SUM(n_tokens) OVER ()) AS base,
+        |    (1000000 * n_tokens) % (SUM(n_tokens) OVER ()) AS rem
+        |  FROM a),
+        |r AS (
+        |  SELECT *, 1000000 - SUM(base) OVER () AS extra,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+        |FROM r ORDER BY source""".stripMargin,
     "pipe_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -18,7 +18,8 @@ class DeterminismSpec extends AnyFunSuite {
     "pipe_context_pack", "pipe_corpus_curation", "pipe_decontaminate",
     "graph_pagerank", "agg_percentile_disc", "agg_corr_r2",
     "win_cohort_retention", "etl_snapshot_diff", "etl_cdc_apply",
-    "join_salted_equiv", "sim_knn_graph", "text_inverted_index")
+    "join_salted_equiv", "sim_knn_graph", "text_inverted_index",
+    "pipe_source_mixture", "etl_incremental_agg")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
