@@ -109,6 +109,12 @@ object Analytics {
       val edges1 = Tables.lineitem(s, d)
         .select(($"l_partkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
         .distinct()
+      // The edge-distinct subtree appears once per round per consumer in
+      // the static plan; AQE's runtime exchange reuse collapses the
+      // identical shuffles (measured: an explicit .persist() was NOT
+      // faster — eager materialization cost what reuse already saved). A
+      // many-round production PageRank would still cache the static graph
+      // GraphX-style; at 2 unrolled rounds reuse is sufficient.
       val edges = edges1.unionByName(edges1.select($"v".as("u"), $"u".as("v")))
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
       val r0 = deg.select($"u", lit(1000000L).as("pr"), $"deg")
