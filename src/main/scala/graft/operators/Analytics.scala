@@ -97,6 +97,33 @@ object Analytics {
         .orderBy("l_returnflag")
     }),
 
+    // Least-squares regression line per group, same exact-integer framework
+    // as agg_corr_r2 (one pass of sums; R7 stepwise division): slope_e6 =
+    // num·1e6 div d1 (num = n·Σxy − Σx·Σy needs DECIMAL(38,0) once ×1e6,
+    // quotient is the slope in micro-units — small), intercept_e6 =
+    // (Σy·1e6 − slope_e6·Σx) div n, all int64-safe. Negative slopes rely
+    // on div ≡ // truncating toward zero on both engines (verified r1).
+    "agg_linreg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_quantity")).cast("long").as("x"),
+          expr("round(cast(l_extendedprice as decimal(18,6)) * 100) div 10000")
+            .as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .withColumn("slope_e6",
+          expr("""cast(cast(n * sxy - sx * sy as decimal(38,0)) * 1000000 div
+                 |  (cast(n as decimal(38,0)) * cast(sxx as decimal(38,0)) -
+                 |   cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+                 |as bigint)""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("icept_e6",
+          expr("(sy * 1000000 - slope_e6 * sx) div n"))
+        .select($"l_returnflag", $"n", $"slope_e6", $"icept_e6")
+        .orderBy("l_returnflag")
+    }),
+
     // PageRank, 2 unrolled rounds, over the undirected bipartite
     // part–supplier graph from lineitem (node ids: part p → 2p, supplier
     // s → 2s+1). Pure integer mass-passing: rank'(v) = 0.15e6 +
@@ -180,6 +207,26 @@ object Analytics {
         |        CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT))
         |    AS BIGINT) AS r2_e6
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_linreg" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      // 10000 AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY l_returnflag),
+        |sl AS (
+        |  SELECT *, CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000000 //
+        |    (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
+        |     CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS slope_e6
+        |  FROM a)
+        |SELECT l_returnflag, n, slope_e6,
+        |  (sy * 1000000 - slope_e6 * sx) // n AS icept_e6
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
     "graph_pagerank" ->
       """WITH e1 AS (
         |  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v

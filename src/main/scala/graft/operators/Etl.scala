@@ -208,6 +208,34 @@ object Etl {
         .orderBy("event_id")
     }),
 
+    // Declarative data-quality constraint check (the Deequ-style validation
+    // pass): five rules evaluated as conditional sums in ONE scan of the
+    // table, unpivoted into a (rule, n_rows, n_viol) report. Adding a rule
+    // costs one more map-side counter, not another scan — at 100 TB the
+    // constraint suite rides along any existing full pass over the data.
+    "etl_dq_constraints" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def viol(cond: String) =
+        sum(when(expr(cond), 1L).otherwise(0L))
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        viol("o_custkey IS NULL").as("v_custkey_not_null"),
+        viol("o_totalprice <= 0").as("v_price_positive"),
+        viol("o_orderstatus NOT IN ('F','O','P')").as("v_status_domain"),
+        viol("cast(o_orderdate as date) >= date'1998-01-01'").as("v_date_range"),
+        viol("substring(o_orderpriority, 1, 1) NOT IN ('1','2','3','4','5')")
+          .as("v_priority_prefix"))
+      agg.selectExpr(
+        """stack(5,
+          |  'custkey_not_null', n_rows, v_custkey_not_null,
+          |  'date_range', n_rows, v_date_range,
+          |  'price_positive', n_rows, v_price_positive,
+          |  'priority_prefix', n_rows, v_priority_prefix,
+          |  'status_domain', n_rows, v_status_domain
+          |) AS (rule, n_rows, n_viol)""".stripMargin)
+        .orderBy("rule")
+    }),
+
     // G5: parser/validator quality report — per-column null/distinct/min/max
     // unpivoted via stack() into the narrow report (the flirt validation
     // pass analog). Two single-pass aggs instead of one mixed agg: fusing
@@ -336,6 +364,22 @@ object Etl {
         |         ELSE 'same' END AS status
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT * FROM j WHERE status <> 'same' ORDER BY k""".stripMargin,
+    "etl_dq_constraints" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN substring(o_orderpriority, 1, 1) NOT IN ('1','2','3','4','5') THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT rule, n_rows, n_viol FROM (
+        |  SELECT 'custkey_not_null' AS rule, n_rows, v1 AS n_viol FROM a
+        |  UNION ALL SELECT 'date_range', n_rows, v4 FROM a
+        |  UNION ALL SELECT 'price_positive', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'priority_prefix', n_rows, v5 FROM a
+        |  UNION ALL SELECT 'status_domain', n_rows, v3 FROM a)
+        |ORDER BY rule""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT))

@@ -19,7 +19,7 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_pagerank", "agg_percentile_disc", "agg_corr_r2",
     "win_cohort_retention", "etl_snapshot_diff", "etl_cdc_apply",
     "join_salted_equiv", "sim_knn_graph", "text_inverted_index",
-    "pipe_source_mixture", "etl_incremental_agg")
+    "pipe_source_mixture", "etl_incremental_agg", "agg_linreg")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

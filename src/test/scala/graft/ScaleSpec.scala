@@ -129,4 +129,37 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == l.count(), "every lineitem matches its order")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom-filter injection prunes the probe side of a selective join") {
+    // Catalyst's InjectRuntimeFilter: when one join side carries a selective
+    // filter, the optimizer plants a bloom_filter_agg subquery on it and a
+    // might_contain predicate on the OTHER side's scan — at 100 TB this is
+    // what turns "shuffle all of lineitem, then join" into "drop most of
+    // lineitem at the scan". Thresholds are lowered so the sf-small fixture
+    // qualifies; assert both the plan shape and result equivalence.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = Tables.lineitem(spark, TestSpark.sfDir)
+        .select($"l_orderkey", $"l_quantity")
+      val o = Tables.orders(spark, TestSpark.sfDir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = l.join(o, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter:\n${plan.take(1500)}")
+      val n = joined.count()
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try assert(n == l.join(o, $"l_orderkey" === $"o_orderkey").count(),
+        "bloom-filtered join must not change the result")
+      finally spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
