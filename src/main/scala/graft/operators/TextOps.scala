@@ -36,6 +36,25 @@ object TextOps {
       |    i -> concat_ws(' ', slice(t, i + 1, 3))))
       |  ELSE array() END""".stripMargin)
 
+  /** 60-bit SimHash signature per document (doc_id < 200): md5-derived
+    * per-token 60-bit hashes, bitwise majority vote. Shared by
+    * dedup_simhash (the signature dump) and dedup_simhash_pairs (the
+    * Hamming-band near-dup search). */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .select($"doc_id",
+        conv(substring(md5($"tok".cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("k"))
+      .groupBy($"doc_id", $"k")
+      .agg(sum(expr("CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: tokenize, explode, top-50 tokens.
     "text_wordcount" -> ((s, d) => {
@@ -218,18 +237,34 @@ object TextOps {
     // token-hash bits; reassemble as a BIGINT signature.
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .filter($"doc_id" < 200)
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-        .select($"doc_id",
-          conv(substring(md5($"tok".cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
-        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("k"))
-        .groupBy($"doc_id", $"k")
-        .agg(sum(expr("CASE WHEN shiftright(h, k) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
-        .groupBy($"doc_id")
-        .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
-          .as("simhash"))
-        .orderBy("doc_id")
+      simhashSigs(s, d).orderBy("doc_id")
+    }),
+
+    // Hamming-ball near-dup search over the SimHash signatures — the
+    // companion LSH: by pigeonhole, any pair within Hamming distance 12 of
+    // a 60-bit signature agrees exactly on at least one of 4 15-bit bands,
+    // so banding the signature into (band, chunk) equi-keys finds every
+    // such pair with NO pairwise scan; bit_count(xor) reranks candidates
+    // exactly. Same candidate-generation-then-rerank architecture as
+    // MinHash banding and sign-LSH — the band key is the shuffle/partition
+    // key at 100 TB and collisions are the only pairs ever materialized.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val bands = simhashSigs(s, d)
+        .select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .select($"doc_id", $"simhash", $"b",
+          expr("shiftright(simhash, 15 * b) & 32767").as("chunk"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+        .distinct()
+        .select($"d1", $"d2",
+          expr("cast(bit_count(s1 ^ s2) as bigint)").as("hamming"))
+        .filter($"hamming" <= 12)
+        .orderBy("d1", "d2")
     }),
 
     // Exact n-gram (3-shingle) Jaccard near-dup: distinct shingles,
@@ -512,6 +547,32 @@ object TextOps {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    CAST(SUM(CASE WHEN (h >> k) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM h, range(0, 60) r(k) GROUP BY doc_id, k),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS chunk
+        |  FROM sig, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |    x.simhash AS s1, y.simhash AS s2
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 12
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t

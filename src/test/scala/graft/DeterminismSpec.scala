@@ -19,7 +19,8 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_pagerank", "agg_percentile_disc", "agg_corr_r2",
     "win_cohort_retention", "etl_snapshot_diff", "etl_cdc_apply",
     "join_salted_equiv", "sim_knn_graph", "text_inverted_index",
-    "pipe_source_mixture", "etl_incremental_agg", "agg_linreg")
+    "pipe_source_mixture", "etl_incremental_agg", "agg_linreg",
+    "dedup_simhash_pairs")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
