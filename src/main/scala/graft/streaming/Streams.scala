@@ -130,6 +130,27 @@ object Streams {
         .toDF("user_id", "n_events")
       runToMemory(s, counted, "graft_stream_stateful", "update")
         .orderBy("user_id")
+    }),
+
+    // Stream–static broadcast enrichment: the canonical "join the firehose
+    // with a dimension" shape. The static nation dim broadcasts to every
+    // task; the stream is NEVER shuffled for the join (only the downstream
+    // aggregation shuffles on the group key), and the dim is re-resolvable
+    // per microbatch (slowly-changing dims pick up updates). Key is a
+    // deterministic user_id → nationkey mapping.
+    "stream_static_enrich" -> ((s, d) => {
+      import s.implicits._
+      val dim = Tables.nation(s, d)
+        .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+      val enriched = readEvents(s, d)
+        .withColumn("nk", $"user_id" % 25)
+        .join(broadcast(dim), "nk")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec($"value")).cast("decimal(18,6)").as("sum_value"))
+      runToMemory(s, enriched, "graft_stream_enrich", "complete")
+        .select($"n_name", $"n", Tables.e6($"sum_value").as("sum_value_e6"))
+        .orderBy("n_name")
     })
   )
 
@@ -160,6 +181,11 @@ object Streams {
         |ORDER BY user_id, event_type""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
