@@ -31,6 +31,33 @@ object Multimodal {
     // volume stats. The shape — binary column + metadata extraction +
     // group-report — is the catalog scan a multimodal corpus runs before
     // any decode; decode itself stays in Media.decodeStub (unit-tested).
+    // Frame-sampling index: variable-length payloads (16·(1 + doc_id % 8)
+    // bytes of chained md5 blocks, standing in for real media), indexed at
+    // a fixed 32-byte stride — (frame_no, byte offset, 4-byte probe) per
+    // frame, the seek table a video/audio pipeline builds BEFORE any
+    // decode. Pure per-row string math on the hex form (no binary
+    // substring, which DuckDB 1.0 lacks); the explode fan-out is bounded
+    // by payload_bytes/stride, and at 100 TB the index rows co-partition
+    // with the blob by doc_id so the decoder reads frames without a
+    // shuffle.
+    "multimodal_frame_index" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          expr("repeat(md5(text), cast(1 + doc_id % 8 as int))").as("hx"))
+        .select($"doc_id", expr("cast(length(hx) div 2 as bigint)").as("blob_bytes"),
+          $"hx")
+        .select($"doc_id", $"blob_bytes",
+          explode(expr("sequence(0, cast((blob_bytes + 31) div 32 as int) - 1)"))
+            .as("frame_no"),
+          $"hx")
+        .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
+          ($"frame_no" * 32).cast("long").as("offset_bytes"),
+          expr("substring(hx, frame_no * 64 + 1, 8)").as("frame_hex8"),
+          $"blob_bytes")
+        .orderBy("doc_id", "frame_no")
+    }),
+
     "multimodal_type_sniff" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -58,6 +85,19 @@ object Multimodal {
         |  CAST(octet_length(unhex(md5(text))) AS INT) AS byte_len,
         |  substring(hex(unhex(md5(text))), 1, 16) AS hex16
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_index" ->
+      """WITH b AS (
+        |  SELECT doc_id, repeat(md5(text), CAST(1 + doc_id % 8 AS INT)) AS hx
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, hx, CAST(len(hx) // 2 AS BIGINT) AS blob_bytes,
+        |    unnest(range(0, (len(hx) // 2 + 31) // 32)) AS frame_no
+        |  FROM b)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(frame_no * 32 AS BIGINT) AS offset_bytes,
+        |  substring(hx, CAST(frame_no * 64 + 1 AS INT), 8) AS frame_hex8,
+        |  blob_bytes
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
     "multimodal_type_sniff" ->
       """WITH b AS (
         |  SELECT doc_id, unhex(md5(text) || md5(reverse(text))) AS blob
