@@ -97,6 +97,60 @@ object Analytics {
         .orderBy("l_returnflag")
     }),
 
+    // Continuous (interpolated) median per group — the percentile_cont
+    // dual of agg_percentile_disc, in exact integers: position on the
+    // 0-based continuum is (n−1)·50/100 = lo + frac/100; the answer is
+    // v_lo·1e6 + (v_hi − v_lo)·1e6·frac div 100, picked via the same
+    // rank-position window + conditional-max trick (no collect, one sort
+    // shuffle per group set).
+    "agg_percentile_cont" -> ((s, d) => {
+      import s.implicits._
+      val byFlag = Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+        .withColumn("rn", row_number().over(byFlag.orderBy($"qty_c")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .groupBy($"l_returnflag")
+        .agg(
+          max($"n").as("n"),
+          max(when($"rn" === expr("(n - 1) * 50 div 100 + 1"), $"qty_c")).as("v_lo"),
+          max(when($"rn" === expr("least((n - 1) * 50 div 100 + 2, n)"), $"qty_c"))
+            .as("v_hi"),
+          max(expr("(n - 1) * 50 % 100")).as("frac"))
+        .select($"l_returnflag", $"n",
+          expr("v_lo * 1000000 + (v_hi - v_lo) * 1000000 * frac div 100")
+            .as("p50_cont_e6"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Gini coefficient per market segment over order totals — exact
+    // integers via the rank formula G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx)
+    // on the ascending-sorted values (unique-key tie-break so ranks are
+    // reproducible; equal values make the formula tie-order-invariant).
+    // num·1e6 exceeds int64 → DECIMAL(38,0)/HUGEINT with one R7-stepwise
+    // division; the sort is per-segment (one window shuffle), the rest is
+    // map-side sums.
+    "agg_gini" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_custkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("x"))
+      val seg = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      val w = Window.partitionBy($"c_mktsegment")
+      o.join(broadcast(seg), $"o_custkey" === $"c_custkey")
+        .withColumn("i", row_number().over(w.orderBy($"x", $"o_custkey")))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"),
+          sum($"i" * $"x").as("six"))
+        .select($"c_mktsegment", $"n",
+          expr("""cast(cast(2 * six - (n + 1) * sx as decimal(38,0)) * 1000000
+                 |  div (cast(n as decimal(38,0)) * cast(sx as decimal(38,0)))
+                 |as bigint)""".stripMargin.replaceAll("\n", " ")).as("gini_e6"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Least-squares regression line per group, same exact-integer framework
     // as agg_corr_r2 (one pass of sums; R7 stepwise division): slope_e6 =
     // num·1e6 div d1 (num = n·Σxy − Σx·Σy needs DECIMAL(38,0) once ×1e6,
@@ -207,6 +261,43 @@ object Analytics {
         |        CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT))
         |    AS BIGINT) AS r2_e6
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_cont" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, qty_c,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b),
+        |a AS (
+        |  SELECT l_returnflag, max(n) AS n,
+        |    max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN qty_c END) AS v_lo,
+        |    max(CASE WHEN rn = least((n - 1) * 50 // 100 + 2, n) THEN qty_c END) AS v_hi,
+        |    max((n - 1) * 50 % 100) AS frac
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  v_lo * 1000000 + (v_hi - v_lo) * 1000000 * frac // 100 AS p50_cont_e6
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_gini" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS x,
+        |    o_custkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, x,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS i
+        |  FROM j),
+        |a AS (
+        |  SELECT c_mktsegment, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n,
+        |  CAST(CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000 //
+        |       (CAST(n AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS gini_e6
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     "agg_linreg" ->
       """WITH b AS (
         |  SELECT l_returnflag,
