@@ -236,6 +236,33 @@ object Etl {
         .orderBy("rule")
     }),
 
+    // OHLC downsampling — the time-series bar aggregation: per (6h bucket,
+    // event_type), open/close are the first/last value by (ts, event_id)
+    // (unique-key tie-break → deterministic), high/low/count/volume are
+    // plain aggregates. One window for the edge ranks + one hash-agg, both
+    // partitioned by the bucket key — at 100 TB this is a single shuffle
+    // co-partitioned with any other per-bucket computation, and the
+    // min_by/max_by struct trick keeps it one pass (no self-join back for
+    // the open/close rows).
+    "etl_downsample_ohlc" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"bucket_us", $"event_type")
+      Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          Tables.tsUs.as("ts_us"),
+          Tables.e6($"value").as("v_e6"))
+        .withColumn("bucket_us", expr("ts_us - ts_us % 21600000000"))
+        .withColumn("rn_a", row_number().over(w.orderBy($"ts_us", $"event_id")))
+        .withColumn("rn_d", row_number().over(w.orderBy($"ts_us".desc, $"event_id".desc)))
+        .groupBy($"bucket_us", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          max(when($"rn_a" === 1, $"v_e6")).as("open_e6"),
+          max($"v_e6").as("high_e6"),
+          min($"v_e6").as("low_e6"),
+          max(when($"rn_d" === 1, $"v_e6")).as("close_e6"))
+        .orderBy("bucket_us", "event_type")
+    }),
+
     // G5: parser/validator quality report — per-column null/distinct/min/max
     // unpivoted via stack() into the narrow report (the flirt validation
     // pass analog). Two single-pass aggs instead of one mixed agg: fusing
@@ -364,6 +391,26 @@ object Etl {
         |         ELSE 'same' END AS status
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT * FROM j WHERE status <> 'same' ORDER BY k""".stripMargin,
+    "etl_downsample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6
+        |  FROM events),
+        |b AS (
+        |  SELECT *, ts_us - ts_us % 21600000000 AS bucket_us FROM e),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bucket_us, event_type
+        |      ORDER BY ts_us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY bucket_us, event_type
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT bucket_us, event_type, COUNT(*) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN v_e6 END) AS open_e6,
+        |  max(v_e6) AS high_e6, min(v_e6) AS low_e6,
+        |  max(CASE WHEN rn_d = 1 THEN v_e6 END) AS close_e6
+        |FROM r GROUP BY bucket_us, event_type
+        |ORDER BY bucket_us, event_type""".stripMargin,
     "etl_dq_constraints" ->
       """WITH a AS (
         |  SELECT COUNT(*) AS n_rows,

@@ -20,7 +20,8 @@ class DeterminismSpec extends AnyFunSuite {
     "win_cohort_retention", "etl_snapshot_diff", "etl_cdc_apply",
     "join_salted_equiv", "sim_knn_graph", "text_inverted_index",
     "pipe_source_mixture", "etl_incremental_agg", "agg_linreg",
-    "dedup_simhash_pairs", "agg_gini", "agg_percentile_cont")
+    "dedup_simhash_pairs", "agg_gini", "agg_percentile_cont",
+    "etl_downsample_ohlc")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
