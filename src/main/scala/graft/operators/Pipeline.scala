@@ -175,6 +175,54 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE — the whole curation pipeline as ONE declarative plan:
+    // exact dedup (keep lowest id per content hash) → quality gate (length
+    // band + repetition ratio) → near-dup drop (guarded 3-gram Jaccard
+    // posting-list pairs over the bounded doc_id<150 candidate slice, 5%
+    // threshold, keep lowest id) → per-(source, lang) corpus report.
+    // Catalyst sees all four stages at once, so filters push through the
+    // whole chain and the dedup/report shuffles share partitioning — the
+    // argument for running curation as queries instead of glued scripts.
+    "pipe_curation_e2e" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text",
+          size(split($"text", " ")).as("n_tok"),
+          uniqRatioE4($"text").as("uniq_e4"),
+          md5($"text".cast("binary")).as("h"))
+      val s1 = docs
+        .withColumn("dup_rank",
+          row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+        .filter($"dup_rank" === 1)
+      val s2 = s1.filter($"n_tok".between(10, 1000) && $"uniq_e4" >= 3000)
+      val grouped = s2.filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang", explode(TextOps.shingles3).as("sh"))
+        .groupBy($"sh", $"lang")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") <= 20)
+      val sizes = grouped.select(explode($"ids").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
+        .select(expr(
+          """explode(flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |            y -> struct(x AS d1, y AS d2))))) AS p""".stripMargin))
+        .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val drops = pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .filter(expr("(inter * 1000000) div (n1 + n2 - inter)") >= 50000)
+        .select($"d2".as("doc_id")).distinct()
+      s2.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok".cast("long")).as("n_tokens"))
+        .orderBy("source", "lang")
+    }),
+
     // Training-mix allocation: apportion a 1M-sample budget across the 20
     // corpus sources proportionally to token mass, using largest-remainder
     // (Hamilton) apportionment so the integer allocations sum EXACTLY to
@@ -204,6 +252,46 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_curation_e2e" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, lang, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) * 10000
+        |      // len(string_split(text, ' ')) AS uniq_e4,
+        |    md5(text) AS h
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS dr
+        |    FROM docs) WHERE dr = 1),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  WHERE n_tok BETWEEN 10 AND 1000 AND uniq_e4 >= 3000),
+        |t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM s2 WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sh AS (
+        |  SELECT sh0.* FROM sh0
+        |  JOIN (SELECT sh, lang FROM sh0 GROUP BY sh, lang HAVING COUNT(*) <= 20) k
+        |  USING (sh, lang)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |drops AS (
+        |  SELECT DISTINCT d2 AS doc_id
+        |  FROM pairs JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+        |  WHERE (inter * 1000000) // (z1.n_sh + z2.n_sh - inter) >= 50000)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "pipe_source_mixture" ->
       """WITH a AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -30,7 +30,7 @@ object TextOps {
     * through -1 and slice(t, 0, 3) throws (SQL arrays are 1-based), so
     * short docs yield an empty array — matching the oracle, where
     * `WHERE i <= len(t)-2` simply generates no shingle rows. */
-  private val shingles3 = expr(
+  private[operators] val shingles3 = expr(
     """CASE WHEN size(t) >= 3
       |  THEN array_distinct(transform(sequence(0, size(t) - 3),
       |    i -> concat_ws(' ', slice(t, i + 1, 3))))
