@@ -190,24 +190,27 @@ object Analytics {
       val edges1 = Tables.lineitem(s, d)
         .select(($"l_partkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
         .distinct()
-      // The edge-distinct subtree appears once per round per consumer in
-      // the static plan; AQE's runtime exchange reuse collapses the
-      // identical shuffles (measured: an explicit .persist() was NOT
-      // faster — eager materialization cost what reuse already saved). A
-      // many-round production PageRank would still cache the static graph
-      // GraphX-style; at 2 unrolled rounds reuse is sufficient.
+      // The source degree is baked into the edge table ONCE (GraphX's
+      // routing-table trick), so each round is join(edges_deg, rank) +
+      // hash-agg with NO per-round deg re-join; the final deg join is for
+      // the output column only. The edge-distinct subtree still appears
+      // once per round in the static plan — AQE's runtime exchange reuse
+      // collapses the identical shuffles (measured: an explicit .persist()
+      // was NOT faster — eager materialization cost what reuse saved). A
+      // many-round production PageRank caches the static graph instead.
       val edges = edges1.unionByName(edges1.select($"v".as("u"), $"u".as("v")))
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
-      val r0 = deg.select($"u", lit(1000000L).as("pr"), $"deg")
+      val edgesDeg = edges.join(deg, "u")
+      val r0 = deg.select($"u", lit(1000000L).as("pr"))
       def round1(r: org.apache.spark.sql.DataFrame) =
-        edges.join(r, "u")
+        edgesDeg.join(r, "u")
           .groupBy($"v".as("u"))
           .agg(expr(
             "cast(150000 + (850000 * sum(pr div deg)) div 1000000 as bigint)")
             .as("pr"))
-          .join(deg, "u")
       val r2 = round1(round1(r0))
-      r2.select($"u".as("node"), $"pr".as("rank_e6"), $"deg")
+      r2.join(deg, "u")
+        .select($"u".as("node"), $"pr".as("rank_e6"), $"deg")
         .orderBy($"rank_e6".desc, $"node".asc)
         .limit(100)
     })
