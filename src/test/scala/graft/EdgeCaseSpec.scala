@@ -44,4 +44,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(df.as[Long].collect().toSeq ==
       Seq(1704067200000000L, 1704067200000000L, 0L))
   }
+
+  test("rank-position percentiles: 1-row, 2-row, and all-equal groups") {
+    // the ceil(p·n) (disc) and (n−1)·p interpolation (cont) formulas must
+    // degrade sanely at the edges the testdata never exercises
+    val df = Seq(
+      ("one", 7L), ("two", 1L), ("two", 9L),
+      ("same", 5L), ("same", 5L), ("same", 5L)
+    ).toDF("g", "v")
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy($"g")
+    val r = df
+      .withColumn("rn", row_number().over(byG.orderBy($"v")))
+      .withColumn("n", count(lit(1)).over(byG))
+      .groupBy($"g")
+      .agg(
+        max(when($"rn" === expr("(n * 50 + 99) div 100"), $"v")).as("p50_disc"),
+        max(when($"rn" === expr("(n - 1) * 50 div 100 + 1"), $"v")).as("v_lo"),
+        max(when($"rn" === expr("least((n - 1) * 50 div 100 + 2, n)"), $"v")).as("v_hi"),
+        max(expr("(n - 1) * 50 % 100")).as("frac"))
+      .withColumn("p50_cont_e6",
+        expr("v_lo * 1000000 + (v_hi - v_lo) * 1000000 * frac div 100"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(5))).toMap
+    assert(r("one") == (7L, 7000000L), "singleton: both medians = the value")
+    assert(r("two") == (1L, 5000000L), "2 rows: disc picks lower, cont midpoint")
+    assert(r("same") == (5L, 5000000L), "ties: value invariant to rank order")
+  }
+
+  test("Gini: all-equal values give 0; maximal concentration approaches 1") {
+    def gini(xs: Seq[Long]): Long = {
+      val df = xs.toDF("x")
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"x")))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"i" * $"x").as("six"))
+        .selectExpr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)")
+      df.as[Long].head()
+    }
+    assert(gini(Seq(100L, 100L, 100L, 100L)) == 0L)
+    val g = gini(Seq(0L, 0L, 0L, 1000000L))
+    assert(g >= 700000L && g <= 750000L, s"expected ~0.75 (= (n-1)/n), got $g")
+  }
 }
