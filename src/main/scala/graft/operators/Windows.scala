@@ -31,6 +31,23 @@ object Windows {
     }),
 
     // E2: top-3 customers per nation.
+    // Same semantics as win_topk_per_group, executed by the engine's OWN
+    // physical operator (plans/TopKPerGroup.scala: custom LogicalPlan →
+    // SparkStrategy → two-phase SparkPlan with map-side k-heaps) instead
+    // of the window — the oracle hash-match proves the custom operator
+    // against an independent engine. No rank column (the operator returns
+    // a row set); the unique (acctbal desc, custkey asc) order makes that
+    // set deterministic.
+    "win_topk_custom" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.customer(s, d)
+        .select($"c_nationkey", $"c_custkey",
+          Tables.e6(Tables.dec($"c_acctbal")).as("acctbal_e6"))
+      graft.plans.TopKPerGroup(base, Seq("c_nationkey"),
+          Seq(("acctbal_e6", false), ("c_custkey", true)), 3)
+        .orderBy($"c_nationkey", $"acctbal_e6".desc, $"c_custkey")
+    }),
+
     "win_topk_per_group" -> ((s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"c_nationkey")
@@ -119,6 +136,16 @@ object Windows {
         |  CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk,
         |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
         |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "win_topk_custom" ->
+      """SELECT c_nationkey, c_custkey, acctbal_e6 FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_e6,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) DESC,
+        |               c_custkey ASC) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, acctbal_e6 DESC, c_custkey""".stripMargin,
     "win_topk_per_group" ->
       """SELECT c_nationkey, rn, c_custkey, acctbal_e6 FROM (
         |  SELECT c_nationkey, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS acctbal_e6,

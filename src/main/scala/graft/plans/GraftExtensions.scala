@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inert unless spark.graft.approxCountDistinct=true, so injecting it
     // unconditionally costs nothing.
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    // Whole-operator extension: plans TopKPerGroupNode into the two-phase
+    // partial/final physical operator (see TopKPerGroup). The facade also
+    // registers this per-session via experimental.extraStrategies, so
+    // either construction path works.
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
