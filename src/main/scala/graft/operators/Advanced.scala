@@ -186,6 +186,35 @@ object Advanced {
     // probability p(w2|w1) as an exact integer micro-ratio. Adjacent-token
     // pairing is a zip of the token array with its tail (map-side), then
     // two hash-aggs — the n-gram-count shape of corpus LM preprocessing.
+    // Collocation mining by integer lift: lift(w1,w2) = P(w1w2) /
+    // (P(w1)·P(w2)) = N·c12 / (c1·c2), micro-scaled — the PMI family
+    // without the log, so it stays exact integer cross-engine. Three
+    // hash-aggs over the exploded bigrams + two joins on the word key;
+    // the c12 ≥ 5 support floor is the frequent-itemset prune that keeps
+    // the candidate set sparse at corpus scale (broadcastable unigram
+    // tables: vocabulary ≪ corpus).
+    "text_collocation_lift" -> ((s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select(split($"text", " ").as("t"))
+        .filter(size($"t") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+          .as("b"))
+        .select($"b.w1", $"b.w2")
+      val n = bi.groupBy().agg(count(lit(1)).as("n_total"))
+      val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 5)
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val c2 = bi.groupBy($"w2").agg(count(lit(1)).as("c2"))
+      c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .select($"w1", $"w2", $"c12",
+          expr("(n_total * c12 * 1000000) div (c1 * c2)").as("lift_e6"))
+        .orderBy($"lift_e6".desc, $"w1".asc, $"w2".asc)
+        .limit(100)
+    }),
+
     "text_bigram_lm" -> ((s, d) => {
       import s.implicits._
       val bi = Tables.documents(s, d)
@@ -346,6 +375,21 @@ object Advanced {
         |         <= MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) THEN 2
         |    ELSE 3 END AS funnel_depth
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_collocation_lift" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 2),
+        |ti AS (SELECT t, generate_subscripts(t, 1) AS j FROM t),
+        |bi AS (SELECT t[j] AS w1, t[j+1] AS w2 FROM ti WHERE j <= len(t) - 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM bi),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+        |        HAVING COUNT(*) >= 5),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        |c2 AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY w2)
+        |SELECT w1, w2, c12,
+        |  (n_total * c12 * 1000000) // (c1 * c2) AS lift_e6
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        |ORDER BY lift_e6 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
     "text_bigram_lm" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

@@ -178,6 +178,45 @@ object Analytics {
         .orderBy("l_returnflag")
     }),
 
+    // Rolling correlation — the windowed dual of agg_corr_r2: r² of
+    // (quantity, price) over the trailing 31-row frame per return flag,
+    // ordered by the unique (shipdate, orderkey, linenumber) key. All five
+    // sums come from ONE window pass (same frame → shared sort), and with
+    // n ≤ 31 every term fits int64 outright — no decimal needed; the
+    // degenerate-frame guard (den < 1e6 → -1) is the same CASE on both
+    // engines, covering zero-variance windows. Bounded slice keeps the
+    // graded output small; the shape itself is one sort shuffle at any
+    // scale.
+    "win_rolling_corr" -> ((s, d) => {
+      import s.implicits._
+      // (orderkey, linenumber) is NOT unique in this synthetic lineitem —
+      // x/y value tie-breaks make the frame contents deterministic (rows
+      // still tied after that are fully identical, so frame sums agree).
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"x", $"y")
+      val f = w.rowsBetween(-30, 0)
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" < 2000)
+        .select($"l_returnflag", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+          round(Tables.dec($"l_quantity")).cast("long").as("x"),
+          expr("round(cast(l_extendedprice as decimal(18,6)) * 100) div 10000")
+            .as("y"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("sx", sum($"x").over(f))
+        .withColumn("sy", sum($"y").over(f))
+        .withColumn("sxx", sum($"x" * $"x").over(f))
+        .withColumn("syy", sum($"y" * $"y").over(f))
+        .withColumn("sxy", sum($"x" * $"y").over(f))
+        .filter($"rn" >= 31)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          expr("""CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) >= 1000000
+                 |THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) div
+                 |  ((n * sxx - sx * sx) * (n * syy - sy * sy) div 1000000)
+                 |ELSE -1 END""".stripMargin.replaceAll("\n", " ")).as("r2_e6"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "r2_e6")
+    }),
+
     // PageRank, 2 unrolled rounds, over the undirected bipartite
     // part–supplier graph from lineitem (node ids: part p → 2p, supplier
     // s → 2s+1). Pure integer mass-passing: rank'(v) = 0.15e6 +
@@ -321,6 +360,36 @@ object Analytics {
         |SELECT l_returnflag, n, slope_e6,
         |  (sy * 1000000 - slope_e6 * sx) // n AS icept_e6
         |FROM sl ORDER BY l_returnflag""".stripMargin,
+    "win_rolling_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      // 10000 AS y
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER f AS n,
+        |    CAST(sum(x) OVER f AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER f AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER f AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER f AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER f AS BIGINT) AS sxy
+        |  FROM b
+        |  WINDOW
+        |    w AS (PARTITION BY l_returnflag
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y),
+        |    f AS (PARTITION BY l_returnflag
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
+        |          ROWS BETWEEN 30 PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) >= 1000000
+        |  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) //
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy) // 1000000)
+        |  ELSE -1 END AS r2_e6
+        |FROM r WHERE rn >= 31
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, r2_e6""".stripMargin,
     "graph_pagerank" ->
       """WITH e1 AS (
         |  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v

@@ -21,7 +21,8 @@ class DeterminismSpec extends AnyFunSuite {
     "join_salted_equiv", "sim_knn_graph", "text_inverted_index",
     "pipe_source_mixture", "etl_incremental_agg", "agg_linreg",
     "dedup_simhash_pairs", "agg_gini", "agg_percentile_cont",
-    "etl_downsample_ohlc", "pipe_curation_e2e", "win_topk_custom")
+    "etl_downsample_ohlc", "pipe_curation_e2e", "win_topk_custom",
+    "win_rolling_corr", "text_collocation_lift")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
