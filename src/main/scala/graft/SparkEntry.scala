@@ -24,6 +24,7 @@ object SparkEntry {
     functions.Scalars.queries ++
     operators.TextOps.queries ++
     operators.SimOps.queries ++
+    operators.VectorOps.queries ++
     operators.Multimodal.queries ++
     operators.Subqueries.queries ++
     operators.Advanced.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     functions.Scalars.oracleSql ++
     operators.TextOps.oracleSql ++
     operators.SimOps.oracleSql ++
+    operators.VectorOps.oracleSql ++
     operators.Multimodal.oracleSql ++
     operators.Subqueries.oracleSql ++
     operators.Advanced.oracleSql ++

@@ -218,6 +218,50 @@ object Aggregates {
           coalesce($"signup", lit(0L)).as("n_signup"),
           coalesce($"view", lit(0L)).as("n_view"))
         .orderBy("user_id")
+    }),
+
+    // Distributed moment sketch + deterministic finishers: each group
+    // carries only (n, Σc, Σc², Σc³, Σc⁴) — algebraic and mergeable by
+    // addition, so map-side partials do all the work and the shuffle is
+    // one row per group (this IS the 100 TB shape for higher-order
+    // stats). Power sums ride DECIMAL(38,0)/HUGEINT (c ≤ ~1e7 cents ⇒
+    // Σc⁴ ≤ ~2e33 « 1e38), are truncated to int64 by R7 stepwise
+    // division on BOTH engines, and the skewness/kurtosis finishers then
+    // run the identical IEEE scalar formula over identical int64 inputs —
+    // bit-equal doubles, exact hash match (zero-variance groups guarded
+    // by the same CASE on both sides).
+    "agg_moment_sketch" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s1"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("s2"),
+          sum(expr("cast(c as decimal(38,0)) * c * c")).as("s3"),
+          sum(expr("cast(c as decimal(38,0)) * c * c * c")).as("s4"))
+        .select($"l_returnflag", $"n", $"s1",
+          expr("s2 div 1000000").as("s2_d6"),
+          expr("s3 div 1000000000000").as("s3_d12"),
+          expr("s4 div 1000000000000000000").as("s4_d18"))
+        .withColumn("mu", expr("cast(s1 as double) / cast(n as double)"))
+        .withColumn("s2f", expr("cast(s2_d6 as double) * 1e6 / cast(n as double)"))
+        .withColumn("s3f", expr("cast(s3_d12 as double) * 1e12 / cast(n as double)"))
+        .withColumn("s4f", expr("cast(s4_d18 as double) * 1e18 / cast(n as double)"))
+        .withColumn("m2", expr("s2f - mu * mu"))
+        .withColumn("skew_e3", expr(
+          """CASE WHEN m2 <= 0 THEN 0 ELSE cast(round(
+            |  (s3f - 3.0 * mu * s2f + 2.0 * mu * mu * mu)
+            |  / (m2 * sqrt(m2)) * 1000) as bigint) END"""
+            .stripMargin.replaceAll("\n", " ")))
+        .withColumn("kurt_e3", expr(
+          """CASE WHEN m2 <= 0 THEN 0 ELSE cast(round(
+            |  ((s4f - 4.0 * mu * s3f + 6.0 * mu * mu * s2f - 3.0 * mu * mu * mu * mu)
+            |   / (m2 * m2) - 3.0) * 1000) as bigint) END"""
+            .stripMargin.replaceAll("\n", " ")))
+        .select($"l_returnflag", $"n", $"s1", $"s2_d6", $"s3_d12", $"s4_d18",
+          $"skew_e3", $"kurt_e3")
+        .orderBy("l_returnflag")
     })
   )
 
@@ -333,6 +377,38 @@ object Aggregates {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_moment_sketch" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2,
+        |    SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM g GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT l_returnflag, n, s1,
+        |    CAST(s2 // 1000000 AS BIGINT) AS s2_d6,
+        |    CAST(s3 // 1000000000000 AS BIGINT) AS s3_d12,
+        |    CAST(s4 // 1000000000000000000 AS BIGINT) AS s4_d18
+        |  FROM a),
+        |f AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2_d6 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE) AS s2f,
+        |    CAST(s3_d12 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE) AS s3f,
+        |    CAST(s4_d18 AS DOUBLE) * 1e18 / CAST(n AS DOUBLE) AS s4f
+        |  FROM t),
+        |m AS (SELECT *, s2f - mu * mu AS m2 FROM f)
+        |SELECT l_returnflag, n, s1, s2_d6, s3_d12, s4_d18,
+        |  CASE WHEN m2 <= 0 THEN 0 ELSE CAST(round(
+        |    (s3f - 3.0 * mu * s2f + 2.0 * mu * mu * mu)
+        |    / (m2 * sqrt(m2)) * 1000) AS BIGINT) END AS skew_e3,
+        |  CASE WHEN m2 <= 0 THEN 0 ELSE CAST(round(
+        |    ((s4f - 4.0 * mu * s3f + 6.0 * mu * mu * s2f - 3.0 * mu * mu * mu * mu)
+        |     / (m2 * m2) - 3.0) * 1000) AS BIGINT) END AS kurt_e3
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -414,6 +414,57 @@ object TextOps {
         .agg(count(lit(1)).as("n_match"))
         .orderBy($"n_match".desc, $"d1".asc, $"d2".asc)
         .limit(100)
+    }),
+
+    // Exact dedup AFTER canonical text normalization (lowercase, strip
+    // non-alphanumerics, collapse whitespace) — the form real pipelines
+    // run, since byte-exact dedup misses trivially reformatted copies.
+    // Same 100 TB shape as text_exact_dedup: one shuffle of 32-hex-char
+    // keys, map-side partial counts.
+    "dedup_exact_normalized" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " "))
+            .cast("binary")).as("h"))
+        .groupBy($"h")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")
+    }),
+
+    // Containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|) over 3-gram
+    // shingles — catches quotes/subsets that Jaccard dilutes (a doc fully
+    // contained in a much larger one has tiny Jaccard but containment 1).
+    // Same posting-list pair-count subtree as dedup_ngram_jaccard (one
+    // grouped-shingle shuffle, map-side i<j expansion, DF cap ≤ 20), only
+    // the final ratio differs — at 100 TB the candidate stage is shared
+    // between both reports.
+    "dedup_shingle_containment" -> ((s, d) => {
+      import s.implicits._
+      val grouped = Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang", explode(shingles3).as("sh"))
+        .groupBy($"sh", $"lang")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") <= 20)
+      val sizes = grouped
+        .select(explode($"ids").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
+        .select(expr(
+          """explode(flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |            y -> struct(x AS d1, y AS d2))))) AS p""".stripMargin))
+        .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .select($"d1", $"d2", $"inter",
+          expr("(inter * 1000000) div least(n1, n2)").as("cont_e6"))
+        .orderBy($"cont_e6".desc, $"d1".asc, $"d2".asc)
+        .limit(100)
     })
   )
 
@@ -668,6 +719,32 @@ object TextOps {
         |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_match
         |FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
-        |ORDER BY n_match DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
+        |ORDER BY n_match DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+        |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_shingle_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sh AS (
+        |  SELECT sh0.* FROM sh0
+        |  JOIN (SELECT sh, lang FROM sh0 GROUP BY sh, lang HAVING COUNT(*) <= 20) k
+        |  USING (sh, lang)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, inter,
+        |  (inter * 1000000) // least(s1.n_sh, s2.n_sh) AS cont_e6
+        |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |ORDER BY cont_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators beyond point-query similarity: per-group
+  * centroid geometry and storage-side quantization — the two vector
+  * transforms a training-data pipeline runs over a whole corpus (cluster
+  * structure between label groups; int8 compression before shipping
+  * vectors to an index or a trainer).
+  *
+  * Determinism: float elements are quantized to exact integers FIRST
+  * (round(x·1e4) — round-half-away agrees on both engines), so every
+  * cross-row sum is order-independent integer math; doubles reappear only
+  * in fixed-arity scalar formulas over those exact integers (int64→double
+  * is correctly rounded on both engines, and the op sequence is written
+  * identically on both sides — rule R2/R7 discipline).
+  *
+  * Scale: the centroid is an algebraic sketch (per-(group,pos) integer
+  * sums merge by addition — map-side partials do most of the work, the
+  * shuffle carries one row per (group, dimension)); pairwise cosine then
+  * runs over `groups × dims` rows, independent of corpus row count.
+  * Quantization is a pure per-row map — no shuffle at all.
+  */
+object VectorOps {
+
+  val queries: Map[String, Q] = Map(
+    // Cosine similarity between per-label centroid vectors. Centroid
+    // DIRECTION equals the direction of the elementwise SUM (cosine is
+    // scale-invariant), so no division by count ever happens: per
+    // (label, pos) the engine sums round(x·1e4) quanta — exact,
+    // associative, mergeable — then dot/norms are int64 sums over the 64
+    // dims (safe while n_rows/label · 1e4 < ~3e8, i.e. ≤ ~30k rows per
+    // label; beyond that drop the quantum to 1e2 or lift sums to
+    // DECIMAL(38,0)). The final cosine is the identical scalar double
+    // formula on both engines.
+    "vec_centroid_cosine" -> ((s, d) => {
+      import s.implicits._
+      val comp = Tables.embeddings(s, d)
+        .select($"label".cast("long").as("label"), posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"label", $"pos",
+          round($"x".cast("double") * 10000).cast("long").as("q"))
+        .groupBy($"label", $"pos")
+        .agg(sum($"q").as("sv"))
+      val norms = comp.groupBy($"label").agg(sum($"sv" * $"sv").as("nn"))
+      val dots = comp.as("a")
+        .join(comp.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+        .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+      dots
+        .join(broadcast(norms.select($"label".as("la"), $"nn".as("nna"))), "la")
+        .join(broadcast(norms.select($"label".as("lb"), $"nn".as("nnb"))), "lb")
+        .select($"la", $"lb",
+          round($"dot" / (sqrt($"nna") * sqrt($"nnb")) * 1000000)
+            .cast("long").as("cos_e6"))
+        .orderBy("la", "lb")
+    }),
+
+    // Symmetric max-abs int8 quantization of each embedding: scale =
+    // 127/max|x|, element → floor(x·127/max + 0.5) (explicit round-half-
+    // toward-+∞ — floor is exact IEEE on both engines, so no round-tie
+    // semantics in the hot path). Emits the quantized ARRAY<BIGINT> and
+    // the micro-scaled scale denominator. Pure map: at 100 TB this is a
+    // scan-shaped pass that never shuffles.
+    "vec_quantize_int8" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .filter($"vec_id" < 100)
+        .select($"vec_id",
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))").as("ma"),
+          $"embedding")
+        .select($"vec_id",
+          round($"ma" * 1000000).cast("long").as("maxabs_e6"),
+          expr(
+            """CASE WHEN ma = 0
+              |  THEN transform(embedding, x -> cast(0 as bigint))
+              |  ELSE transform(embedding,
+              |    x -> cast(floor(cast(x as double) * 127.0 / ma + 0.5) as bigint))
+              |END""".stripMargin).as("q8"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "vec_centroid_cosine" ->
+      """WITH ei AS (
+        |  SELECT CAST(label AS BIGINT) AS label, embedding AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, pos,
+        |    CAST(round(CAST(v[pos] AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM ei),
+        |comp AS (
+        |  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sv
+        |  FROM x GROUP BY label, pos),
+        |norms AS (
+        |  SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS nn
+        |  FROM comp GROUP BY label),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb, CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot
+        |  FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT la, lb,
+        |  CAST(round(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000) AS BIGINT) AS cos_e6
+        |FROM dots JOIN norms na ON na.label = la JOIN norms nb ON nb.label = lb
+        |ORDER BY la, lb""".stripMargin,
+    "vec_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id,
+        |  CAST(round(ma * 1000000) AS BIGINT) AS maxabs_e6,
+        |  CASE WHEN ma = 0
+        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
+        |  END AS q8
+        |FROM m ORDER BY vec_id""".stripMargin
+  )
+}

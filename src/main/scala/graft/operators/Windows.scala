@@ -126,6 +126,28 @@ object Windows {
           first($"c_custkey").over(w).as("richest_cust"),
           last($"c_custkey").over(w).as("poorest_cust"))
         .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // Running DISTINCT count per key — "how many distinct event types has
+    // this user produced so far". Spark has no DISTINCT window aggregates,
+    // so the engine uses size(collect_set(...)) over the running frame
+    // (update-only frame → incremental, no per-row recompute); the oracle
+    // proves the same semantics via first-occurrence flags + running sum.
+    // The (ts_us, event_id) order is total per user, so prefix contents
+    // are deterministic. One sort shuffle on user_id; the 50× user sample
+    // bounds graded output, the shape is scale-free.
+    "win_running_distinct" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter($"user_id" % 50 === 0)
+        .select($"user_id", Tables.tsUs.as("ts_us"), $"event_id", $"event_type")
+        .withColumn("n_types_seen",
+          size(collect_set($"event_type").over(w)).cast("long"))
+        .select($"user_id", $"ts_us", $"event_id", $"n_types_seen")
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -186,6 +208,24 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY c_nationkey, c_custkey""".stripMargin
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    // Same semantics as size(collect_set(...)) over the running frame,
+    // expressed without DISTINCT window aggregates: a row contributes 1
+    // exactly when it is the first (ts_us, event_id)-ordered occurrence
+    // of its (user_id, event_type).
+    "win_running_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id % 50 = 0),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us ASC, event_id ASC) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, ts_us, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -22,7 +22,9 @@ class DeterminismSpec extends AnyFunSuite {
     "pipe_source_mixture", "etl_incremental_agg", "agg_linreg",
     "dedup_simhash_pairs", "agg_gini", "agg_percentile_cont",
     "etl_downsample_ohlc", "pipe_curation_e2e", "win_topk_custom",
-    "win_rolling_corr", "text_collocation_lift")
+    "win_rolling_corr", "text_collocation_lift",
+    "dedup_shingle_containment", "vec_centroid_cosine", "vec_quantize_int8",
+    "agg_moment_sketch", "win_running_distinct", "dedup_exact_normalized")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

@@ -109,4 +109,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val reused = "ReusedExchange".r.findAllIn(fin).size
     assert(reused >= 2, s"expected >=2 reused exchanges, got $reused:\n${fin.take(1200)}")
   }
+
+  test("int8 quantization is a pure scan-shaped map (zero hash shuffles)") {
+    val p = plan("vec_quantize_int8")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"quantize must not shuffle:\n${p.take(800)}")
+  }
+
+  test("centroid cosine partial-aggregates before its one (group,dim) shuffle") {
+    // The per-(label,pos) integer sums must be two-phase: map-side partials
+    // shrink the shuffle to one row per (group, dimension) — the property
+    // that makes the centroid sketch corpus-size-independent at 100 TB.
+    val p = plan("vec_centroid_cosine")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final expected")
+    assert(p.contains("BroadcastHashJoin"), "norm join must broadcast")
+  }
 }
