@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2-D: aggregation family.
@@ -262,6 +263,30 @@ object Aggregates {
         .select($"l_returnflag", $"n", $"s1", $"s2_d6", $"s3_d12", $"s4_d18",
           $"skew_e3", $"kurt_e3")
         .orderBy("l_returnflag")
+    }),
+
+    // Weighted median (price weighted by quantity) in exact integers: the
+    // answer is the smallest value v where 2·cumweight(≤v) ≥ totalweight.
+    // Tie-safety without ordering beyond the value column: a run of equal
+    // values qualifies iff its END-of-run cumulative weight crosses the
+    // threshold (the max cum inside a run is at its end), so min(c) over
+    // qualifying rows is order-independent even though per-row cum under
+    // ties is not. One sort shuffle per group — same cost shape as the
+    // exact median.
+    "agg_weighted_median" -> ((s, d) => {
+      import s.implicits._
+      val byFlag = Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          round(Tables.dec($"l_extendedprice") * 100).cast("long").as("c"),
+          round(Tables.dec($"l_quantity")).cast("long").as("wt"))
+        .withColumn("cum", sum($"wt").over(byFlag.orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"wt").over(byFlag))
+        .filter($"cum" * 2 >= $"tot")
+        .groupBy($"l_returnflag")
+        .agg(min($"c").as("wmedian_cents"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -409,6 +434,21 @@ object Aggregates {
         |  CASE WHEN m2 <= 0 THEN 0 ELSE CAST(round(
         |    ((s4f - 4.0 * mu * s3f + 6.0 * mu * mu * s2f - 3.0 * mu * mu * mu * mu)
         |     / (m2 * m2) - 3.0) * 1000) AS BIGINT) END AS kurt_e3
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS c,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag, c,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM g)
+        |SELECT l_returnflag, MIN(c) AS wmedian_cents
+        |FROM w WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -151,6 +151,37 @@ object Streams {
       runToMemory(s, enriched, "graft_stream_enrich", "complete")
         .select($"n_name", $"n", Tables.e6($"sum_value").as("sum_value_e6"))
         .orderBy("n_name")
+    }),
+
+    // Stream–stream interval join: each purchase matched to the same
+    // user's clicks in the preceding six hours — the attribution-join
+    // shape. Both sides carry watermarks (they bound the join state: a
+    // click older than watermark−6h can never match a future purchase and
+    // is evicted); the range predicate rides on the watermarked
+    // event-time columns so Spark derives those state bounds. With
+    // AvailableNow over the static table everything lands in one
+    // microbatch, so the appended result equals the batch interval join
+    // the oracle runs. The 2× user sample bounds graded output; the
+    // shape shuffles each stream once on user_id at any scale.
+    "stream_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val purchases = readEvents(s, d)
+        .filter($"event_type" === "purchase" && $"user_id" % 2 === 0)
+        .select($"event_id".as("p_id"), $"user_id".as("pu"),
+          timestamp_micros(Tables.tsUs).as("pt"))
+        .withWatermark("pt", "1 hour")
+      val clicks = readEvents(s, d)
+        .filter($"event_type" === "click" && $"user_id" % 2 === 0)
+        .select($"event_id".as("c_id"), $"user_id".as("cu"),
+          timestamp_micros(Tables.tsUs).as("ct"))
+        .withWatermark("ct", "7 hours")
+      val joined = purchases.join(clicks,
+          $"pu" === $"cu" &&
+          $"ct" >= $"pt" - expr("INTERVAL 6 HOURS") && $"ct" <= $"pt")
+        .select($"p_id", $"c_id", $"pu".as("user_id"),
+          (unix_micros($"pt") - unix_micros($"ct")).as("gap_us"))
+      runToMemory(s, joined, "graft_stream_ij", "append")
+        .orderBy("p_id", "c_id")
     })
   )
 
@@ -186,6 +217,18 @@ object Streams {
       """SELECT n_name, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Batch dual of the streaming interval join (one AvailableNow batch ⇒
+    // the appended stream result is exactly this).
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.user_id % 2 = 0
+        |ORDER BY p_id, c_id""".stripMargin
   )
 }

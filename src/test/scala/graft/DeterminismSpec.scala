@@ -24,7 +24,8 @@ class DeterminismSpec extends AnyFunSuite {
     "etl_downsample_ohlc", "pipe_curation_e2e", "win_topk_custom",
     "win_rolling_corr", "text_collocation_lift",
     "dedup_shingle_containment", "vec_centroid_cosine", "vec_quantize_int8",
-    "agg_moment_sketch", "win_running_distinct", "dedup_exact_normalized")
+    "agg_moment_sketch", "win_running_distinct", "dedup_exact_normalized",
+    "agg_weighted_median")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
