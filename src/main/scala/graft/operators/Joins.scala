@@ -204,6 +204,23 @@ object Joins {
         .select($"user_id", $"ts_us")
       AsOfJoin.asOfPrior(p, c, "user_id", "ts_us", "last_click_us")
         .orderBy("event_id")
+    }),
+
+    // C12': as-of with a match tolerance — the practical sensor/trade
+    // variant ("most recent reading, but only if fresher than 2h"); a
+    // stale prior match nulls out instead of silently attributing. Same
+    // single-shuffle union+window rewrite as join_asof; the gap test is a
+    // free post-projection.
+    "join_asof_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("ts_us", Tables.tsUs)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_us")
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us")
+      AsOfJoin.asOfPriorWithin(p, c, "user_id", "ts_us",
+          maxGap = 7200000000L, outCol = "last_click_us")
+        .orderBy("event_id")
     })
   )
 
@@ -293,6 +310,19 @@ object Joins {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |    MAX(epoch_us(c.ts)) AS last_click_us
+        |  FROM events p LEFT JOIN events c
+        |    ON c.user_id = p.user_id AND c.event_type = 'click'
+        |   AND epoch_us(c.ts) < epoch_us(p.ts)
+        |  WHERE p.event_type = 'purchase'
+        |  GROUP BY p.event_id, p.user_id, p.ts)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - last_click_us <= 7200000000
+        |       THEN last_click_us ELSE NULL END AS last_click_us
+        |FROM m ORDER BY event_id""".stripMargin
   )
 }

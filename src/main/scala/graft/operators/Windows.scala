@@ -148,6 +148,33 @@ object Windows {
           size(collect_set($"event_type").over(w)).cast("long"))
         .select($"user_id", $"ts_us", $"event_id", $"n_types_seen")
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Truncated exponential moving average (half-life decay, 8 terms) in
+    // exact integers: EMA_t = Σ_{k=0..7} v_{t−k}·2^(7−k) div 255 — the
+    // classic α=1/2 EMA cut to a finite window so the weights are exact
+    // powers of two and the whole computation stays in int64 (a true
+    // recursive EMA is order-recursive and can't be bit-matched across
+    // engines; the truncated form loses < 2^-8 of the mass). All eight
+    // lag terms share one window pass (same partition/order), emitted
+    // only once the frame is full. One sort shuffle on user_id.
+    "win_ema_truncated" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val num = (1 to 7).foldLeft(
+          $"v" * lit(128L): org.apache.spark.sql.Column) { (acc, k) =>
+        acc + coalesce(lag($"v", k).over(w), lit(0L)) * lit(1L << (7 - k))
+      }
+      Tables.events(s, d)
+        .filter($"user_id" % 20 === 0)
+        .select($"user_id", Tables.tsUs.as("ts_us"), $"event_id",
+          round(Tables.dec($"value") * 100).cast("long").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("num", num)
+        .filter($"rn" >= 8)
+        .select($"user_id", $"ts_us", $"event_id",
+          expr("num div 255").as("ema_cents"))
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -226,6 +253,26 @@ object Windows {
         |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
         |    ORDER BY ts_us ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
-        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "win_ema_truncated" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id % 20 = 0),
+        |o AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    row_number() OVER w AS rn,
+        |    v * 128
+        |      + COALESCE(lag(v, 1) OVER w, 0) * 64
+        |      + COALESCE(lag(v, 2) OVER w, 0) * 32
+        |      + COALESCE(lag(v, 3) OVER w, 0) * 16
+        |      + COALESCE(lag(v, 4) OVER w, 0) * 8
+        |      + COALESCE(lag(v, 5) OVER w, 0) * 4
+        |      + COALESCE(lag(v, 6) OVER w, 0) * 2
+        |      + COALESCE(lag(v, 7) OVER w, 0) * 1 AS num
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
+        |SELECT user_id, ts_us, event_id, num // 255 AS ema_cents
+        |FROM o WHERE rn >= 8 ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }
