@@ -124,6 +124,23 @@ object Scalars {
         .orderBy("c_custkey")
     }),
 
+    // Global regex extraction: every run of 7+ lowercase letters per
+    // document, emitted pipe-joined (a plain string survives any
+    // harness-side array stringification) plus the match count. Java
+    // regex and RE2 agree on this class-run pattern; both engines scan
+    // left-to-right and take maximal runs. Pure map — scan-shaped.
+    "fn_regexp_extract_all" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select($"doc_id",
+          array_join(expr("regexp_extract_all(text, '[a-z]{7,}', 0)"), "|")
+            .as("matches"),
+          size(expr("regexp_extract_all(text, '[a-z]{7,}', 0)"))
+            .cast("long").as("n_matches"))
+        .orderBy("doc_id")
+    }),
+
     // H8: generator/UDTF surface — posexplode of tokenized text (0-based pos).
     "fn_explode_pos" -> ((s, d) => {
       import s.implicits._
@@ -206,6 +223,11 @@ object Scalars {
         |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 50
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+    "fn_regexp_extract_all" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{7,}'), '|'), '') AS matches,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_matches
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
   )
 }
