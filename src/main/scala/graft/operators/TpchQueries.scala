@@ -69,6 +69,53 @@ object TpchQueries {
         .select($"c_custkey", $"c_name", $"n_name", Tables.e6($"revenue").as("revenue_e6"))
         .orderBy($"revenue_e6".desc, $"c_custkey".asc)
         .limit(20)
+    }),
+
+    // Q7: volume shipping — bilateral trade flow between two nations per
+    // ship year (supplier nation → customer nation, both directions).
+    // Two broadcast hops resolve both nation names from one dim; the
+    // OR-pair predicate stays an equi-join prefix on the keys.
+    "tpch_q7_volume" -> ((s, d) => {
+      import s.implicits._
+      val n1 = Tables.nation(s, d)
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          $"l_shipdate" < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .filter(($"s_nationkey" === 2 && $"c_nationkey" === 3) ||
+                ($"s_nationkey" === 3 && $"c_nationkey" === 2))
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+        .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("ship_year"))
+        .agg(sum(discPrice).cast("decimal(18,6)").as("revenue"))
+        .select($"supp_nation", $"cust_nation", $"ship_year",
+          Tables.e6($"revenue").as("revenue_e6"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
+    // Q14: promo revenue share in a ship year — the conditional-sum /
+    // total-sum ratio emitted as exact parts-per-million (the decimal
+    // ratio rides one DECIMAL(38,0) lift, R7 stepwise).
+    "tpch_q14_promo" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          $"l_shipdate" < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", discPrice).otherwise(lit(0))
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("promo"),
+          sum(discPrice).cast("decimal(18,6)").as("total"))
+        .select(Tables.e6($"promo").as("promo_rev_e6"),
+          Tables.e6($"total").as("total_rev_e6"))
+        .withColumn("promo_ppm",
+          expr("cast(cast(promo_rev_e6 as decimal(38,0)) * 1000000 div total_rev_e6 as bigint)"))
     })
   )
 
@@ -114,6 +161,38 @@ object TpchQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue_e6 DESC, c_custkey ASC LIMIT 20""".stripMargin
+        |ORDER BY revenue_e6 DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((s_nationkey = 2 AND c_nationkey = 3)
+        |    OR (s_nationkey = 3 AND c_nationkey = 2))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "tpch_q14_promo" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS promo_rev_e6,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_rev_e6
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT promo_rev_e6, total_rev_e6,
+        |  CAST(CAST(promo_rev_e6 AS HUGEINT) * 1000000 // total_rev_e6 AS BIGINT) AS promo_ppm
+        |FROM a""".stripMargin
   )
 }
