@@ -290,6 +290,38 @@ object Etl {
       basics.crossJoin(distincts)
         .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, n_null, n_distinct, min_s, max_s)")
         .orderBy("column")
+    }),
+
+    // Temporal (point-in-interval) fact→SCD2-dim join: each purchase picks
+    // the dim version whose [valid_from, valid_to) interval covers its
+    // timestamp — the canonical "join facts to a slowly-changing dimension
+    // AS OF fact time" warehouse idiom. The SCD2 intervals partition each
+    // user's timeline (lead() closes each version), so at most one version
+    // matches; purchases before the first version keep NULLs via the left
+    // join. Equi prefix on user_id keeps this a plain hash/sort-merge
+    // join with a residual range filter — never a cartesian; one shuffle
+    // per side at any scale.
+    "etl_temporal_dim_join" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val dim = Tables.events(s, d)
+        .filter($"event_type" === "view")
+        .withColumn("ts_us", Tables.tsUs)
+        .select($"user_id".as("d_uid"), $"event_id".as("dim_version_id"),
+          $"ts_us".as("valid_from"),
+          lead($"ts_us", 1).over(
+            Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc))
+            .as("valid_to"),
+          Tables.e6(Tables.dec($"value")).as("v_e6"))
+      val facts = Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("p_us", Tables.tsUs)
+        .select($"event_id".as("p_id"), $"user_id", $"p_us")
+      facts.join(dim,
+          $"user_id" === $"d_uid" && $"valid_from" <= $"p_us" &&
+          ($"valid_to".isNull || $"p_us" < $"valid_to"), "left")
+        .select($"p_id", $"user_id", $"p_us", $"dim_version_id", $"v_e6")
+        .orderBy("p_id")
     })
   )
 
@@ -459,6 +491,22 @@ object Etl {
         |    MIN(CAST(o_custkey AS VARCHAR)),
         |    MAX(CAST(o_custkey AS VARCHAR))
         |  FROM orders)
-        |ORDER BY "column"""".stripMargin
+        |ORDER BY "column"""".stripMargin,
+    "etl_temporal_dim_join" ->
+      """WITH dim AS (
+        |  SELECT user_id AS d_uid, event_id AS dim_version_id,
+        |    epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS valid_to,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_e6
+        |  FROM events WHERE event_type = 'view'),
+        |f AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.p_id, f.user_id, f.p_us, dim.dim_version_id, dim.v_e6
+        |FROM f LEFT JOIN dim ON f.user_id = dim.d_uid
+        |  AND dim.valid_from <= f.p_us
+        |  AND (dim.valid_to IS NULL OR f.p_us < dim.valid_to)
+        |ORDER BY p_id""".stripMargin
   )
 }

@@ -248,6 +248,24 @@ object Pipeline {
         .select($"source", $"n_docs", $"n_tokens",
           ($"base" + when($"rk" <= $"extra", 1L).otherwise(0L)).as("alloc"))
         .orderBy("source")
+    }),
+
+    // Deterministic k-fold assignment: fold = md5(doc_id) % 5 — every
+    // engine, run, and worker assigns identically (no rand()), docs never
+    // leak between folds across re-runs, and fold balance is verifiable
+    // per source. The report is a pure hash-groupBy — scan-shaped, one
+    // shuffle of (fold, source) keys at any corpus size.
+    "pipe_kfold_split" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 5).as("fold"),
+          size(split($"text", " ")).cast("long").as("tok"))
+        .groupBy($"fold", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+          sum($"doc_id").as("id_checksum"))
+        .orderBy("fold", "source")
     })
   )
 
@@ -328,6 +346,16 @@ object Pipeline {
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_kfold_split" ->
+      """SELECT fold, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+        |    len(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY fold, source ORDER BY fold, source""".stripMargin,
     "pipe_pii_scrub" ->
       """WITH raw AS (
         |  SELECT doc_id,

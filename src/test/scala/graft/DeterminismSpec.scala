@@ -26,7 +26,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_shingle_containment", "vec_centroid_cosine", "vec_quantize_int8",
     "agg_moment_sketch", "win_running_distinct", "dedup_exact_normalized",
     "agg_weighted_median", "join_asof_tolerance", "win_ema_truncated",
-    "graph_triangle_count", "tpch_q7_volume")
+    "graph_triangle_count", "tpch_q7_volume", "etl_temporal_dim_join",
+    "pipe_kfold_split")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

@@ -78,4 +78,23 @@ class SourcesSpec extends AnyFunSuite {
       .as[(Int, Long)].collect().toSeq
     assert(streamRows == batchRows)
   }
+
+  test("A6: ORC sink/source round-trips data and pushes filters into the scan") {
+    // Spark's second first-class columnar format: same writer/reader API,
+    // same predicate-pushdown contract as parquet — a deployment can point
+    // the engine at ORC lakes without code changes.
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.customer(spark, TestSpark.sfDir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.schema.map(_.name) == src.schema.map(_.name))
+    val filtered = back.filter($"c_nationkey" === 3)
+    assert(filtered.count() ==
+      src.filter($"c_nationkey" === 3).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_nationkey)"),
+      s"ORC scan must push predicates:\n${plan.take(600)}")
+  }
 }
