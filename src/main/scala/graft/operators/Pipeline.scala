@@ -266,6 +266,29 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
           sum($"doc_id").as("id_checksum"))
         .orderBy("fold", "source")
+    }),
+
+    // First iteration of BPE tokenizer training: count adjacent character
+    // pairs WITHIN tokens across the corpus — the most frequent pair is
+    // the first merge rule. Pairs come from substring(tok, i, 2) over a
+    // generated index (no char-array explode), so the stage is
+    // explode → hash-agg with map-side partials: the canonical
+    // corpus-statistics shape that scales linearly. Real BPE iterates
+    // (merge, recount); each round is this same plan over the re-merged
+    // symbol stream.
+    "pipe_bpe_pair_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(50)
     })
   )
 
@@ -356,6 +379,19 @@ object Pipeline {
         |    len(string_split(text, ' ')) AS tok
         |  FROM documents)
         |GROUP BY fold, source ORDER BY fold, source""".stripMargin,
+    // unnest(range(1, len)) works as a scalar-list unnest in DuckDB 1.0
+    // (lateral range(col) does not); range end is exclusive so i covers
+    // 1..len-1, the valid 2-char substring starts.
+    "pipe_bpe_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT substr(tok, CAST(i AS INT), 2) AS pair
+        |  FROM (SELECT tok, unnest(range(1, len(tok))) AS i
+        |        FROM toks WHERE len(tok) >= 2) t)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
     "pipe_pii_scrub" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -116,6 +116,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashShuffles == 0, s"quantize must not shuffle:\n${p.take(800)}")
   }
 
+  test("temporal dim join keeps its equi prefix (range is residual, never BNLJ)") {
+    val p = plan("etl_temporal_dim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"point-in-interval join must stay an equi join with residual range filter:\n${p.take(600)}")
+  }
+
   test("centroid cosine partial-aggregates before its one (group,dim) shuffle") {
     // The per-(label,pos) integer sums must be two-phase: map-side partials
     // shrink the shuffle to one row per (group, dimension) — the property
