@@ -56,7 +56,30 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(11)
+    kind = rnd.randrange(13)
+    if kind == 12:  # weighted-median shape: smallest value whose doubled
+        # cumulative weight crosses the group total (min-over-qualifying
+        # is tie-order-independent; see agg_weighted_median)
+        k = rnd.randrange(3, 11)
+        return (f"WITH g AS (SELECT o_orderstatus AS grp, "
+                f"CAST(round(o_totalprice) AS BIGINT) AS v, "
+                f"o_orderkey % {k} + 1 AS wt FROM orders WHERE {where}), "
+                f"w AS (SELECT grp, v, "
+                f"SUM(wt) OVER (PARTITION BY grp ORDER BY v "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+                f"SUM(wt) OVER (PARTITION BY grp) AS tot FROM g) "
+                f"SELECT grp, MIN(v) AS wmed FROM w WHERE cum * 2 >= tot "
+                f"GROUP BY grp ORDER BY grp")
+    if kind == 11:  # running distinct via first-occurrence flags (the
+        # DISTINCT-window-free formulation both engines share)
+        return (f"WITH f AS (SELECT o_custkey, o_orderkey, "
+                f"CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority "
+                f"ORDER BY o_orderkey ASC) = 1 THEN 1 ELSE 0 END AS fs "
+                f"FROM orders WHERE {where}) "
+                f"SELECT o_custkey, o_orderkey, "
+                f"CAST(SUM(fs) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nd "
+                f"FROM f ORDER BY o_custkey, o_orderkey")
     if kind == 10:  # CASE-precedence verdict (curation-verdict shape)
         x = rnd.randrange(20000, 200000)
         k = rnd.randrange(3, 9)
