@@ -134,6 +134,31 @@ object SimOps {
         .select($"c_mktsegment", $"ws.wsum".as("wsum"), $"ws.wtot".as("wtot"))
         .withColumn("wavg_cents", expr("wsum div wtot"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Typed KeyValueGroupedDataset.mapGroups surface — per-group imperative
+    // fold over the iterator (count/min/max/range), all order-independent
+    // accumulators so the arbitrary group iteration order can't leak into
+    // the result. mapGroups is the escape hatch for group logic SQL can't
+    // express; here the oracle CAN express it, which is what proves the
+    // surface correct. (Trade-off vs Aggregator (J9): mapGroups gets no
+    // map-side partial aggregation — the whole group shuffles.)
+    "ds_mapgroups_demo" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_mktsegment".as("seg"),
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (seg, rows) =>
+          var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          rows.foreach { case (_, c) =>
+            n += 1; if (c < mn) mn = c; if (c > mx) mx = c
+          }
+          (seg, n, mn, mx, mx - mn)
+        }
+        .toDF("seg", "n", "min_cents", "max_cents", "range_cents")
+        .orderBy("seg")
     })
   )
 
@@ -274,6 +299,13 @@ object SimOps {
         |  CAST(SUM(c_custkey % 10 + 1) AS BIGINT) AS wtot,
         |  CAST(SUM((c_custkey % 10 + 1) * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
         |    // CAST(SUM(c_custkey % 10 + 1) AS BIGINT) AS wavg_cents
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "ds_mapgroups_demo" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS min_cents,
+        |  MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS max_cents,
+        |  MAX(CAST(round(c_acctbal * 100) AS BIGINT))
+        |    - MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS range_cents
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
