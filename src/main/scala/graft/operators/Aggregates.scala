@@ -287,6 +287,42 @@ object Aggregates {
         .groupBy($"l_returnflag")
         .agg(min($"c").as("wmedian_cents"))
         .orderBy("l_returnflag")
+    }),
+
+    // SQL FILTER clause surface — per-group conditional aggregates without
+    // CASE scaffolding (each FILTER prunes its own input; Catalyst still
+    // runs one two-phase hash aggregate over the scan).
+    "agg_filter_clause" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("count(1) FILTER (WHERE o_totalprice > 100000)").as("n_big"),
+          expr("count(1) FILTER (WHERE o_orderpriority LIKE '1%')").as("n_urgent"),
+          expr("""cast(coalesce(sum(cast(o_totalprice as decimal(18,6)))
+                 |  FILTER (WHERE o_custkey % 2 = 0), 0) * 1000000 as bigint)"""
+            .stripMargin.replaceAll("\n", " ")).as("even_rev_e6"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Distinct counting via bitmap popcount: the event-type domain is
+    // small and enumerable, so "distinct types per user" collapses to
+    // bit_or of one-hot masks + bit_count — a single BIGINT per group
+    // through the shuffle instead of a distinct-expand. This is the
+    // roaring-bitmap idea at its smallest: for bounded ID domains,
+    // distinct-count state is a fixed-width bitmask that merges by OR.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" % 20 === 0)
+        .groupBy($"user_id")
+        .agg(expr(
+          """bit_or(cast(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+            |  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END as bigint))"""
+            .stripMargin.replaceAll("\n", " ")).as("type_mask"))
+        .select($"user_id", $"type_mask",
+          bit_count($"type_mask").cast("long").as("n_types"))
+        .orderBy("user_id")
     })
   )
 
@@ -449,6 +485,21 @@ object Aggregates {
         |  FROM g)
         |SELECT l_returnflag, MIN(c) AS wmedian_cents
         |FROM w WHERE cum * 2 >= tot
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%') AS n_urgent,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_custkey % 2 = 0), 0) * 1000000 AS BIGINT) AS even_rev_e6
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT user_id,
+        |  CAST(bit_or(CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS BIGINT)) AS BIGINT) AS type_mask,
+        |  CAST(bit_count(CAST(bit_or(CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS BIGINT)) AS BIGINT)) AS BIGINT) AS n_types
+        |FROM events WHERE user_id % 20 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
