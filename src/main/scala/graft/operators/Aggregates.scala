@@ -323,6 +323,36 @@ object Aggregates {
         .select($"user_id", $"type_mask",
           bit_count($"type_mask").cast("long").as("n_types"))
         .orderBy("user_id")
+    }),
+
+    // Median absolute deviation — the robust dispersion estimate
+    // (insensitive to the long price tail that inflates stddev). Two
+    // exact-median passes in integers: the group median via the rank
+    // window, then the median of |x − med| via a second rank window over
+    // the deviations; the lower-median convention makes both picks exact
+    // on both engines. The broadcast of the per-group medians (3 rows)
+    // keeps the second pass shuffle-free beyond its sort.
+    "agg_mad_exact" -> ((s, d) => {
+      import s.implicits._
+      val p = Window.partitionBy($"l_returnflag")
+      val base = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          round($"l_quantity" * 100).cast("long").as("x"))
+      val med = base
+        .select($"l_returnflag", $"x",
+          row_number().over(p.orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select($"l_returnflag".as("mf"), $"x".as("med"))
+      base.join(broadcast(med), $"l_returnflag" === $"mf")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"med",
+          abs($"x" - $"med").as("dx"))
+        .select($"l_returnflag", $"med", $"dx",
+          row_number().over(p.orderBy($"dx".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select($"l_returnflag", $"med".as("median_cents"), $"dx".as("mad_cents"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -500,6 +530,29 @@ object Aggregates {
         |  CAST(bit_count(CAST(bit_or(CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
         |    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS BIGINT)) AS BIGINT)) AS BIGINT) AS n_types
         |FROM events WHERE user_id % 20 = 0
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_mad_exact" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag AS mf, x AS med FROM (
+        |    SELECT l_returnflag, x,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY x ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM base) t
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, med, abs(x - med) AS dx
+        |  FROM base JOIN med ON l_returnflag = mf)
+        |SELECT l_returnflag, med AS median_cents, dx AS mad_cents FROM (
+        |  SELECT l_returnflag, med, dx,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY dx ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dev) t
+        |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -465,6 +465,45 @@ object TextOps {
           expr("(inter * 1000000) div least(n1, n2)").as("cont_e6"))
         .orderBy($"cont_e6".desc, $"d1".asc, $"d2".asc)
         .limit(100)
+    }),
+
+    // Banded MinHash LSH — the full b×r pipeline (b=4 bands of r=4 rows)
+    // over the 16-hash signature: a pair becomes a candidate iff some
+    // band's 4-tuple matches EXACTLY, which shapes the match probability
+    // into the classic S-curve 1-(1-j^r)^b (vs the per-position join of
+    // dedup_minhash_pairs ≡ r=1, which fires on any single hash). Bands
+    // hash to 32-bit keys via md5 so the candidate join is a plain
+    // equi-join on (band, key); the signature-agreement rerank stays a
+    // zip_with fold over the two 16-long arrays. At 100 TB: band keys are
+    // the partition keys, candidates ≪ pairs, r tunes precision.
+    "dedup_minhash_lsh_bands" -> ((s, d) => {
+      import s.implicits._
+      val sig = Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(shingles3).as("sh"))
+        .select($"doc_id", tokInt($"sh").as("x"))
+        .groupBy($"doc_id")
+        .agg(graft.plans.MinHashAgg.minhash($"x", 16).as("sig"))
+      val bands = sig.select($"doc_id", $"sig", expr(
+        """explode(transform(sequence(0, 3), b -> struct(b AS band,
+          |  cast(conv(substring(md5(cast(concat_ws(':',
+          |    transform(slice(sig, b * 4 + 1, 4), v -> cast(v as string)))
+          |  as binary)), 1, 8), 16, 10) as bigint) AS bh))) AS p""".stripMargin))
+        .select($"doc_id", $"sig", $"p.band".as("band"), $"p.bh".as("bh"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_bands"),
+          first(expr(
+            """aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1L, 0L)),
+              |0L, (acc, v) -> acc + v)""".stripMargin)).as("n_agree"))
+        .select($"d1", $"d2", $"n_bands",
+          expr("(n_agree * 1000000) div 16").as("est_jac_e6"))
+        .orderBy($"est_jac_e6".desc, $"d1".asc, $"d2".asc)
+        .limit(100)
     })
   )
 
@@ -745,6 +784,39 @@ object TextOps {
         |SELECT d1, d2, inter,
         |  (inter * 1000000) // least(s1.n_sh, s2.n_sh) AS cont_e6
         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |ORDER BY cont_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
+        |ORDER BY cont_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "dedup_minhash_lsh_bands" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |ti AS (
+        |  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |x AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS x FROM sh),
+        |pos AS (
+        |  SELECT doc_id, j, MIN(((2 * j + 1) * x + 7 * j + 3) % 2147483647) AS mh
+        |  FROM x, range(0, 16) r(j) GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id, list(mh ORDER BY j) AS sig FROM pos GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sig, b,
+        |    CAST(('0x' || substring(md5(array_to_string(
+        |      list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4),
+        |        v -> CAST(v AS VARCHAR)), ':')), 1, 8)) AS BIGINT) AS bh
+        |  FROM sigs, range(0, 4) r(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_bands,
+        |    MIN(list_reduce(list_transform(list_zip(a.sig, b.sig),
+        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (x, y) -> x + y)) AS n_agree
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, n_bands,
+        |  (n_agree * 1000000) // 16 AS est_jac_e6
+        |FROM cand
+        |ORDER BY est_jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
   )
 }

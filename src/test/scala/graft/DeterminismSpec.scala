@@ -27,7 +27,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_moment_sketch", "win_running_distinct", "dedup_exact_normalized",
     "agg_weighted_median", "join_asof_tolerance", "win_ema_truncated",
     "graph_triangle_count", "tpch_q7_volume", "etl_temporal_dim_join",
-    "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct")
+    "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct",
+    "agg_mad_exact", "dedup_minhash_lsh_bands")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
