@@ -353,6 +353,40 @@ object Aggregates {
         .filter(expr("rn = (n + 1) div 2"))
         .select($"l_returnflag", $"med".as("median_cents"), $"dx".as("mad_cents"))
         .orderBy("l_returnflag")
+    }),
+
+    // Robust outlier gate — the data-cleaning application of the MAD:
+    // flag rows whose deviation from the group median exceeds 5× the
+    // median absolute deviation (the rule survives heavy tails that make
+    // mean±kσ useless). Same two-median subtree as agg_mad_exact; the
+    // group stats broadcast back onto the scan for one conditional-count
+    // pass.
+    "agg_outlier_robust" -> ((s, d) => {
+      import s.implicits._
+      val p = Window.partitionBy($"l_returnflag")
+      val base = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          round($"l_quantity" * 100).cast("long").as("x"))
+      val med = base
+        .select($"l_returnflag", $"x",
+          row_number().over(p.orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select($"l_returnflag".as("mf"), $"x".as("med"))
+      val mad = base.join(broadcast(med), $"l_returnflag" === $"mf")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"med",
+          abs($"x" - $"med").as("dx"))
+        .select($"l_returnflag", $"med", $"dx",
+          row_number().over(p.orderBy($"dx".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
+          count(lit(1)).over(p).as("n"))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select($"l_returnflag".as("gf"), $"med", $"dx".as("mad"))
+      base.join(broadcast(mad), $"l_returnflag" === $"gf")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs($"x" - $"med") > $"mad" * 5, 1L).otherwise(0L)).as("n_outliers"),
+          max($"med").as("median_cents"), max($"mad").as("mad_cents"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -553,6 +587,32 @@ object Aggregates {
         |      ORDER BY dx ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM dev) t
-        |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin
+        |WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
+    "agg_outlier_robust" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag AS mf, x AS med FROM (
+        |    SELECT l_returnflag, x,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY x ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM base) t
+        |  WHERE rn = (n + 1) // 2),
+        |mad AS (
+        |  SELECT l_returnflag AS gf, med, dx AS mad FROM (
+        |    SELECT l_returnflag, med, abs(x - med) AS dx,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY abs(x - med) ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM base JOIN med ON l_returnflag = mf) t
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs(x - med) > mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MAX(med) AS median_cents, MAX(mad) AS mad_cents
+        |FROM base JOIN mad ON l_returnflag = gf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -322,6 +322,29 @@ object Etl {
           ($"valid_to".isNull || $"p_us" < $"valid_to"), "left")
         .select($"p_id", $"user_id", $"p_us", $"dim_version_id", $"v_e6")
         .orderBy("p_id")
+    }),
+
+    // Z-order (Morton) clustering key: interleave the bits of two
+    // dimension buckets so that sorting by one BIGINT co-locates rows
+    // close in BOTH dimensions — the layout technique behind multi-column
+    // data skipping (files clustered by z-value give min/max pruning on
+    // either predicate column, where a lexicographic sort only prunes the
+    // leading one). The interleave is a pure per-row integer fold; at
+    // 100 TB this key feeds repartitionByRange + sortWithinPartitions
+    // before the write.
+    "etl_zorder_key" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          ($"o_custkey" % 1024).as("x"),
+          (datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long") % 1024).as("y"))
+        .withColumn("zval", expr(
+          """aggregate(sequence(0, 9), cast(0 as bigint), (acc, k) ->
+            |  acc + shiftleft(shiftright(x, k) & 1, 2 * k)
+            |      + shiftleft(shiftright(y, k) & 1, 2 * k + 1))""".stripMargin))
+        .orderBy($"zval".asc, $"o_orderkey".asc)
+        .limit(200)
     })
   )
 
@@ -507,6 +530,21 @@ object Etl {
         |FROM f LEFT JOIN dim ON f.user_id = dim.d_uid
         |  AND dim.valid_from <= f.p_us
         |  AND (dim.valid_to IS NULL OR f.p_us < dim.valid_to)
-        |ORDER BY p_id""".stripMargin
+        |ORDER BY p_id""".stripMargin,
+    // Same Morton interleave via a constant-range explode + per-row sum
+    // (DuckDB's shift operators over the generated bit index k).
+    "etl_zorder_key" ->
+      """WITH g AS (
+        |  SELECT o_orderkey, o_custkey % 1024 AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+        |  FROM orders),
+        |z AS (
+        |  SELECT o_orderkey, x, y,
+        |    CAST(SUM((((x >> k) & 1) << (2 * k)) + (((y >> k) & 1) << (2 * k + 1)))
+        |      AS BIGINT) AS zval
+        |  FROM g, range(0, 10) r(k)
+        |  GROUP BY o_orderkey, x, y)
+        |SELECT o_orderkey, x, y, zval FROM z
+        |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin
   )
 }

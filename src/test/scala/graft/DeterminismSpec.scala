@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_weighted_median", "join_asof_tolerance", "win_ema_truncated",
     "graph_triangle_count", "tpch_q7_volume", "etl_temporal_dim_join",
     "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct",
-    "agg_mad_exact", "dedup_minhash_lsh_bands")
+    "agg_mad_exact", "dedup_minhash_lsh_bands", "etl_zorder_key",
+    "agg_outlier_robust")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
