@@ -35,4 +35,40 @@ class SketchSpec extends AnyFunSuite {
         s"$k: estimate $est outside eps bound of true $n")
     }
   }
+
+  test("Misra-Gries heavy hitters: frequent keys survive, counters never overcount") {
+    import org.apache.spark.sql.functions._
+    // Key domain: part-key buckets over lineitem (skewed by construction
+    // via mod) — k chosen so true heavy hitters clear the n/(k+1) bar.
+    val keyed = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(($"l_partkey" % 7).as("key"))
+    val n = keyed.count()
+    val k = 5
+    val sketch = keyed
+      .agg(graft.plans.SpaceSavingAgg.heavyHitters($"key", k).as("hh"))
+      .selectExpr("explode(hh) AS h").select($"h.key", $"h.cnt")
+      .as[(Long, Long)].collect().toMap
+    val exact = keyed.groupBy($"key").count().as[(Long, Long)].collect().toMap
+    val bar = n / (k + 1)
+    exact.filter(_._2 > bar).keys.foreach { key =>
+      assert(sketch.contains(key), s"true heavy hitter $key (> n/(k+1)) must survive")
+    }
+    sketch.foreach { case (key, c) =>
+      val t = exact.getOrElse(key, 0L)
+      assert(c <= t, s"$key: MG counter must not overcount ($c > $t)")
+      assert(c >= t - bar, s"$key: undercount beyond n/(k+1) bound ($c < $t - $bar)")
+    }
+    // mergeability: the bound must hold regardless of partial layout
+    val sk2 = keyed.repartition(17)
+      .agg(graft.plans.SpaceSavingAgg.heavyHitters($"key", k).as("hh"))
+      .selectExpr("explode(hh) AS h").select($"h.key", $"h.cnt")
+      .as[(Long, Long)].collect().toMap
+    exact.filter(_._2 > bar).keys.foreach { key =>
+      assert(sk2.contains(key), s"heavy hitter $key must survive any partitioning")
+    }
+    sk2.foreach { case (key, c) =>
+      val t = exact.getOrElse(key, 0L)
+      assert(c <= t && c >= t - bar, s"$key: merged-sketch bound violated")
+    }
+  }
 }
