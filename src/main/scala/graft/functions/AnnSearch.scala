@@ -53,6 +53,21 @@ object AnnSearch {
     if ((((h(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
   }
 
+  /** Johnson–Lindenstrauss-style random projection: `outDims` signed-sum
+    * projections of a `dim`-dim embedding (the same md5-parity ±1 plane
+    * family as the LSH buckets, at bit index 7 so the plane sets are
+    * disjoint), each emitted as a micro-scaled BIGINT. Distances are
+    * preserved within the JL distortion bound at a fraction of the
+    * storage/compute — the reduce-then-index preprocessing step. */
+  def randomProject(df: DataFrame, dim: Int, outDims: Int,
+                    seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
+    val projCols = (0 until outDims).map { t =>
+      val w = array((0 until dim).map(i => lit(planeWeight(seed, t, 7, i))): _*)
+      round(dot(col(vecCol), w) * 1000000).cast("long")
+    }
+    df.withColumn("proj_e6", array(projCols: _*))
+  }
+
   /** Add `bucket_0..bucket_{L-1}` sign-LSH bucket ids for a `dim`-dim
     * embedding column. */
   def lshBucketed(df: DataFrame, dim: Int, nBits: Int = 8, nTables: Int = 4,

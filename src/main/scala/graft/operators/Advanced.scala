@@ -274,6 +274,27 @@ object Advanced {
           concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segments"),
           count(lit(1)).as("n_cust"))
         .orderBy("c_nationkey")
+    }),
+
+    // Longest consecutive-day activity streak per user — the day-grain
+    // gaps-and-islands dual (win_gaps_islands sessionizes by time GAP;
+    // this one by calendar-day adjacency): distinct active days, then
+    // day − row_number is constant exactly within a consecutive run.
+    // Two hash-aggs + one rank window; the distinct collapses the
+    // per-event fan-in first, so the window sorts days, not events.
+    "win_streak_longest" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day".asc)
+      Tables.events(s, d)
+        .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("longest_streak"), sum($"len").as("n_active_days"))
+        .orderBy("user_id")
     })
   )
 
@@ -425,6 +446,18 @@ object Advanced {
       """SELECT c_nationkey,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
         |  COUNT(*) AS n_cust
-        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "win_streak_longest" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

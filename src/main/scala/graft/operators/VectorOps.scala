@@ -79,6 +79,22 @@ object VectorOps {
               |    x -> cast(floor(cast(x as double) * 127.0 / ma + 0.5) as bigint))
               |END""".stripMargin).as("q8"))
         .orderBy("vec_id")
+    }),
+
+    // Random-projection dimensionality reduction (64 → 8 dims): signed
+    // sums against deterministic md5-parity ±1 planes, each projection
+    // a codegen'd DotFold — scan-shaped, no shuffle, and the projected
+    // table is 8× smaller for every downstream distance computation
+    // (Johnson–Lindenstrauss preserves pairwise distances within the
+    // distortion bound). The oracle rebuilds the identical planes and
+    // left-fold dots in SQL.
+    "sim_rp_reduce" -> ((s, d) => {
+      import s.implicits._
+      graft.functions.AnnSearch
+        .randomProject(Tables.embeddings(s, d).filter($"vec_id" < 200),
+          dim = 64, outDims = 8)
+        .select($"vec_id", $"proj_e6")
+        .orderBy("vec_id")
     })
   )
 
@@ -106,6 +122,23 @@ object VectorOps {
         |  CAST(round(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000) AS BIGINT) AS cos_e6
         |FROM dots JOIN norms na ON na.label = la JOIN norms nb ON nb.label = lb
         |ORDER BY la, lb""".stripMargin,
+    "sim_rp_reduce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |w AS (
+        |  SELECT t, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(('0x' || substring(md5('42:' || CAST(t AS VARCHAR)
+        |        || ':7:' || CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS wv
+        |  FROM range(0, 8) r1(t)),
+        |p AS (
+        |  SELECT e.vec_id, w.t,
+        |    CAST(round(list_reduce(list_transform(list_zip(e.v, w.wv),
+        |      q -> q[1] * q[2]), (x, y) -> x + y) * 1000000) AS BIGINT) AS y
+        |  FROM e CROSS JOIN w)
+        |SELECT vec_id, list(y ORDER BY t) AS proj_e6
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "vec_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id,

@@ -29,7 +29,7 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_triangle_count", "tpch_q7_volume", "etl_temporal_dim_join",
     "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct",
     "agg_mad_exact", "dedup_minhash_lsh_bands", "etl_zorder_key",
-    "agg_outlier_robust")
+    "agg_outlier_robust", "sim_rp_reduce", "win_streak_longest")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
