@@ -326,65 +326,76 @@ object Aggregates {
     }),
 
     // Median absolute deviation — the robust dispersion estimate
-    // (insensitive to the long price tail that inflates stddev). Two
-    // exact-median passes in integers: the group median via the rank
-    // window, then the median of |x − med| via a second rank window over
-    // the deviations; the lower-median convention makes both picks exact
-    // on both engines. The broadcast of the per-group medians (3 rows)
-    // keeps the second pass shuffle-free beyond its sort.
+    // (insensitive to the long price tail that inflates stddev), computed
+    // by the HISTOGRAM method: the quantity domain is small, so the
+    // median is "first value whose cumulative histogram count crosses
+    // rank (n+1) div 2" over a ~50-row per-group histogram — one
+    // hash-agg over the scan plus windows over histogram rows, instead
+    // of sorting every row twice. Same lower-median convention as the
+    // rank form; the ORACLE still runs the row-rank algorithm, so the
+    // hash match is a cross-algorithm equivalence proof. This is the
+    // 100 TB shape whenever the value domain is bounded: the full-sort
+    // cost collapses to map-side counting.
     "agg_mad_exact" -> ((s, d) => {
       import s.implicits._
       val p = Window.partitionBy($"l_returnflag")
-      val base = Tables.lineitem(s, d)
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
-          round($"l_quantity" * 100).cast("long").as("x"))
-      val med = base
-        .select($"l_returnflag", $"x",
-          row_number().over(p.orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
-          count(lit(1)).over(p).as("n"))
-        .filter(expr("rn = (n + 1) div 2"))
-        .select($"l_returnflag".as("mf"), $"x".as("med"))
-      base.join(broadcast(med), $"l_returnflag" === $"mf")
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"med",
-          abs($"x" - $"med").as("dx"))
-        .select($"l_returnflag", $"med", $"dx",
-          row_number().over(p.orderBy($"dx".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
-          count(lit(1)).over(p).as("n"))
-        .filter(expr("rn = (n + 1) div 2"))
-        .select($"l_returnflag", $"med".as("median_cents"), $"dx".as("mad_cents"))
+      val hist = Tables.lineitem(s, d)
+        .select($"l_returnflag", round($"l_quantity" * 100).cast("long").as("x"))
+        .groupBy($"l_returnflag", $"x").agg(count(lit(1)).as("c"))
+      val med = hist
+        .withColumn("cum", sum($"c").over(p.orderBy($"x".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .groupBy($"l_returnflag").agg(min($"x").as("med"))
+        .select($"l_returnflag".as("mf"), $"med")
+      val devHist = hist.join(broadcast(med), $"l_returnflag" === $"mf")
+        .select($"l_returnflag", $"med", abs($"x" - $"med").as("dx"), $"c")
+        .groupBy($"l_returnflag", $"med", $"dx").agg(sum($"c").as("c"))
+      devHist
+        .withColumn("cum", sum($"c").over(p.orderBy($"dx".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .groupBy($"l_returnflag", $"med").agg(min($"dx").as("mad"))
+        .select($"l_returnflag", $"med".as("median_cents"), $"mad".as("mad_cents"))
         .orderBy("l_returnflag")
     }),
 
     // Robust outlier gate — the data-cleaning application of the MAD:
-    // flag rows whose deviation from the group median exceeds 5× the
+    // count rows whose deviation from the group median exceeds 5× the
     // median absolute deviation (the rule survives heavy tails that make
-    // mean±kσ useless). Same two-median subtree as agg_mad_exact; the
-    // group stats broadcast back onto the scan for one conditional-count
-    // pass.
+    // mean±kσ useless). Runs ENTIRELY on the value histogram: median,
+    // MAD, and the outlier count are all reductions over the ~50-row
+    // per-group histogram, so the scan is touched exactly once (the
+    // counting hash-agg) — no second pass over the data at all.
     "agg_outlier_robust" -> ((s, d) => {
       import s.implicits._
       val p = Window.partitionBy($"l_returnflag")
-      val base = Tables.lineitem(s, d)
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
-          round($"l_quantity" * 100).cast("long").as("x"))
-      val med = base
-        .select($"l_returnflag", $"x",
-          row_number().over(p.orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
-          count(lit(1)).over(p).as("n"))
-        .filter(expr("rn = (n + 1) div 2"))
-        .select($"l_returnflag".as("mf"), $"x".as("med"))
-      val mad = base.join(broadcast(med), $"l_returnflag" === $"mf")
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"med",
-          abs($"x" - $"med").as("dx"))
-        .select($"l_returnflag", $"med", $"dx",
-          row_number().over(p.orderBy($"dx".asc, $"l_orderkey".asc, $"l_linenumber".asc)).as("rn"),
-          count(lit(1)).over(p).as("n"))
-        .filter(expr("rn = (n + 1) div 2"))
-        .select($"l_returnflag".as("gf"), $"med", $"dx".as("mad"))
-      base.join(broadcast(mad), $"l_returnflag" === $"gf")
+      val hist = Tables.lineitem(s, d)
+        .select($"l_returnflag", round($"l_quantity" * 100).cast("long").as("x"))
+        .groupBy($"l_returnflag", $"x").agg(count(lit(1)).as("c"))
+      val med = hist
+        .withColumn("cum", sum($"c").over(p.orderBy($"x".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .groupBy($"l_returnflag").agg(min($"x").as("med"))
+        .select($"l_returnflag".as("mf"), $"med")
+      val devHist = hist.join(broadcast(med), $"l_returnflag" === $"mf")
+        .select($"l_returnflag", $"med", abs($"x" - $"med").as("dx"), $"c")
+        .groupBy($"l_returnflag", $"med", $"dx").agg(sum($"c").as("c"))
+      val mad = devHist
+        .withColumn("cum", sum($"c").over(p.orderBy($"dx".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .groupBy($"l_returnflag", $"med").agg(min($"dx").as("mad"))
+        .select($"l_returnflag".as("gf"), $"med", $"mad")
+      devHist.drop("med").join(broadcast(mad), $"l_returnflag" === $"gf")
         .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(when(abs($"x" - $"med") > $"mad" * 5, 1L).otherwise(0L)).as("n_outliers"),
+        .agg(sum($"c").as("n"),
+          sum(when($"dx" > $"mad" * 5, $"c").otherwise(0L)).as("n_outliers"),
           max($"med").as("median_cents"), max($"mad").as("mad_cents"))
         .orderBy("l_returnflag")
     })
