@@ -85,4 +85,63 @@ class EdgeCaseSpec extends AnyFunSuite {
     val g = gini(Seq(0L, 0L, 0L, 1000000L))
     assert(g >= 700000L && g <= 750000L, s"expected ~0.75 (= (n-1)/n), got $g")
   }
+
+  test("int8 quantize: zero vector takes the guard, extremes hit ±127") {
+    // The all-zero guard (max|x| = 0 would divide by zero) never fires on
+    // the synthetic embeddings — prove it on a constructed row.
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f)),
+      (2L, Seq(1f, -1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+      expr("array_max(transform(embedding, x -> abs(cast(x as double))))").as("ma"),
+      $"embedding")
+      .select($"vec_id", expr(
+        """CASE WHEN ma = 0
+          |  THEN transform(embedding, x -> cast(0 as bigint))
+          |  ELSE transform(embedding,
+          |    x -> cast(floor(cast(x as double) * 127.0 / ma + 0.5) as bigint))
+          |END""".stripMargin).as("q8"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(0L, 0L, 0L), "zero vector must quantize to zeros, not NaN")
+    assert(got(2L) == Seq(127L, -127L, 64L), s"extremes must hit ±127: ${got(2L)}")
+  }
+
+  test("histogram median/MAD: constant group gives MAD 0; two-value group picks lower") {
+    // Same cumulative-crossing convention as agg_mad_exact, on tiny groups.
+    def medMad(xs: Seq[Long]): (Long, Long) = {
+      val p = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      val hist = xs.map(("a", _)).toDF("g", "x").groupBy($"g", $"x").agg(count(lit(1)).as("c"))
+      val med = hist
+        .withColumn("cum", sum($"c").over(p.orderBy($"x".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .agg(min($"x")).as[Long].head()
+      val mad = hist
+        .select(abs($"x" - lit(med)).as("dx"), $"c", $"g")
+        .groupBy($"g", $"dx").agg(sum($"c").as("c"))
+        .withColumn("cum", sum($"c").over(p.orderBy($"dx".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum($"c").over(p))
+        .filter(expr("cum >= (tot + 1) div 2"))
+        .agg(min($"dx")).as[Long].head()
+      (med, mad)
+    }
+    assert(medMad(Seq(7L, 7L, 7L)) == (7L, 0L), "constant group: MAD must be 0")
+    assert(medMad(Seq(1L, 9L)) == (1L, 0L),
+      "even 2-row group: lower median, deviations {8,8} -> lower-median dev is 8? no: " +
+        "|1-1|=0,|9-1|=8 -> sorted {0,8}, rank (2+1) div 2 = 1 -> 0")
+  }
+
+  test("streak islands: a single active day is a streak of 1") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"u").orderBy($"day".asc)
+    val got = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 5L))
+      .toDF("u", "day").distinct()
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"u", $"grp").agg(count(lit(1)).as("len"))
+      .groupBy($"u").agg(max($"len").as("longest"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
 }
