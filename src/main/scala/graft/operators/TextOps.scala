@@ -390,6 +390,53 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Dedup as a QUALITY policy: within each near-dup cluster keep the
+    // highest-quality member (longest document, id tie-break) instead of
+    // the lowest id — what production curation actually does, since the
+    // lowest-id copy is often the truncated or boilerplate variant. Same
+    // unrolled min-label CC as dedup_cluster_cc; the tail is one rank
+    // window over (cluster, quality).
+    "dedup_cluster_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang", explode(shingles3).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .filter(expr("(inter * 1000000) div (n1 + n2 - inter) >= 15000"))
+        .select($"d1", $"d2")
+      val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+        .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      var labels = Tables.documents(s, d).filter($"doc_id" < 150)
+        .select($"doc_id".as("v"), $"doc_id".as("lbl"))
+      for (_ <- 1 to 3) {
+        val nbr = edges.join(labels, col("src") === col("v"))
+          .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+        labels = labels.join(nbr, labels("v") === nbr("dst"), "left")
+          .select(labels("v"),
+            least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+      }
+      val byCluster = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+      labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
+        .join(Tables.documents(s, d).filter($"doc_id" < 150)
+          .select($"doc_id", $"n_chars"), "doc_id")
+        .withColumn("rk", row_number().over(
+          byCluster.orderBy($"n_chars".desc, $"doc_id".asc)))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .filter($"rk" === 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"),
+          $"n_chars".as("keep_chars"), $"n_members")
+        .orderBy("cluster_id")
+    }),
+
     // MinHash signatures (16 permutation hashes over 3-gram shingles) →
     // candidate pairs ranked by matching hash count (Jaccard estimator).
     // Signatures come from the custom MinHashAgg sketch: one compact
@@ -741,6 +788,48 @@ object TextOps {
         |SELECT v AS doc_id, lbl AS cluster_id,
         |  COUNT(*) OVER (PARTITION BY lbl) AS cluster_size
         |FROM l3 ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_keep_best" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairsr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pe AS (
+        |  SELECT d1, d2
+        |  FROM pairsr JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) >= 15000),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM pe
+        |      UNION ALL SELECT d2 AS src, d1 AS dst FROM pe),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents WHERE doc_id < 150),
+        |n1 AS (SELECT dst AS v, MIN(l0.lbl) AS nlbl FROM e JOIN l0 ON l0.v = e.src GROUP BY dst),
+        |l1 AS (SELECT l0.v, least(l0.lbl, coalesce(n1.nlbl, l0.lbl)) AS lbl
+        |       FROM l0 LEFT JOIN n1 ON n1.v = l0.v),
+        |n2 AS (SELECT dst AS v, MIN(l1.lbl) AS nlbl FROM e JOIN l1 ON l1.v = e.src GROUP BY dst),
+        |l2 AS (SELECT l1.v, least(l1.lbl, coalesce(n2.nlbl, l1.lbl)) AS lbl
+        |       FROM l1 LEFT JOIN n2 ON n2.v = l1.v),
+        |n3 AS (SELECT dst AS v, MIN(l2.lbl) AS nlbl FROM e JOIN l2 ON l2.v = e.src GROUP BY dst),
+        |l3 AS (SELECT l2.v, least(l2.lbl, coalesce(n3.nlbl, l2.lbl)) AS lbl
+        |       FROM l2 LEFT JOIN n3 ON n3.v = l2.v),
+        |q AS (
+        |  SELECT l3.v AS doc_id, l3.lbl AS cluster_id, d.n_chars
+        |  FROM l3 JOIN documents d ON d.doc_id = l3.v),
+        |r AS (
+        |  SELECT doc_id, cluster_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM q)
+        |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t

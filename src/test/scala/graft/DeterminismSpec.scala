@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_triangle_count", "tpch_q7_volume", "etl_temporal_dim_join",
     "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct",
     "agg_mad_exact", "dedup_minhash_lsh_bands", "etl_zorder_key",
-    "agg_outlier_robust", "sim_rp_reduce", "win_streak_longest")
+    "agg_outlier_robust", "sim_rp_reduce", "win_streak_longest",
+    "dedup_cluster_keep_best")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
