@@ -329,9 +329,13 @@ object Etl {
     // close in BOTH dimensions — the layout technique behind multi-column
     // data skipping (files clustered by z-value give min/max pruning on
     // either predicate column, where a lexicographic sort only prunes the
-    // leading one). The interleave is a pure per-row integer fold; at
-    // 100 TB this key feeds repartitionByRange + sortWithinPartitions
-    // before the write.
+    // leading one). The interleave runs through the engine's own codegen
+    // [[graft.plans.MortonInterleave]] expression (a tight shift/mask
+    // loop in whole-stage codegen, vs the HOF fold's per-row index array
+    // + lambda frames — the per-row cost that matters when z-ordering a
+    // 100 TB write); the oracle's plain `<<`/`>>` SQL is unchanged, so
+    // the hash match is a cross-implementation proof. At scale this key
+    // feeds repartitionByRange + sortWithinPartitions before the write.
     "etl_zorder_key" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
@@ -339,10 +343,7 @@ object Etl {
           ($"o_custkey" % 1024).as("x"),
           (datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
             .cast("long") % 1024).as("y"))
-        .withColumn("zval", expr(
-          """aggregate(sequence(0, 9), cast(0 as bigint), (acc, k) ->
-            |  acc + shiftleft(shiftright(x, k) & 1, 2 * k)
-            |      + shiftleft(shiftright(y, k) & 1, 2 * k + 1))""".stripMargin))
+        .withColumn("zval", graft.plans.MortonInterleave.morton($"x", $"y", 10))
         .orderBy($"zval".asc, $"o_orderkey".asc)
         .limit(200)
     })

@@ -134,6 +134,25 @@ class EdgeCaseSpec extends AnyFunSuite {
         "|1-1|=0,|9-1|=8 -> sorted {0,8}, rank (2+1) div 2 = 1 -> 0")
   }
 
+  test("MortonInterleave: codegen == interpreted == HOF fold, known values") {
+    // known: x=0b11, y=0b01 -> z = 1<<0 | 1<<2 | 1<<1 = 0b0111 = 7
+    val e = graft.plans.MortonInterleave(
+      org.apache.spark.sql.catalyst.expressions.Literal(3L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 10)
+    assert(e.eval(null) == 7L, "interpreted eval")
+    val df = Seq((3L, 1L), (1023L, 0L), (0L, 1023L), (5L, 9L)).toDF("x", "y")
+    val viaExpr = df.select(
+      graft.plans.MortonInterleave.morton($"x", $"y", 10).as("z"))
+      .as[Long].collect().toSeq
+    val viaHof = df.selectExpr(
+      """aggregate(sequence(0, 9), cast(0 as bigint), (acc, k) ->
+        |  acc + shiftleft(shiftright(x, k) & 1, 2 * k)
+        |      + shiftleft(shiftright(y, k) & 1, 2 * k + 1)) AS z"""
+        .stripMargin).as[Long].collect().toSeq
+    assert(viaExpr == viaHof, s"codegen path must match the HOF fold: $viaExpr vs $viaHof")
+    assert(viaExpr.head == 7L)
+  }
+
   test("streak islands: a single active day is a streak of 1") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"u").orderBy($"day".asc)
     val got = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 5L))
