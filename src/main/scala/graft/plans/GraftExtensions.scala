@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
       GraftFunctions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("morton"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton"),
+      GraftFunctions.mortonBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite):
     // inert unless spark.graft.approxCountDistinct=true, so injecting it
     // unconditionally costs nothing.

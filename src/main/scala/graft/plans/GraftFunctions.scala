@@ -8,6 +8,7 @@ import org.apache.spark.sql.AnalysisException
   *
   *   SELECT vec_dot(a, b)                  -- codegen'd dot-product fold
   *   SELECT minhash_sketch(hash_col, 16)   -- MinHash sketch aggregate
+  *   SELECT morton(x, y, 10)               -- codegen'd Z-order interleave
   *
   * Two wirings share the same builders: [[register]] patches a pre-built
   * session's function registry (the harness path), and [[GraftExtensions]]
@@ -45,9 +46,31 @@ object GraftFunctions {
       MinHashAgg(exprs.head, n).toAggregateExpression()
     }
 
+  private[plans] val mortonBuilder: Seq[Expression] => Expression =
+    exprs => {
+      def bad(detail: String) = new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"morton: bits must be an integer literal in 1..31, got $detail"))
+      val arg = exprs(2)
+      if (!arg.foldable) throw bad(s"non-constant expression ${arg.sql}")
+      val bits = arg.eval() match {
+        case i: Int   => i
+        case l: Long  => l.toInt
+        case s: Short => s.toInt
+        case b: Byte  => b.toInt
+        case other => throw bad(
+          s"${arg.sql} of type ${arg.dataType.simpleString}" +
+            (if (other == null) " (NULL)" else ""))
+      }
+      if (bits < 1 || bits > 31) throw bad(s"$bits (out of range)")
+      MortonInterleave(exprs(0), exprs(1), bits)
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("minhash_sketch", minhashBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("morton", mortonBuilder, "scala_udf")
   }
 }

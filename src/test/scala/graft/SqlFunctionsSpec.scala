@@ -119,4 +119,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("morton is callable from SQL and rejects a non-constant bits arg") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT morton(CAST(3 AS BIGINT), CAST(1 AS BIGINT), 10) AS z")
+      .head().getLong(0)
+    assert(got == 7L, s"morton(3,1) must interleave to 7, got $got")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT morton(CAST(x AS BIGINT), CAST(x AS BIGINT), CAST(x AS INT)) AS z " +
+        "FROM (VALUES (3)) t(x)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }
