@@ -116,6 +116,148 @@ object TpchQueries {
           Tables.e6($"total").as("total_rev_e6"))
         .withColumn("promo_ppm",
           expr("cast(cast(promo_rev_e6 as decimal(38,0)) * 1000000 div total_rev_e6 as bigint)"))
+    }),
+
+    // Q4: order-priority checking — orders in a quarter with at least one
+    // line shipped after the order date (the testdata's late-ship proxy for
+    // commitdate < receiptdate). The EXISTS lowers to a LEFT SEMI join whose
+    // condition mixes the equi key with a non-equi date comparison — the
+    // semi probe still hashes on the equi prefix, so no row of lineitem is
+    // ever duplicated into the aggregation (the point of Q4's shape).
+    "tpch_q4_priority" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'") &&
+          $"o_orderdate" < expr("TIMESTAMP_NTZ '1996-10-01 00:00:00'"))
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+          $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate",
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q6: forecasting-revenue change — pure scan + conjunctive filter +
+    // ungrouped sum. The whole WHERE clause (date range, discount band,
+    // quantity cap) is pushable; .explain shows every predicate inside
+    // PushedFilters on the parquet scan, so at 100 TB this reads only the
+    // row groups whose min/max straddle the bands. Discount compares run in
+    // DECIMAL (R2) — 0.05/0.07 are exact decimal literals on both engines.
+    "tpch_q6_forecast" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          $"l_shipdate" < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'") &&
+          Tables.dec($"l_discount").between(expr("0.05"), expr("0.07")) &&
+          Tables.dec($"l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          sum((Tables.dec($"l_extendedprice") * Tables.dec($"l_discount"))
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("rev"))
+        .select($"n_lines", Tables.e6($"rev").as("forecast_rev_e6"))
+    }),
+
+    // Q17: small-quantity-order revenue — lines of one brand whose quantity
+    // is below 20% of that part's average. The correlated AVG subquery is a
+    // per-part aggregate joined back on partkey: at 100 TB both sides
+    // co-partition on l_partkey so the join adds no extra shuffle beyond
+    // the aggregation's own. The 0.2·avg threshold is exact integer
+    // cross-multiplication (5·n·qty < Σqty in cents) — no division at all.
+    "tpch_q17_small_qty" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_extendedprice",
+          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+      val perPart = li.groupBy($"l_partkey".as("pk"))
+        .agg(count(lit(1)).as("n_li"), sum($"qty_c").as("sum_qty_c"))
+      li.join(broadcast(Tables.part(s, d)
+          .filter($"p_brand" === "Brand#7").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .join(perPart, $"l_partkey" === $"pk")
+        .filter($"qty_c" * $"n_li" * 5 < $"sum_qty_c")
+        .agg(count(lit(1)).as("n_small"),
+          sum(Tables.dec($"l_extendedprice")).cast("decimal(18,6)").as("rev"))
+        .select($"n_small", Tables.e6($"rev").as("small_rev_e6"))
+    }),
+
+    // Q18: large-volume orders — per-order quantity totals over the whole
+    // fact table, HAVING-filtered to the extreme tail, then joined back to
+    // orders and customer for reporting. The aggregation runs FIRST so the
+    // join probes only the ~1% surviving orderkeys (semi-join-sized build
+    // side); ordering by the aggregate with a key tie-break keeps top-100
+    // deterministic.
+    "tpch_q18_large_orders" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("lok"),
+          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+        .groupBy($"lok")
+        .agg(sum($"qty_c").as("sum_qty_c"))
+        .filter($"sum_qty_c" > 25000)
+      Tables.orders(s, d)
+        .join(big, $"o_orderkey" === $"lok")
+        .join(Tables.customer(s, d).select($"c_custkey", $"c_name"),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          $"o_orderdate".cast("date").cast("string").as("orderdate"),
+          Tables.e6(Tables.dec($"o_totalprice")).as("totalprice_e6"),
+          $"sum_qty_c")
+        .orderBy($"sum_qty_c".desc, $"o_orderkey".asc)
+        .limit(100)
+    }),
+
+    // Q19: discounted-revenue brackets — the classic OR-of-ANDs predicate
+    // (three disjoint brand/size/quantity brackets). The part join is a
+    // broadcast on the equi key; the bracket disjunction stays a residual
+    // filter that whole-stage codegen compiles to one branch chain. The
+    // per-bracket breakdown keeps the output shape informative (bracket id
+    // is the CASE over the same disjuncts).
+    "tpch_q19_bracket" -> ((s, d) => {
+      import s.implicits._
+      val pt = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_extendedprice", $"l_discount",
+          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+        .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) &&
+            $"qty_c".between(100, 1100)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(1, 10) &&
+            $"qty_c".between(1000, 2000)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+            $"qty_c".between(2000, 3000)))
+        .groupBy(when($"p_brand" === "Brand#1", 1L)
+          .when($"p_brand" === "Brand#2", 2L).otherwise(3L).as("bracket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(discPrice).cast("decimal(18,6)").as("rev"))
+        .select($"bracket", $"n_lines", Tables.e6($"rev").as("revenue_e6"))
+        .orderBy("bracket")
+    }),
+
+    // Q22: global-sales opportunity — above-average-balance customers gone
+    // idle (no order in the trailing 13 months), grouped by nation (the
+    // testdata's country-code stand-in). The global positive-balance average
+    // is a one-row aggregate cross-joined in (broadcast, no shuffle) and
+    // compared by integer cross-multiplication (bal·n > Σbal); the idle
+    // test is a LEFT ANTI join against the date-filtered orders slice —
+    // the anti side shrinks to the recent window BEFORE the join, which is
+    // the order-of-operations that matters at 100 TB.
+    "tpch_q22_idle_customers" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          round(Tables.dec($"c_acctbal") * 100).cast("long").as("bal_c"))
+      val globalPos = cust.filter($"bal_c" > 0)
+        .agg(count(lit(1)).as("n_pos"), sum($"bal_c").as("sum_pos"))
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= expr("TIMESTAMP_NTZ '2000-07-01 00:00:00'"))
+        .select($"o_custkey")
+      cust
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .crossJoin(broadcast(globalPos))
+        .filter($"bal_c" * $"n_pos" > $"sum_pos")
+        .groupBy($"c_nationkey".cast("long").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), sum($"bal_c").as("totbal_c"))
+        .orderBy("cntry")
     })
   )
 
@@ -193,6 +335,91 @@ object TpchQueries {
         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
         |SELECT promo_rev_e6, total_rev_e6,
         |  CAST(CAST(promo_rev_e6 AS HUGEINT) * 1000000 // total_rev_e6 AS BIGINT) AS promo_ppm
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "tpch_q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q6_forecast" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |    AS forecast_rev_e6
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,6)) BETWEEN 0.05 AND 0.07
+        |  AND CAST(l_quantity AS DECIMAL(18,6)) < 24""".stripMargin,
+    "tpch_q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS n_li,
+        |    CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
+        |  FROM li GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |    AS small_rev_e6
+        |FROM li
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#7'
+        |JOIN pp ON l_partkey = pk
+        |WHERE qty_c * n_li * 5 < sum_qty_c""".stripMargin,
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS lok,
+        |    CAST(SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |      AS BIGINT) AS sum_qty_c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT)) > 25000)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS totalprice_e6,
+        |  sum_qty_c
+        |FROM orders
+        |JOIN big ON o_orderkey = lok
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty_c DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "tpch_q19_bracket" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_extendedprice, l_discount,
+        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT CASE WHEN p_brand = 'Brand#1' THEN 1
+        |              WHEN p_brand = 'Brand#2' THEN 2 ELSE 3 END AS bracket,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+        |  FROM li JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |          AND qty_c BETWEEN 100 AND 1100)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |          AND qty_c BETWEEN 1000 AND 2000)
+        |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |          AND qty_c BETWEEN 2000 AND 3000))
+        |SELECT CAST(bracket AS BIGINT) AS bracket, COUNT(*) AS n_lines,
+        |  CAST(SUM(dp) * 1000000 AS BIGINT) AS revenue_e6
+        |FROM f GROUP BY bracket ORDER BY bracket""".stripMargin,
+    "tpch_q22_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |g AS (
+        |  SELECT COUNT(*) AS n_pos, CAST(SUM(bal_c) AS BIGINT) AS sum_pos
+        |  FROM c WHERE bal_c > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+        |FROM c, g
+        |WHERE bal_c * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin
   )
 }
