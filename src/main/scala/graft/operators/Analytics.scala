@@ -254,6 +254,31 @@ object Analytics {
         .limit(100)
     }),
 
+    // Herfindahl–Hirschman concentration index per market segment: how
+    // concentrated is segment revenue across its customers? HHI =
+    // Σ share_i² = Σx_i² / (Σx)², emitted ×1e6. Two hash-aggs (per-customer
+    // spend, then per-segment moments) — both map-side-combinable, and the
+    // second one's input is one row per customer, so at 100 TB the heavy
+    // shuffle is only the first (co-partitioned with every other
+    // per-customer rollup). Σx² exceeds int64 → DECIMAL(38,0)/HUGEINT with
+    // one stepwise division (rule R7); x is quantized per order first (R8).
+    "agg_hhi" -> ((s, d) => {
+      import s.implicits._
+      val spend = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_custkey")
+        .agg(sum(round(Tables.dec($"o_totalprice") * 100).cast("long")).as("x"))
+      spend.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum($"x").as("sx"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+        .select($"c_mktsegment", $"n_cust",
+          expr("""cast(cast(sxx as decimal(38,0)) * 1000000 div
+                 |  (cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+                 |as bigint)""".stripMargin.replaceAll("\n", " ")).as("hhi_e6"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Triangle counting over the co-purchase graph (parts appearing in
     // the same order). Edges are ID-oriented (a < b) so every triangle
     // a<b<c materializes exactly once from the wedge join e(a,b)⋈e(b,c)
@@ -440,6 +465,22 @@ object Analytics {
         |  GROUP BY d.u, d.deg)
         |SELECT u AS node, pr AS rank_e6, deg FROM r2
         |ORDER BY rank_e6 DESC, node ASC LIMIT 100""".stripMargin,
+    "agg_hhi" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_custkey),
+        |m AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM spend GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n_cust,
+        |  CAST(CAST(sxx AS HUGEINT) * 1000000 //
+        |       (CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS hhi_e6
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
     "graph_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 500),

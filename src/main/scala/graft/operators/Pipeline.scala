@@ -289,6 +289,40 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair".asc)
         .limit(50)
+    }),
+
+    // Dataset card: the per-source summary table a corpus release ships
+    // with — doc/token/char volumes, language spread with a deterministic
+    // dominant language (highest count, lexicographic tie-break), exact-dup
+    // count within each source×lang cell, and mean doc length in
+    // centitokens. ONE scan:
+    // the md5 dedup count rides the same (source, lang)-level shuffle as
+    // the language mode via two stacked hash-aggs; every measure is a sum
+    // or count so map-side partials carry the 100 TB case.
+    "pipe_dataset_card" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val perLang = Tables.documents(s, d)
+        .select($"source", $"lang", $"n_chars",
+          size(split($"text", " ")).cast("long").as("tok"),
+          md5($"text".cast("binary")).as("h"))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          count_distinct($"h").as("n_uniq"))
+      val modeW = Window.partitionBy($"source")
+        .orderBy($"n_docs".desc, $"lang".asc)
+      perLang
+        .withColumn("lang_rk", row_number().over(modeW))
+        .groupBy($"source")
+        .agg(sum($"n_docs").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max(when($"lang_rk" === 1, $"lang")).as("top_lang"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          (sum($"n_docs") - sum($"n_uniq")).as("n_exact_dup"))
+        .withColumn("mean_tok_e2", expr("n_tokens * 100 div n_docs"))
+        .orderBy("source")
     })
   )
 
@@ -460,6 +494,25 @@ object Pipeline {
         |       WHEN uniq_e4 < 3000 THEN 'repetitive'
         |       WHEN dup_rank > 1 THEN 'exact_dup'
         |       ELSE 'keep' END AS verdict
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "pipe_dataset_card" ->
+      """WITH perlang AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT md5(text)) AS n_uniq
+        |  FROM documents GROUP BY source, lang),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_docs DESC, lang ASC) AS lang_rk
+        |  FROM perlang)
+        |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_langs,
+        |  max(CASE WHEN lang_rk = 1 THEN lang END) AS top_lang,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_docs) - SUM(n_uniq) AS BIGINT) AS n_exact_dup,
+        |  CAST(SUM(n_tokens) * 100 // SUM(n_docs) AS BIGINT) AS mean_tok_e2
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }
