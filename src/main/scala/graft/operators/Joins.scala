@@ -191,6 +191,25 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // The same band join written NAIVELY — `abs(a_t − b_t) <= threshold`
+    // with no manual bucketing — relying on the engine's RangeJoinRewrite
+    // optimizer rule to produce the cell-replicated equi-join plan that
+    // join_range_bucket builds by hand. Identical output to the manual
+    // form (the oracle is the plain SQL range join); RangeJoinSpec asserts
+    // the plan actually becomes a hash/sort-merge equi join, not a
+    // nested-loop. This is the user-facing win: the naive spelling stays
+    // O(n·c) instead of O(n²) without the query author knowing the trick.
+    "join_range_auto" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.RangeJoinRewrite.install(s)
+      val e = Tables.events(s, d).select($"event_id", Tables.tsUs.as("t"))
+      val a = e.select($"event_id".as("a_id"), $"t".as("a_t"))
+      val b = e.select($"event_id".as("b_id"), $"t".as("b_t"))
+      a.join(b, abs($"a_t" - $"b_t") <= lit(1000000L) && $"a_id" < $"b_id")
+        .select($"a_id", $"b_id", ($"b_t" - $"a_t").as("delta_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // C12: as-of join — for each purchase, ts of the most recent strictly
     // prior click by the same user. Spark has no native ASOF JOIN; the
     // AsOfJoin rewrite (union + single shuffle + range-frame window) avoids
@@ -301,6 +320,17 @@ object Joins {
         |SELECT a_id, b_id, b_t - a_t AS delta_us
         |FROM a JOIN b USING (bkt)
         |WHERE a_id < b_id AND abs(a_t - b_t) <= 1000000
+        |ORDER BY a_id, b_id""".stripMargin,
+    // The oracle is the NAIVE range join — DuckDB's IEJoin handles it;
+    // on the Spark side RangeJoinRewrite turns the same spelling into the
+    // bucketed plan. Answer equality across the two algorithms is the
+    // correctness proof for the rewrite.
+    "join_range_auto" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+        | AND a.event_id < b.event_id
         |ORDER BY a_id, b_id""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

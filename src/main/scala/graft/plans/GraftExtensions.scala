@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inert unless spark.graft.approxCountDistinct=true, so injecting it
     // unconditionally costs nothing.
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    // Keyless band joins → cell-replicated equi-join (semantics-preserving,
+    // default-on, spark.graft.rangeJoin=false to disable). See
+    // RangeJoinRewrite for the coverage proof.
+    ext.injectOptimizerRule(_ => RangeJoinRewrite())
     // Whole-operator extension: plans TopKPerGroupNode into the two-phase
     // partial/final physical operator (see TopKPerGroup). The facade also
     // registers this per-session via experimental.extraStrategies, so

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+
+/** Optimizer rule: keyless band join → cell-replicated equi-join.
+  *
+  * A join whose only cross-side predicate is a band `abs(x − y) <= c`
+  * (x from the left, y from the right, c a positive integral literal) has
+  * no equi key, so Spark plans it as BroadcastNestedLoopJoin / cartesian —
+  * O(|L|·|R|) comparisons, the classic scale killer for event-proximity
+  * and sensor-alignment queries. But the band admits an exact equi
+  * reduction: bucket the domain into width-`c` cells, replicate the LEFT
+  * row to its cell and both neighbors, keep the RIGHT row in its single
+  * cell, equi-join on the cell id, and re-apply the original predicate as
+  * the residual. Every qualifying pair lands in exactly one (replica,
+  * cell) combination, so no dedup is needed; the join becomes a shuffle
+  * on the cell id whose per-cell population is bounded by row rate × c.
+  *
+  * Coverage proof (truncating division): any pair with |x − y| ≤ c spans
+  * at most one cell boundary — every `div c` cell holds ≥ c consecutive
+  * integers (the cell around zero holds 2c−1), and an interval of c+1
+  * integers cannot fully contain an interior cell — so cell(x) and
+  * cell(y) differ by at most 1 and the 3-cell replica set always covers.
+  * This holds for negative values too, which is why plain `div`
+  * (truncation toward zero) needs no floor adjustment.
+  *
+  * The rewrite is semantics-preserving (the residual keeps the exact
+  * predicate), fires only when: the join is INNER, the condition has NO
+  * cross-side equi conjunct (if one exists the hash join on it is already
+  * the right plan and the band is a cheap residual), and the band sides
+  * are integral. The rewritten join contains a bucket-equality conjunct,
+  * which disqualifies it from re-matching — the rule is fixed-point safe.
+  *
+  * Injected via [[GraftExtensions]] at session construction, or
+  * retrofitted onto an existing session with [[RangeJoinRewrite.install]]
+  * (`spark.experimental.extraOptimizations`). Disable with
+  * `spark.graft.rangeJoin=false`.
+  */
+case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin", "true") == "true"
+
+  /** Positive integral literal, as Long. */
+  private object PosIntegralLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Short, ShortType) if v > 0  => Some(v.toLong)
+      case Literal(v: Int, IntegerType) if v > 0  => Some(v.toLong)
+      case Literal(v: Long, LongType) if v > 0    => Some(v)
+      case _                                      => None
+    }
+  }
+
+  /** abs(x − y) {<=,<} c, either operand order around the comparison. */
+  private object Band {
+    def unapply(e: Expression): Option[(Expression, Expression, Long)] = e match {
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), PosIntegralLit(c)) =>
+        Some((x, y, c))
+      case LessThan(Abs(Subtract(x, y, _), _), PosIntegralLit(c)) if c > 1 =>
+        Some((x, y, c))
+      case GreaterThanOrEqual(PosIntegralLit(c), Abs(Subtract(x, y, _), _)) =>
+        Some((x, y, c))
+      case GreaterThan(PosIntegralLit(c), Abs(Subtract(x, y, _), _)) if c > 1 =>
+        Some((x, y, c))
+      case _ => None
+    }
+  }
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _                                  => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val crossSideEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) &&
+              b.references.subsetOf(right.outputSet)) ||
+            (b.references.subsetOf(left.outputSet) &&
+              a.references.subsetOf(right.outputSet))
+          case _ => false
+        }
+        val band = if (crossSideEqui) None else conjuncts.collectFirst {
+          // orient (lx from left, rx from right); Band is symmetric in its
+          // first two slots because abs(x−y) = abs(y−x)
+          case Band(x, y, c)
+              if x.deterministic && y.deterministic &&
+                integral(x) && integral(y) &&
+                x.references.subsetOf(left.outputSet) &&
+                y.references.subsetOf(right.outputSet) =>
+            (x, y, c)
+          case Band(x, y, c)
+              if x.deterministic && y.deterministic &&
+                integral(x) && integral(y) &&
+                y.references.subsetOf(left.outputSet) &&
+                x.references.subsetOf(right.outputSet) =>
+            (y, x, c)
+        }
+        band match {
+          case Some((lx, rx, c)) => rewrite(j, lx, rx, c)
+          case None              => j
+        }
+    }
+
+  private def rewrite(j: Join, lx: Expression, rx: Expression,
+                      c: Long): LogicalPlan = {
+    val width = Literal(c, LongType)
+    val one = Literal(1L, LongType)
+    val cellL = IntegralDivide(Cast(lx, LongType), width)
+    val cellR = IntegralDivide(Cast(rx, LongType), width)
+    // Left row → its cell and both neighbors (3 distinct ids, so a pair
+    // can only ever meet once); a null band key yields null cells that
+    // match nothing, mirroring the original predicate's null semantics.
+    val cells = CreateArray(Seq(Subtract(cellL, one), cellL, Add(cellL, one)))
+    val bucketL = AttributeReference("__graft_cell", LongType)()
+    val gen = Generate(Explode(cells), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(bucketL),
+      child = j.left)
+    val bucketR = Alias(cellR, "__graft_cell_r")()
+    val projR = Project(j.right.output :+ bucketR, j.right)
+    val newCond = And(EqualTo(bucketL, bucketR.toAttribute), j.condition.get)
+    // Restore the original output (drop the cell columns).
+    Project(j.left.output ++ j.right.output,
+      Join(gen, projR, Inner, Some(newCond), j.hint))
+  }
+}
+
+object RangeJoinRewrite {
+  /** Idempotently retrofit the rule onto an already-built session. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[RangeJoinRewrite]))
+      spark.experimental.extraOptimizations = cur :+ RangeJoinRewrite()
+  }
+}

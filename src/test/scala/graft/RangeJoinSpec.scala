@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RangeJoinRewrite: the keyless band join `abs(x − y) <= c` must (a) keep
+  * its exact semantics — proven against the unrewritten nested-loop plan,
+  * including negatives around the truncating-division zero cell — and
+  * (b) actually plan as an equi join (Exchange + hash/sort-merge), not a
+  * BroadcastNestedLoopJoin. */
+class RangeJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  graft.plans.RangeJoinRewrite.install(spark)
+
+  private def bandJoin(xs: Seq[Long], c: Long) = {
+    val a = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("a_id", "a_v")
+    val b = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("b_id", "b_v")
+    a.join(b, abs($"a_v" - $"b_v") <= lit(c) && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+  }
+
+  test("rewritten plan is an equi join with a Generate, not a nested loop") {
+    val p = bandJoin((1L to 50L).map(_ * 3), 7L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("Generate"), p.take(800))
+  }
+
+  test("band join results equal the nested-loop plan, negatives included") {
+    // values straddle zero so the truncating-div cells around 0 are hit
+    val xs = Seq(-23L, -17L, -10L, -9L, -5L, -1L, 0L, 1L, 4L, 8L, 9L, 15L, 22L)
+    for (c <- Seq(1L, 3L, 5L, 10L)) {
+      val auto = bandJoin(xs, c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = spark.conf.get("spark.graft.rangeJoin", "true") match {
+        case _ =>
+          spark.conf.set("spark.graft.rangeJoin", "false")
+          try bandJoin(xs, c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          finally spark.conf.set("spark.graft.rangeJoin", "true")
+      }
+      assert(auto == naive, s"c=$c: rewrite changed the answer")
+      // and the expected pair count from first principles
+      val expect = (for {
+        i <- xs.indices; j <- xs.indices
+        if i < j && math.abs(xs(i) - xs(j)) <= c
+      } yield (i.toLong, j.toLong)).toSet
+      assert(auto == expect, s"c=$c: wrong pairs")
+    }
+  }
+
+  test("disabled by conf, the naive plan comes back") {
+    spark.conf.set("spark.graft.rangeJoin", "false")
+    try {
+      val p = bandJoin((1L to 20L), 2L).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+        p.take(800))
+    } finally spark.conf.set("spark.graft.rangeJoin", "true")
+  }
+
+  test("a join that already has an equi key is left alone") {
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "a_v")
+    val b = Seq((1L, 12L), (2L, 99L)).toDF("k2", "b_v")
+    val j = a.join(b, $"k" === $"k2" && abs($"a_v" - $"b_v") <= lit(5L))
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), p.take(800))
+    assert(j.collect().length == 1)
+  }
+
+  test("registered query join_range_auto matches the manual bucket version") {
+    val auto = SparkEntry.queries("join_range_auto")(spark, TestSpark.sfDir)
+    val manual = SparkEntry.queries("join_range_bucket")(spark, TestSpark.sfDir)
+    assert(auto.exceptAll(manual).isEmpty && manual.exceptAll(auto).isEmpty)
+    val p = auto.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+}
