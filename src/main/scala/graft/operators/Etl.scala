@@ -346,6 +346,27 @@ object Etl {
         .withColumn("zval", graft.plans.MortonInterleave.morton($"x", $"y", 10))
         .orderBy($"zval".asc, $"o_orderkey".asc)
         .limit(200)
+    }),
+
+    // Partition-layout profiling: the report you run BEFORE picking a
+    // partition scheme at 100 TB — per candidate key (order month), row
+    // count, share of total (ppm), and skew vs the mean partition (e6;
+    // 1 000 000 = perfectly even). One hash-agg over the scan + a
+    // broadcast single-row total; the skew_e6 column directly answers
+    // "does this key need salting or AQE skew-split?" (SCALING.md's
+    // decision rule: worry past ~4x).
+    "etl_partition_stats" -> ((s, d) => {
+      import s.implicits._
+      val byMonth = Tables.orders(s, d)
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("part_key"))
+        .agg(count(lit(1)).as("n_rows"))
+      val glob = byMonth.agg(sum($"n_rows").as("total"),
+        count(lit(1)).as("n_parts"))
+      byMonth.crossJoin(broadcast(glob))
+        .select($"part_key", $"n_rows",
+          expr("n_rows * 1000000 div total").as("share_ppm"),
+          expr("n_rows * n_parts * 1000000 div total").as("skew_e6"))
+        .orderBy("part_key")
     })
   )
 
@@ -546,6 +567,15 @@ object Etl {
         |  FROM g, range(0, 10) r(k)
         |  GROUP BY o_orderkey, x, y)
         |SELECT o_orderkey, x, y, zval FROM z
-        |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin
+        |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin,
+    "etl_partition_stats" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS part_key, COUNT(*) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_parts FROM m)
+        |SELECT part_key, n_rows,
+        |  n_rows * 1000000 // total AS share_ppm,
+        |  n_rows * n_parts * 1000000 // total AS skew_e6
+        |FROM m, g ORDER BY part_key""".stripMargin
   )
 }

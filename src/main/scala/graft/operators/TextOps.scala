@@ -184,6 +184,45 @@ object TextOps {
         .orderBy("doc_id", "rn")
     }),
 
+    // BM25-style ranked retrieval for a fixed 3-term query, fully integer:
+    // per-term score = tf-saturation × idf, summed over matched terms.
+    // tf-saturation uses the real BM25 form (k1=2, b=0.75, length-
+    // normalized against the corpus mean doc length) in e3 fixed-point;
+    // idf uses the rational surrogate (N−df+1)·1000 div (df+1) — monotone
+    // in df like log((N−df+.5)/(df+.5)) but log-free, so both engines
+    // compute bit-identical scores (rule R2). The plan is the posting-list
+    // retrieval shape: explode → filter to query terms BEFORE any
+    // aggregation (the scan output is ~|q| rows per doc, not the whole
+    // token stream), tiny df/global tables broadcast, one per-doc sum,
+    // TakeOrdered top-10. At 100 TB this is exactly an inverted-index
+    // probe: the term filter is the index lookup, everything downstream
+    // is proportional to the posting lists, not the corpus.
+    "text_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .filter($"doc_id" < 300)
+        .select($"doc_id", split($"text", " ").as("t"))
+      val stats = docs.select($"doc_id", size($"t").cast("long").as("dl"))
+      val glob = stats.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
+        .select($"n_docs", expr("tot div n_docs").as("avg_tok"))
+      val tf = docs
+        .select($"doc_id", explode($"t").as("tok"))
+        .filter($"tok".isin("hash", "merge", "scan"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfc), "tok")
+        .join(stats, "doc_id")
+        .crossJoin(broadcast(glob))
+        .withColumn("k_e3", expr("2 * (250 + (750 * dl) div avg_tok)"))
+        .withColumn("tfp_e3", expr("(tf * 3 * 1000000) div (tf * 1000 + k_e3)"))
+        .withColumn("idf_e3", expr("((n_docs - df + 1) * 1000) div (df + 1)"))
+        .groupBy($"doc_id")
+        .agg(max($"dl").as("dl"), count(lit(1)).as("n_terms"),
+          sum($"tfp_e3" * $"idf_e3").as("score_e6"))
+        .orderBy($"score_e6".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+
     // Document fingerprinting: position-weighted polynomial over 32-bit
     // token hashes — pure BIGINT, order-sensitive, cross-engine exact.
     "text_fingerprint" -> ((s, d) => {
@@ -642,6 +681,32 @@ object TextOps {
         |    ORDER BY score_e6 DESC, tok ASC) AS rn FROM s)
         |SELECT doc_id, CAST(rn AS INT) AS rn, tok, tf, df, score_e6
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |corp AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avg_tok
+        |  FROM stats),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS tok FROM docs) u
+        |  WHERE tok IN ('hash', 'merge', 'scan')
+        |  GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT tf.doc_id, stats.dl,
+        |    (tf.tf * 3 * 1000000) //
+        |      (tf.tf * 1000 + 2 * (250 + (750 * stats.dl) // corp.avg_tok))
+        |      AS tfp_e3,
+        |    ((corp.n_docs - dfc.df + 1) * 1000) // (dfc.df + 1) AS idf_e3
+        |  FROM tf JOIN dfc USING (tok) JOIN stats USING (doc_id), corp)
+        |SELECT doc_id, MAX(dl) AS dl, COUNT(*) AS n_terms,
+        |  CAST(SUM(tfp_e3 * idf_e3) AS BIGINT) AS score_e6
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,
