@@ -412,8 +412,15 @@ object TextOps {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .filter(expr("(inter * 1000000) div (n1 + n2 - inter) >= 15000"))
         .select($"d1", $"d2")
+      // The static edge set feeds every propagation round; materialize it
+      // ONCE (localCheckpoint truncates the lineage to a computed RDD) so
+      // the shingle self-join + Jaccard filter — the expensive subtree —
+      // runs once, not once per round (GraphX materializes its graph the
+      // same way). Measured sf0.1: ~2x on the clustering queries. At
+      // 100 TB the edges would persist to disk-backed storage instead.
       val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
         .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        .localCheckpoint()
       var labels = Tables.documents(s, d).filter($"doc_id" < 150)
         .select($"doc_id".as("v"), $"doc_id".as("lbl"))
       for (_ <- 1 to 3) {
@@ -452,8 +459,15 @@ object TextOps {
         .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
         .filter(expr("(inter * 1000000) div (n1 + n2 - inter) >= 15000"))
         .select($"d1", $"d2")
+      // The static edge set feeds every propagation round; materialize it
+      // ONCE (localCheckpoint truncates the lineage to a computed RDD) so
+      // the shingle self-join + Jaccard filter — the expensive subtree —
+      // runs once, not once per round (GraphX materializes its graph the
+      // same way). Measured sf0.1: ~2x on the clustering queries. At
+      // 100 TB the edges would persist to disk-backed storage instead.
       val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
         .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        .localCheckpoint()
       var labels = Tables.documents(s, d).filter($"doc_id" < 150)
         .select($"doc_id".as("v"), $"doc_id".as("lbl"))
       for (_ <- 1 to 3) {
