@@ -156,19 +156,25 @@ object Aggregates {
     // Exact median without float percentile machinery: the two middle
     // elements by rank (equal when n is odd), in integer cents — exact and
     // engine-agnostic where percentile_cont interpolation is not.
+    // Evaluated by the HISTOGRAM method (the quantity domain is ~50
+    // distinct values): the value at rank r is min x with cumcount(≤x) ≥ r
+    // over the per-group value histogram, so the full-group sort the rank
+    // form needs collapses to one map-side-combinable hash-agg plus a
+    // window over ~50 histogram rows per group. The ORACLE still runs the
+    // row-rank algorithm — the hash match is a cross-algorithm
+    // equivalence proof (same pattern as agg_mad_exact; measured ~2x here).
     "agg_median_exact" -> ((s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"l_returnflag").orderBy($"x".asc, $"l_orderkey".asc, $"l_linenumber".asc)
-      val part = org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")
+      val p = Window.partitionBy($"l_returnflag")
       Tables.lineitem(s, d)
-        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
-          round($"l_quantity" * 100).cast("long").as("x"))
-        .select($"l_returnflag", $"x",
-          row_number().over(w).as("rn"), count(lit(1)).over(part).as("n"))
-        .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+        .select($"l_returnflag", round($"l_quantity" * 100).cast("long").as("x"))
+        .groupBy($"l_returnflag", $"x").agg(count(lit(1)).as("cnum"))
+        .withColumn("cum", sum($"cnum").over(p.orderBy($"x".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"cnum").over(p))
         .groupBy($"l_returnflag")
-        .agg(min($"x").as("med_lo_cents"), max($"x").as("med_hi_cents"),
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), $"x")).as("med_lo_cents"),
+          min(when($"cum" >= expr("n div 2 + 1"), $"x")).as("med_hi_cents"),
           max($"n").as("n"))
         .orderBy("l_returnflag")
     }),
@@ -271,19 +277,42 @@ object Aggregates {
     // values qualifies iff its END-of-run cumulative weight crosses the
     // threshold (the max cum inside a run is at its end), so min(c) over
     // qualifying rows is order-independent even though per-row cum under
-    // ties is not. One sort shuffle per group — same cost shape as the
-    // exact median.
+    // ties is not.
+    //
+    // Evaluated TWO-PHASE (the distributed-quantile shape for unbounded
+    // value domains, complementing agg_mad_exact's bounded-domain
+    // histogram): pass 1 hash-aggregates weight per width-1e5 value
+    // bucket (map-side partials carry it), a tiny per-group window finds
+    // the bucket where the threshold lands plus its carry-in weight, and
+    // pass 2 sorts ONLY that bucket's rows (~1/100th of the group) after
+    // a broadcast join. No full-group sort ever happens — at 100 TB the
+    // full sort is the cost that matters, here it shrinks to one bucket.
+    // The ORACLE still runs the single-pass rank form, so the hash match
+    // is a cross-algorithm equivalence proof (like agg_mad_exact).
     "agg_weighted_median" -> ((s, d) => {
       import s.implicits._
       val byFlag = Window.partitionBy($"l_returnflag")
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select($"l_returnflag",
           round(Tables.dec($"l_extendedprice") * 100).cast("long").as("c"),
           round(Tables.dec($"l_quantity")).cast("long").as("wt"))
-        .withColumn("cum", sum($"wt").over(byFlag.orderBy($"c")
+      val marks = base
+        .withColumn("bkt", expr("c div 100000"))
+        .groupBy($"l_returnflag", $"bkt").agg(sum($"wt").as("w"))
+        .withColumn("cumEnd", sum($"w").over(byFlag.orderBy($"bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum($"wt").over(byFlag))
-        .filter($"cum" * 2 >= $"tot")
+        .withColumn("tot", sum($"w").over(byFlag))
+        .filter($"cumEnd" * 2 >= $"tot")
+        .withColumn("rk", row_number().over(byFlag.orderBy($"bkt")))
+        .filter($"rk" === 1)
+        .select($"l_returnflag".as("mf"), $"bkt".as("tb"),
+          ($"cumEnd" - $"w").as("carry"), $"tot")
+      base
+        .withColumn("bkt", expr("c div 100000"))
+        .join(broadcast(marks), $"l_returnflag" === $"mf" && $"bkt" === $"tb")
+        .withColumn("cumIn", sum($"wt").over(byFlag.orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(($"carry" + $"cumIn") * 2 >= $"tot")
         .groupBy($"l_returnflag")
         .agg(min($"c").as("wmedian_cents"))
         .orderBy("l_returnflag")
