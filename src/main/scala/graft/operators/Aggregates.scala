@@ -291,30 +291,12 @@ object Aggregates {
     // is a cross-algorithm equivalence proof (like agg_mad_exact).
     "agg_weighted_median" -> ((s, d) => {
       import s.implicits._
-      val byFlag = Window.partitionBy($"l_returnflag")
       val base = Tables.lineitem(s, d)
         .select($"l_returnflag",
           round(Tables.dec($"l_extendedprice") * 100).cast("long").as("c"),
           round(Tables.dec($"l_quantity")).cast("long").as("wt"))
-      val marks = base
-        .withColumn("bkt", expr("c div 100000"))
-        .groupBy($"l_returnflag", $"bkt").agg(sum($"wt").as("w"))
-        .withColumn("cumEnd", sum($"w").over(byFlag.orderBy($"bkt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum($"w").over(byFlag))
-        .filter($"cumEnd" * 2 >= $"tot")
-        .withColumn("rk", row_number().over(byFlag.orderBy($"bkt")))
-        .filter($"rk" === 1)
-        .select($"l_returnflag".as("mf"), $"bkt".as("tb"),
-          ($"cumEnd" - $"w").as("carry"), $"tot")
-      base
-        .withColumn("bkt", expr("c div 100000"))
-        .join(broadcast(marks), $"l_returnflag" === $"mf" && $"bkt" === $"tb")
-        .withColumn("cumIn", sum($"wt").over(byFlag.orderBy($"c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(($"carry" + $"cumIn") * 2 >= $"tot")
-        .groupBy($"l_returnflag")
-        .agg(min($"c").as("wmedian_cents"))
+      Quantiles.weightedMedian(base, "l_returnflag", "c", "wt", 100000L)
+        .select($"l_returnflag", $"wmedian".as("wmedian_cents"))
         .orderBy("l_returnflag")
     }),
 
