@@ -254,6 +254,36 @@ object Advanced {
     }),
 
     // Edit distance (classic text-analysis primitive, exact integer).
+    // Per-user session rollup — the product-analytics summary built ON TOP
+    // of gaps-and-islands sessionization (same 30-min break rule as
+    // win_gaps_islands): session count, event volume, bounce sessions
+    // (single-event), longest span, mean span (truncating). Both
+    // aggregations ride the ONE user_id sort shuffle the sessionization
+    // already pays — the rollup itself is map-side-combinable.
+    "win_session_rollup" -> ((s, d) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val cum = byUser
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .withColumn("brk",
+          when($"ts_us" - lag($"ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum($"brk").over(cum))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n"), (max($"ts_us") - min($"ts_us")).as("span_us"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n").as("n_events"),
+          sum(when($"n" === 1, 1L).otherwise(0L)).as("n_bounce"),
+          max($"span_us").as("max_span_us"),
+          sum($"span_us").as("sum_span_us"))
+        .withColumn("mean_span_us", expr("sum_span_us div n_sessions"))
+        .drop("sum_span_us")
+        .orderBy("user_id")
+    }),
+
     "fn_levenshtein" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
@@ -437,6 +467,24 @@ object Advanced {
         |  MAX(tu) - MIN(tu) AS span_us
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    "win_session_rollup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |o AS (SELECT user_id, event_id, tu,
+        |  CASE WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC, event_id ASC)),
+        |s AS (SELECT user_id, tu, event_id,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, sid, COUNT(*) AS n, MAX(tu) - MIN(tu) AS span_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  MAX(span_us) AS max_span_us,
+        |  CAST(SUM(span_us) AS BIGINT) // COUNT(*) AS mean_span_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fn_levenshtein" ->
       """SELECT doc_id,
         |  CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS INT) AS lev_const,

@@ -279,6 +279,36 @@ object Analytics {
         .orderBy("c_mktsegment")
     }),
 
+    // Bottom-k distinct-count sketch: keep the k smallest 60-bit hashes of
+    // the values; estimate distinct = (k−1)·2^60 div h_k. Unlike HLL/KLL
+    // this sketch is fully DETERMINISTIC and order/partition-independent
+    // (min-k of a set doesn't care how the set arrives), so the
+    // "approximate" estimator has an EXACT DuckDB oracle — the estimate,
+    // the k-th hash, and the exact count are all replicated bit-for-bit.
+    // Mergeable (min-k of unions = min-k of concatenated min-k's), one
+    // tiny state per group through the shuffle — the same 100 TB story as
+    // HLL with none of the nondeterminism; the exact count rides along to
+    // show the ~1/√k relative error honestly.
+    "sketch_bottomk_distinct" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"h".asc)
+      Tables.orders(s, d)
+        .select($"o_orderpriority",
+          conv(substring(md5($"o_custkey".cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_exact"),
+          max(when($"rn" === 8, $"h")).as("h8"))
+        .select($"o_orderpriority", $"n_exact", $"h8",
+          expr("""CASE WHEN n_exact >= 8
+                 |THEN 7 * 1152921504606846976 div h8
+                 |ELSE n_exact END""".stripMargin.replaceAll("\n", " "))
+            .as("est_distinct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Triangle counting over the co-purchase graph (parts appearing in
     // the same order). Edges are ID-oriented (a < b) so every triangle
     // a<b<c materializes exactly once from the wedge join e(a,b)⋈e(b,c)
@@ -481,6 +511,24 @@ object Analytics {
         |  CAST(CAST(sxx AS HUGEINT) * 1000000 //
         |       (CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS hhi_e6
         |FROM m ORDER BY c_mktsegment""".stripMargin,
+    "sketch_bottomk_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, h,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h ASC) AS rn
+        |  FROM h),
+        |a AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_exact,
+        |    MAX(CASE WHEN rn = 8 THEN h END) AS h8
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n_exact, h8,
+        |  CASE WHEN n_exact >= 8 THEN 7 * 1152921504606846976 // h8
+        |       ELSE n_exact END AS est_distinct
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "graph_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 500),

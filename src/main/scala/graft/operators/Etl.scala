@@ -348,6 +348,31 @@ object Etl {
         .limit(200)
     }),
 
+    // Late-arriving dimension handling: facts whose dim row hasn't landed
+    // yet keep flowing (left join + sentinel surrogate) instead of being
+    // dropped or blocking the load; the per-status report counts the
+    // backfill queue and names its first key. The missing-dim set is
+    // simulated by withholding every 17th customer. At 100 TB the dim
+    // probe is the usual broadcast; the backfill re-join later touches
+    // only rows with the sentinel — a tiny anti-join-shaped slice.
+    "etl_late_arriving_dim" -> ((s, d) => {
+      import s.implicits._
+      val dim = Tables.customer(s, d)
+        .filter($"c_custkey" % 17 =!= 0)
+        .select($"c_custkey", $"c_nationkey")
+      Tables.orders(s, d)
+        .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left")
+        .withColumn("nation_sk",
+          coalesce($"c_nationkey".cast("long"), lit(-1L)))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_facts"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_missing"),
+          min(when($"c_custkey".isNull, $"o_orderkey")).as("first_backfill_key"),
+          count_distinct($"nation_sk").as("n_nation_sk"))
+        .withColumn("missing_ppm", expr("n_missing * 1000000 div n_facts"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Partition-layout profiling: the report you run BEFORE picking a
     // partition scheme at 100 TB — per candidate key (order month), row
     // count, share of total (ppm), and skew vs the mean partition (e6;
@@ -568,6 +593,22 @@ object Etl {
         |  GROUP BY o_orderkey, x, y)
         |SELECT o_orderkey, x, y, zval FROM z
         |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin,
+    "etl_late_arriving_dim" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 17 <> 0),
+        |j AS (
+        |  SELECT o_orderstatus, o_orderkey, c_custkey,
+        |    COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nation_sk
+        |  FROM orders LEFT JOIN dim ON o_custkey = c_custkey)
+        |SELECT o_orderstatus, COUNT(*) AS n_facts,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  MIN(CASE WHEN c_custkey IS NULL THEN o_orderkey END)
+        |    AS first_backfill_key,
+        |  COUNT(DISTINCT nation_sk) AS n_nation_sk,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS missing_ppm
+        |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "etl_partition_stats" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS part_key, COUNT(*) AS n_rows

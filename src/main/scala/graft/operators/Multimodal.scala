@@ -76,6 +76,30 @@ object Multimodal {
           min($"doc_id").as("min_doc"),
           max($"doc_id").as("max_doc"))
         .orderBy("kind")
+    }),
+
+    // WebDataset-style shard packing manifest: assign docs (payload size =
+    // n_chars) to fixed-budget shards in stable doc_id order, emit the
+    // per-shard manifest (counts, bytes, id range) a training loader
+    // consumes. shard = bytes-before-this-doc div budget, so a doc larger
+    // than the budget still lands in exactly one shard and ids stay dense
+    // per source. Sharding is PER SOURCE (partitionBy source) — the
+    // running sum parallelizes across sources instead of one global
+    // ordered chain, which is the difference between a scalable layout
+    // pass and a single-reducer bottleneck at 100 TB.
+    "multimodal_shard_manifest" -> ((s, d) => {
+      import s.implicits._
+      val bySource = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id".asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("cum", sum($"n_chars").over(bySource))
+        .withColumn("shard_id", expr("(cum - n_chars) div 16384"))
+        .groupBy($"source", $"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("shard_bytes"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy("source", "shard_id")
     })
   )
 
@@ -113,6 +137,16 @@ object Multimodal {
         |SELECT kind, COUNT(*) AS n_assets,
         |  CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        |FROM k GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
+    "multimodal_shard_manifest" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - n_chars) // 16384 AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin
   )
 }
