@@ -39,8 +39,31 @@ object TextOps {
   /** 60-bit SimHash signature per document (doc_id < 200): md5-derived
     * per-token 60-bit hashes, bitwise majority vote. Shared by
     * dedup_simhash (the signature dump) and dedup_simhash_pairs (the
-    * Hamming-band near-dup search). */
+    * Hamming-band near-dup search).
+    *
+    * Computed by the [[graft.plans.SimHash60]] codegen expression — one
+    * scalar pass over the token array, NO explode and no shuffle (the
+    * relational formulation this replaced exploded tokens × 60 bit
+    * positions through two hash aggregations; the DuckDB oracle still
+    * runs that form, so the hash match doubles as a cross-implementation
+    * proof, and SimHashSpec asserts expression ≡ relational on the
+    * testdata plus the measured win). */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        graft.plans.SimHash60.simhash60(split($"text", " ")).as("simhash"))
+  }
+
+  private[graft] def simhashSigsForTest(
+      s: org.apache.spark.sql.SparkSession, d: String) = simhashSigs(s, d)
+
+  /** The pre-expression relational SimHash (explode × 60 → two hash aggs)
+    * — kept as the reference implementation SimHashSpec checks the
+    * expression against. */
+  private[graft] def simhashSigsRelational(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     Tables.documents(s, d)
       .filter($"doc_id" < 200)

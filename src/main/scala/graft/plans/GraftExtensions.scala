@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("morton"),
       new ExpressionInfo(classOf[MortonInterleave].getName, "morton"),
       GraftFunctions.mortonBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      GraftFunctions.simhashBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite):
     // inert unless spark.graft.approxCountDistinct=true, so injecting it
     // unconditionally costs nothing.

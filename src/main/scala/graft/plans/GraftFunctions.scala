@@ -9,6 +9,7 @@ import org.apache.spark.sql.AnalysisException
   *   SELECT vec_dot(a, b)                  -- codegen'd dot-product fold
   *   SELECT minhash_sketch(hash_col, 16)   -- MinHash sketch aggregate
   *   SELECT morton(x, y, 10)               -- codegen'd Z-order interleave
+  *   SELECT simhash60(tokens)              -- one-pass 60-bit SimHash
   *
   * Two wirings share the same builders: [[register]] patches a pre-built
   * session's function registry (the harness path), and [[GraftExtensions]]
@@ -67,10 +68,14 @@ object GraftFunctions {
       MortonInterleave(exprs(0), exprs(1), bits)
     }
 
+  private[plans] val simhashBuilder: Seq[Expression] => Expression =
+    exprs => SimHash60(exprs.head)
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("minhash_sketch", minhashBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("morton", mortonBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("simhash60", simhashBuilder, "scala_udf")
   }
 }

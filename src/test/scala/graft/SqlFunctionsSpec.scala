@@ -131,4 +131,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
+
+  test("simhash60 is callable from SQL and matches the md5 bit convention") {
+    GraftFunctions.register(spark)
+    // single token: the signature IS the token's 60-bit md5-prefix hash
+    // (each set bit votes +1, each clear bit −1 with one voter)
+    val viaFn = spark.sql("SELECT simhash60(array('hash')) AS s").head().getLong(0)
+    val viaMd5 = spark.sql(
+      "SELECT CAST(conv(substring(md5(CAST('hash' AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .head().getLong(0)
+    assert(viaFn == viaMd5)
+  }
 }
