@@ -23,6 +23,33 @@ object Advanced {
           |GROUP BY n ORDER BY dt""".stripMargin)
     }),
 
+    // TRUE recursion (not an unrolled union): bounded-depth reachability
+    // over the co-purchase graph via Spark 4's native WITH RECURSIVE —
+    // min hop distance and path multiplicity from a seed part, ≤3 hops.
+    // Each recursive step is one equi-join + the fixpoint machinery; the
+    // engine's unrolled forms (sql_recursive_cte, graph_pagerank) remain
+    // the right shape when depth is known, this is the surface for when
+    // it isn't. DuckDB runs the identical recursive SQL.
+    "sql_recursive_native" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_rec")
+      s.sql(
+        """WITH RECURSIVE reach(part, dist) AS (
+          |  SELECT CAST(7 AS BIGINT) AS part, 0 AS dist
+          |  UNION ALL
+          |  SELECT e.b, r.dist + 1
+          |  FROM reach r JOIN (
+          |    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |    FROM graft_li_rec x JOIN graft_li_rec y
+          |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |    WHERE x.l_partkey < 300 AND y.l_partkey < 300
+          |  ) e ON e.a = r.part
+          |  WHERE r.dist < 3
+          |)
+          |SELECT part, CAST(MIN(dist) AS BIGINT) AS min_dist,
+          |       COUNT(*) AS n_paths
+          |FROM reach GROUP BY part ORDER BY part""".stripMargin)
+    }),
+
     // Sliding ROWS frame: centered 7-row decimal sum per customer.
     "win_rows_sliding" -> ((s, d) => {
       import s.implicits._
@@ -467,6 +494,22 @@ object Advanced {
         |  MAX(tu) - MIN(tu) AS span_us
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    "sql_recursive_native" ->
+      """WITH RECURSIVE reach(part, dist) AS (
+        |  SELECT CAST(7 AS BIGINT) AS part, 0 AS dist
+        |  UNION ALL
+        |  SELECT e.b, r.dist + 1
+        |  FROM reach r JOIN (
+        |    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    WHERE x.l_partkey < 300 AND y.l_partkey < 300
+        |  ) e ON e.a = r.part
+        |  WHERE r.dist < 3
+        |)
+        |SELECT part, CAST(MIN(dist) AS BIGINT) AS min_dist,
+        |       COUNT(*) AS n_paths
+        |FROM reach GROUP BY part ORDER BY part""".stripMargin,
     "win_session_rollup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
         |o AS (SELECT user_id, event_id, tu,
