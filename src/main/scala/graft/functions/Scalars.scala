@@ -93,6 +93,27 @@ object Scalars {
         .orderBy("c_custkey")
     }),
 
+    // ANSI-safe error handling: the try_* family returns NULL where strict
+    // ANSI evaluation would raise — malformed casts, impossible dates,
+    // division by zero, out-of-bounds array access. At 100 TB this is the
+    // difference between one poison row killing a stage and a NULL you can
+    // route to a quarantine sink (rule: ingest never throws on data).
+    // DuckDB mirrors with TRY_CAST / CASE / NULL-on-OOB list access.
+    "fn_try_arith" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .select($"n_nationkey",
+          expr("try_cast(cast(n_nationkey as string) as int)").as("ok_int"),
+          expr("try_cast(concat(n_name, '!') as int)").as("bad_int"),
+          expr("""cast(try_cast(concat('1995-02-', lpad(cast(n_nationkey + 7 as string), 2, '0'))
+                 |  as date) as string)""".stripMargin.replaceAll("\n", " "))
+            .as("maybe_date"),
+          expr("cast(try_divide(1000, n_nationkey % 4) as bigint)").as("safe_div"),
+          expr("try_element_at(array(10L, 20L, 30L), cast(n_nationkey % 5 + 1 as int))")
+            .as("maybe_elem"))
+        .orderBy("n_nationkey")
+    }),
+
     // VARIANT (Spark 4 semi-structured type): parse_json into a variant,
     // typed extraction with variant_get — the shredding-friendly path for
     // heterogeneous JSON at scale (vs per-query string re-parsing).
@@ -213,6 +234,16 @@ object Scalars {
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_s,
         |  CAST(CAST(c_nationkey AS DECIMAL(10,0)) AS INT) AS nat_i
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_try_arith" ->
+      """SELECT n_nationkey,
+        |  TRY_CAST(CAST(n_nationkey AS VARCHAR) AS INT) AS ok_int,
+        |  TRY_CAST(n_name || '!' AS INT) AS bad_int,
+        |  CAST(TRY_CAST('1995-02-' || lpad(CAST(n_nationkey + 7 AS VARCHAR), 2, '0')
+        |    AS DATE) AS VARCHAR) AS maybe_date,
+        |  CASE WHEN n_nationkey % 4 = 0 THEN NULL
+        |       ELSE 1000 // (n_nationkey % 4) END AS safe_div,
+        |  CAST(list_extract([10, 20, 30], n_nationkey % 5 + 1) AS BIGINT) AS maybe_elem
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "fn_variant" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -279,6 +279,32 @@ object Analytics {
         .orderBy("c_mktsegment")
     }),
 
+    // Pareto skyline per market segment: orders not dominated on
+    // (totalprice, orderdate) — no other order in the segment is BOTH
+    // strictly pricier and strictly more recent. One sort shuffle: order
+    // by price desc within segment, keep a row iff its date beats the
+    // running max date over all STRICTLY pricier rows (ties in price
+    // can't dominate each other, so the prior-frame max is taken over the
+    // price-run boundary via a range frame on price). The window form is
+    // the O(n log n) skyline for 2 dimensions — no pairwise join.
+    "agg_skyline_pareto" -> ((s, d) => {
+      import s.implicits._
+      val bySeg = Window.partitionBy($"c_mktsegment")
+        .orderBy($"price_c".desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_orderkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+          datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .withColumn("best_day_pricier", max($"day").over(bySeg))
+        .filter($"best_day_pricier".isNull || $"day" > $"best_day_pricier")
+        .select($"c_mktsegment", $"o_orderkey", $"price_c", $"day")
+        .orderBy($"c_mktsegment", $"price_c".desc, $"o_orderkey")
+    }),
+
     // Bottom-k distinct-count sketch: keep the k smallest 60-bit hashes of
     // the values; estimate distinct = (k−1)·2^60 div h_k. Unlike HLL/KLL
     // this sketch is fully DETERMINISTIC and order/partition-independent
@@ -511,6 +537,20 @@ object Analytics {
         |  CAST(CAST(sxx AS HUGEINT) * 1000000 //
         |       (CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS hhi_e6
         |FROM m ORDER BY c_mktsegment""".stripMargin,
+    "agg_skyline_pareto" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS price_c,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w AS (
+        |  SELECT *, MAX(day) OVER (PARTITION BY c_mktsegment ORDER BY price_c DESC
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_day_pricier
+        |  FROM j)
+        |SELECT c_mktsegment, o_orderkey, price_c, day
+        |FROM w WHERE best_day_pricier IS NULL OR day > best_day_pricier
+        |ORDER BY c_mktsegment, price_c DESC, o_orderkey""".stripMargin,
     "sketch_bottomk_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority,
