@@ -130,4 +130,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final expected")
     assert(p.contains("BroadcastHashJoin"), "norm join must broadcast")
   }
+
+  test("q6's whole WHERE clause reaches the parquet scan") {
+    val p = plan("tpch_q6_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull"), "band predicates must push down")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scan + ungrouped agg must not hash-shuffle:\n${p.take(600)}")
+  }
+
+  test("q17 never shuffles the fact table (brand filter below the aggregate)") {
+    val p = plan("tpch_q17_small_qty")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the brand restriction and the per-part stats must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "no fact-side shuffle join expected")
+  }
+
+  test("q4's EXISTS lowers to a left-semi join (no row duplication)") {
+    val p = plan("tpch_q4_priority")
+    assert(p.toLowerCase.contains("leftsemi"), p.take(600))
+  }
+
+  test("bm25 filters to query terms BEFORE aggregating (posting-list probe)") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not full-sort")
+    // the tok IN (...) filter must sit in the scan pipeline, not above an agg
+    assert(p.contains("IN (hash,merge,scan)"), s"term filter missing:\n${p.take(800)}")
+  }
+
+  test("simhash signatures come from the one-pass expression (no explode)") {
+    val p = plan("dedup_simhash")
+    assert(p.contains("simhash60"), s"expected the SimHash60 expression:\n${p.take(600)}")
+    assert(!p.contains("Generate"), "no explode stage expected")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"signature dump must not shuffle:\n${p.take(800)}")
+  }
 }
