@@ -46,6 +46,18 @@ object Graft {
                  buildKey: String, nSalts: Int): DataFrame =
     operators.Scale.saltedJoin(probe, build, probeKey, buildKey, nSalts)
 
+  /** Retrofit the keyless band-join → cell-replicated equi-join optimizer
+    * rewrite onto a session (`abs(x − y) <= c` stops planning as a
+    * nested loop). Sessions built with GraftExtensions have it already. */
+  def enableRangeJoinRewrite(spark: SparkSession): Unit =
+    plans.RangeJoinRewrite.install(spark)
+
+  /** Exact per-group weighted median without a full-group sort (two-phase
+    * bucket refine; see operators.Quantiles). */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+                     weight: String, bucketWidth: Long): DataFrame =
+    operators.Quantiles.weightedMedian(df, group, value, weight, bucketWidth)
+
   // ---- training-data pipeline ------------------------------------------
 
   /** Exact cosine similarity column (codegen'd DotFold). */
@@ -61,6 +73,10 @@ object Graft {
 
   /** MinHash sketch aggregate over a BIGINT element-hash column. */
   def minhash(c: Column, nHashes: Int): Column = plans.MinHashAgg.minhash(c, nHashes)
+
+  /** One-pass 60-bit SimHash signature of a token-array column (codegen'd;
+    * no explode, no shuffle). */
+  def simhash60(tokens: Column): Column = plans.SimHash60.simhash60(tokens)
 
   /** Heuristic language ID (pure Catalyst expression). */
   def langId(text: Column): Column = functions.LangId.langId(text)
