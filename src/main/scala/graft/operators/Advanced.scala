@@ -31,18 +31,27 @@ object Advanced {
     // the right shape when depth is known, this is the surface for when
     // it isn't. DuckDB runs the identical recursive SQL.
     "sql_recursive_native" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_rec")
+      import s.implicits._
+      // The static edge set sits inside the recursive member, so the
+      // fixpoint machinery would recompute the self-join every step —
+      // materialize it once (same localCheckpoint pattern as the
+      // clustering queries) and recurse over the computed RDD.
+      val li = Tables.lineitem(s, d)
+        .filter($"l_partkey" < 300)
+        .select($"l_orderkey", $"l_partkey")
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_rec_edges")
       s.sql(
         """WITH RECURSIVE reach(part, dist) AS (
           |  SELECT CAST(7 AS BIGINT) AS part, 0 AS dist
           |  UNION ALL
           |  SELECT e.b, r.dist + 1
-          |  FROM reach r JOIN (
-          |    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-          |    FROM graft_li_rec x JOIN graft_li_rec y
-          |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-          |    WHERE x.l_partkey < 300 AND y.l_partkey < 300
-          |  ) e ON e.a = r.part
+          |  FROM reach r JOIN graft_rec_edges e ON e.a = r.part
           |  WHERE r.dist < 3
           |)
           |SELECT part, CAST(MIN(dist) AS BIGINT) AS min_dist,
