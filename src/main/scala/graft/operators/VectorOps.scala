@@ -88,6 +88,47 @@ object VectorOps {
     // (Johnson–Lindenstrauss preserves pairwise distances within the
     // distortion bound). The oracle rebuilds the identical planes and
     // left-fold dots in SQL.
+    // One full Lloyd iteration of k-means (k=4) in exact integers — the
+    // training step behind the IVF index (sim_ann_ivf samples centroids;
+    // this REFINES them): seed from the 4 lowest vec_ids, assign by exact
+    // integer argmin distance (struct-min tie-breaks to the lowest
+    // centroid), recompute centroids as truncating per-dimension means,
+    // reassign, and report cluster sizes + inertia. Every stage is a
+    // hash-agg or a broadcast/equi join on (pos)/(cid,pos) keys — the
+    // relational Lloyd shape that scales: assignment cost is
+    // vectors × k × dim with NO pairwise vector join, and the centroid
+    // update is a mergeable integer sum. Everything is deterministic, so
+    // the "ML" step has an exact DuckDB oracle like any other query.
+    "ml_kmeans_assign" -> ((s, d) => {
+      import s.implicits._
+      val q = Tables.embeddings(s, d)
+        .select($"vec_id", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")
+          .as("qv"))
+      val seeds = q.filter($"vec_id" < 4)
+        .select($"vec_id".cast("long").as("cid"), $"qv".as("cv"))
+      val a1 = q.crossJoin(broadcast(seeds))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cid")).as("m"))
+        .select($"vec_id", $"m.cid".as("cid"))
+      val c2 = q.join(a1, "vec_id")
+        .select($"cid", posexplode($"qv").as(Seq("pos", "qval")))
+        .groupBy($"cid", $"pos")
+        .agg(expr("sum(qval) div count(1)").as("cval"))
+      q.select($"vec_id", posexplode($"qv").as(Seq("pos", "qval")))
+        .join(broadcast(c2), "pos")
+        .groupBy($"vec_id", $"cid")
+        .agg(sum(($"qval" - $"cval") * ($"qval" - $"cval")).as("d2"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cid")).as("m"))
+        .select($"vec_id", $"m.d2".as("d2"), $"m.cid".as("cid"))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("inertia"))
+        .orderBy("cid")
+    }),
+
     "sim_rp_reduce" -> ((s, d) => {
       import s.implicits._
       graft.functions.AnnSearch
@@ -122,6 +163,47 @@ object VectorOps {
         |  CAST(round(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 1000000) AS BIGINT) AS cos_e6
         |FROM dots JOIN norms na ON na.label = la JOIN norms nb ON nb.label = lb
         |ORDER BY la, lb""".stripMargin,
+    "ml_kmeans_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT q.vec_id, s.cid,
+        |    list_reduce(list_transform(list_zip(q.qv, s.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d2
+        |  FROM q CROSS JOIN seeds s),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d1) t
+        |  WHERE rn = 1),
+        |dims AS (
+        |  SELECT a1.cid, generate_subscripts(q.qv, 1) - 1 AS pos,
+        |    unnest(q.qv) AS qval
+        |  FROM q JOIN a1 USING (vec_id)),
+        |c2 AS (
+        |  SELECT cid, pos, CAST(SUM(qval) AS BIGINT) // COUNT(*) AS cval
+        |  FROM dims GROUP BY cid, pos),
+        |vdims AS (
+        |  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos,
+        |    unnest(qv) AS qval
+        |  FROM q),
+        |d2t AS (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(SUM((v.qval - c.cval) * (v.qval - c.cval)) AS BIGINT) AS d2
+        |  FROM vdims v JOIN c2 c USING (pos) GROUP BY v.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2t) t
+        |  WHERE rn = 1)
+        |SELECT cid, COUNT(*) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS inertia
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
     "sim_rp_reduce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
