@@ -120,7 +120,19 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     // Left row → its cell and both neighbors (3 distinct ids, so a pair
     // can only ever meet once); a null band key yields null cells that
     // match nothing, mirroring the original predicate's null semantics.
-    val cells = CreateArray(Seq(Subtract(cellL, one), cellL, Add(cellL, one)))
+    // At the int64 domain edge the neighbor cell does not exist — emit a
+    // NULL replica instead of letting cell±1 overflow: NULL joins
+    // nothing, so no pair is lost (there is no cell beyond the edge) and
+    // no spurious far-apart candidate reaches the residual predicate
+    // (whose ANSI subtraction would throw on it). RangeJoinSpec pins
+    // Long.Min/Long.Max behavior.
+    val nullCell = Literal(null, LongType)
+    def guarded(edge: Long, step: Expression => Expression): Expression =
+      If(EqualTo(cellL, Literal(edge, LongType)), nullCell, step(cellL))
+    val cells = CreateArray(Seq(
+      guarded(Long.MinValue, c => Subtract(c, one, EvalMode.LEGACY)),
+      cellL,
+      guarded(Long.MaxValue, c => Add(c, one, EvalMode.LEGACY))))
     val bucketL = AttributeReference("__graft_cell", LongType)()
     val gen = Generate(Explode(cells), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(bucketL),

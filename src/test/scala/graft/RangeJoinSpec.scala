@@ -70,6 +70,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(j.collect().length == 1)
   }
 
+  test("extreme values near Long.Min/Max do not overflow the cell arithmetic") {
+    // cell(Long.MinValue) − 1 and cell(Long.MaxValue) + 1 wrap; with ANSI
+    // arithmetic the rewrite would THROW where the naive plan returns rows.
+    // Wrapped cell ids are safe: the residual predicate re-checks every
+    // candidate pair exactly, so a wrapped id can only create a filtered
+    // spurious candidate, never a wrong match.
+    val xs = Seq(Long.MinValue, Long.MinValue + 1, -5L, 0L, 7L,
+      Long.MaxValue - 1, Long.MaxValue)
+    for (c <- Seq(1L, 3L)) {
+      val got = bandJoin(xs, c).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        i <- xs.indices; j <- xs.indices
+        // BigInt avoids overflow in the reference difference
+        if i < j && (BigInt(xs(i)) - BigInt(xs(j))).abs <= c
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"c=$c")
+    }
+  }
+
   test("registered query join_range_auto matches the manual bucket version") {
     val auto = SparkEntry.queries("join_range_auto")(spark, TestSpark.sfDir)
     val manual = SparkEntry.queries("join_range_bucket")(spark, TestSpark.sfDir)
