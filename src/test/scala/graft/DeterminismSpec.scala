@@ -30,7 +30,14 @@ class DeterminismSpec extends AnyFunSuite {
     "pipe_kfold_split", "pipe_bpe_pair_counts", "agg_bitmap_distinct",
     "agg_mad_exact", "dedup_minhash_lsh_bands", "etl_zorder_key",
     "agg_outlier_robust", "sim_rp_reduce", "win_streak_longest",
-    "dedup_cluster_keep_best")
+    "dedup_cluster_keep_best",
+    // round-2 final block
+    "tpch_q17_small_qty", "tpch_q18_large_orders", "tpch_q19_bracket",
+    "tpch_q22_idle_customers", "agg_hhi", "text_bm25_topk",
+    "etl_partition_stats", "etl_late_arriving_dim", "pipe_dataset_card",
+    "multimodal_shard_manifest", "sketch_bottomk_distinct",
+    "win_session_rollup", "sql_recursive_native", "agg_skyline_pareto",
+    "join_range_auto", "dedup_simhash", "ml_kmeans_assign")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
