@@ -22,6 +22,9 @@ object FuzzVerify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The band-join fuzz template relies on the rewrite to stay O(n·c);
+    // DuckDB's IEJoin runs the identical SQL on the oracle side.
+    graft.plans.RangeJoinRewrite.install(spark)
     Seq("orders", "lineitem", "customer").foreach { t =>
       Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
     }

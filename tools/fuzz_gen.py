@@ -56,7 +56,21 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(13)
+    kind = rnd.randrange(14)
+    if kind == 13:  # keyless band self-join: exercises RangeJoinRewrite on
+        # the Spark side (cell-replicated equi-join) against DuckDB's
+        # IEJoin running the identical SQL
+        p2 = gen_pred(rnd)
+        c = rnd.randrange(50, 400)
+        return (f"WITH a AS (SELECT o_orderkey AS id, "
+                f"CAST(round(o_totalprice) AS BIGINT) AS v "
+                f"FROM orders WHERE {where}), "
+                f"b AS (SELECT o_orderkey AS id, "
+                f"CAST(round(o_totalprice) AS BIGINT) AS v "
+                f"FROM orders WHERE ({p2})) "
+                f"SELECT a.id AS a_id, b.id AS b_id, b.v - a.v AS delta "
+                f"FROM a JOIN b ON abs(a.v - b.v) <= {c} AND a.id < b.id "
+                f"ORDER BY a_id, b_id")
     if kind == 12:  # weighted-median shape: smallest value whose doubled
         # cumulative weight crosses the group total (min-over-qualifying
         # is tie-order-independent; see agg_weighted_median)
