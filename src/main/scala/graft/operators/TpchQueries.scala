@@ -242,6 +242,256 @@ object TpchQueries {
         .orderBy("bracket")
     }),
 
+    // Q2: minimum-cost supplier — the classic correlated-MIN subquery,
+    // decorrelated into per-(part,supplier) cost aggregation + a per-part
+    // min joined back on (part, cost). The testdata has no partsupp table;
+    // the cheapest lineitem offer per (part, supplier) stands in for
+    // ps_supplycost. The part slice is pushed BELOW the cost aggregation
+    // (q17's lesson) and supplier ties resolve to the lowest suppkey.
+    "tpch_q2_min_cost" -> ((s, d) => {
+      import s.implicits._
+      val slice = broadcast(Tables.part(s, d)
+        .filter($"p_size".between(10, 15))
+        .select($"p_partkey", $"p_brand", $"p_size"))
+      val ps = Tables.lineitem(s, d)
+        .join(slice, $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"),
+          $"p_brand", $"p_size")
+        .agg(min(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+          .as("cost_c"))
+      val best = ps.groupBy($"pk".as("bpk")).agg(min($"cost_c").as("best_c"))
+      ps.join(best, $"pk" === $"bpk" && $"cost_c" === $"best_c")
+        .groupBy($"pk", $"p_brand", $"p_size", $"cost_c")
+        .agg(min($"sk").as("sel_supp"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_name")), $"sel_supp" === $"s_suppkey")
+        .select($"pk".as("p_partkey"), $"p_brand", $"p_size",
+          $"s_name", $"cost_c")
+        .orderBy($"cost_c".asc, $"p_partkey".asc)
+        .limit(100)
+    }),
+
+    // Q8: national market share — NATION_2 suppliers' slice of PROMO-part
+    // revenue sold to ASIA customers, per order year. The conditional-sum /
+    // total-sum ratio rides exact decimal internally and emits ppm via one
+    // HUGEINT stepwise division; five dimension broadcasts, one fact chain.
+    "tpch_q8_market_share" -> ((s, d) => {
+      import s.implicits._
+      val custNation = Tables.nation(s, d)
+        .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region"))
+      val suppNation = Tables.nation(s, d)
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
+        .join(broadcast(Tables.region(s, d)), $"cn_region" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .join(broadcast(Tables.part(s, d).filter($"p_type" === "PROMO")
+          .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+        .groupBy(year($"o_orderdate").cast("long").as("yr"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_2", discPrice)
+            .otherwise(lit(0)).cast("decimal(18,6)")).cast("decimal(18,6)")
+            .as("nat_rev"),
+          sum(discPrice).cast("decimal(18,6)").as("tot_rev"))
+        .select($"yr", Tables.e6($"nat_rev").as("nat_rev_e6"),
+          Tables.e6($"tot_rev").as("tot_rev_e6"))
+        .withColumn("share_ppm", expr(
+          "cast(cast(nat_rev_e6 as decimal(38,0)) * 1000000 div tot_rev_e6 as bigint)"))
+        .orderBy("yr")
+    }),
+
+    // Q13: customer order-count distribution — LEFT join keeps the
+    // zero-order customers (the point of Q13), count(o_orderkey) skips the
+    // null matches, then a second aggregation histograms the counts.
+    // Urgent orders are excluded in the JOIN condition, not a WHERE (a
+    // WHERE would silently turn the outer join inner).
+    "tpch_q13_custdist" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).select($"c_custkey")
+        .join(Tables.orders(s, d)
+          .filter(!$"o_orderpriority".like("1%"))
+          .select($"o_custkey", $"o_orderkey"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // Q15: top supplier — quarterly revenue per supplier, then the
+    // supplier(s) hitting the global maximum via a one-row broadcast
+    // scalar (the decorrelated form of Q15's view + MAX subquery).
+    "tpch_q15_top_supplier" -> ((s, d) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'") &&
+          $"l_shipdate" < expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+        .groupBy($"l_suppkey")
+        .agg(sum(discPrice).cast("decimal(18,6)").as("rev"))
+        .select($"l_suppkey", Tables.e6($"rev").as("total_rev_e6"))
+      val mx = rev.agg(max($"total_rev_e6").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter($"total_rev_e6" === $"mx")
+        .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev_e6")
+        .orderBy("s_suppkey")
+    }),
+
+    // Q9: product-type profit — revenue minus supply cost per supplier
+    // nation and order year. No partsupp table exists, so the cheapest
+    // line price per (part, supplier) stands in for ps_supplycost (the
+    // same pseudo-cost as Q2): profit = disc price − that floor. Two
+    // passes over lineitem co-partitioned on (partkey, suppkey); dims
+    // broadcast.
+    "tpch_q9_profit" -> ((s, d) => {
+      import s.implicits._
+      val eco = broadcast(Tables.part(s, d)
+        .filter($"p_type" === "ECONOMY").select($"p_partkey"))
+      val li = Tables.lineitem(s, d).join(eco, $"l_partkey" === $"p_partkey")
+      val ps = li.groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+        .agg(min(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+          .as("cost_c"))
+      li
+        .select($"l_partkey", $"l_suppkey", $"l_orderkey",
+          // product narrowed back to DECIMAL(18,6) BEFORE the cents
+          // rounding — the same double-round on both engines (DuckDB's
+          // wide product would overflow DECIMAL(18) on the ×100)
+          expr("""cast(round(cast(cast(l_extendedprice as decimal(18,6)) *
+                 |(1 - cast(l_discount as decimal(18,6))) as decimal(18,6))
+                 |* 100) as bigint)"""
+            .stripMargin.replaceAll("\n", " ")).as("disc_c"))
+        .join(ps, $"l_partkey" === $"pk" && $"l_suppkey" === $"sk")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
+        .agg(sum($"disc_c" - $"cost_c").as("profit_c"))
+        .orderBy($"n_name".asc, $"yr".desc)
+    }),
+
+    // Q11: important stock — parts whose inventory value through one
+    // nation's suppliers exceeds 1/1000 of that nation's total, the
+    // global threshold being a one-row broadcast compared by integer
+    // cross-multiplication (no division at all).
+    "tpch_q11_important_stock" -> ((s, d) => {
+      import s.implicits._
+      val natSupp = broadcast(Tables.supplier(s, d)
+        .filter($"s_nationkey" === 1).select($"s_suppkey"))
+      val pv = Tables.lineitem(s, d)
+        .join(natSupp, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey".as("pk"))
+        .agg(sum(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+          .as("value_c"))
+      val tot = pv.agg(sum($"value_c").as("tot_c"))
+      pv.crossJoin(broadcast(tot))
+        .filter($"value_c" * 1000 > $"tot_c")
+        .select($"pk", $"value_c")
+        .orderBy($"value_c".desc, $"pk".asc)
+    }),
+
+    // Q12: shipping-mode service levels — the testdata has no l_shipmode,
+    // so the return flag plays the mode; lines late against the order
+    // date in a ship-year window, split into critical vs ordinary
+    // priority counts. One fact join, conditional sums.
+    "tpch_q12_priority_mix" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          $"l_shipdate" < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate",
+          $"o_orderpriority"), $"l_orderkey" === $"o_orderkey")
+        .filter(datediff($"l_shipdate".cast("date"),
+          $"o_orderdate".cast("date")) > 90)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q16: supplier diversity per brand/size — distinct suppliers able to
+    // serve each (brand, size) bucket, excluding a deterministic
+    // "complaints" supplier set via NOT IN (left anti). The (part,supp)
+    // pairs come from lineitem distinct — the Q16 partsupp stand-in.
+    "tpch_q16_supplier_cnt" -> ((s, d) => {
+      import s.implicits._
+      val excl = Tables.supplier(s, d)
+        .filter($"s_suppkey" % 7 === 0).select($"s_suppkey")
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .filter($"p_brand" =!= "Brand#5" &&
+            $"p_size".isin(1, 5, 9, 13, 17, 21))
+          .select($"p_partkey", $"p_brand", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_size")
+        .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_size".asc)
+    }),
+
+    // Q20: dominant suppliers — suppliers shipping >1.5× the per-supplier
+    // mean volume of some part (the excess-stock test as an integer
+    // cross-multiply), reported for a nation slice via LEFT SEMI (the
+    // supplier list, not the pairs, is the answer — Q20's shape).
+    "tpch_q20_excess_stock" -> ((s, d) => {
+      import s.implicits._
+      val ps = Tables.lineitem(s, d)
+        .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+        .agg(sum(round(Tables.dec($"l_quantity") * 100).cast("long")).as("q"))
+      val tot = ps.groupBy($"pk".as("tpk"))
+        .agg(count(lit(1)).as("ns"), sum($"q").as("sq"))
+      val dominant = ps.join(tot, $"pk" === $"tpk")
+        .filter($"q" * $"ns" * 2 > $"sq" * 3)
+        .select($"sk")
+      Tables.supplier(s, d)
+        .filter($"s_nationkey" < 10)
+        .join(dominant, $"s_suppkey" === $"sk", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // Q21: suppliers who kept orders waiting — for finished multi-supplier
+    // orders, the supplier who was the ONLY late one (>90 days after the
+    // order date; the testdata's commit/receipt stand-in). The
+    // EXISTS/NOT-EXISTS pair decorrelates into per-order distinct counts:
+    // ns > 1 (another supplier exists) and nl = 1 (no OTHER late
+    // supplier), then a per-supplier order count, top 20.
+    "tpch_q21_waiting" -> ((s, d) => {
+      import s.implicits._
+      val b = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"),
+          (datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 90)
+            .as("late"))
+      val st = b.groupBy($"ok".as("sok"))
+        .agg(count_distinct($"sk").as("ns"),
+          count_distinct(when($"late", $"sk")).as("nl"))
+      b.filter($"late").select($"ok", $"sk").distinct()
+        .join(st, $"ok" === $"sok")
+        .filter($"ns" > 1 && $"nl" === 1)
+        .groupBy($"sk")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+          $"sk" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_suppkey".asc)
+        .limit(20)
+    }),
+
     // Q22: global-sales opportunity — above-average-balance customers gone
     // idle (no order in the trailing 13 months), grouped by nation (the
     // testdata's country-code stand-in). The global positive-balance average
@@ -414,6 +664,160 @@ object TpchQueries {
         |SELECT CAST(bracket AS BIGINT) AS bracket, COUNT(*) AS n_lines,
         |  CAST(SUM(dp) * 1000000 AS BIGINT) AS revenue_e6
         |FROM f GROUP BY bracket ORDER BY bracket""".stripMargin,
+    "tpch_q2_min_cost" ->
+      """WITH slice AS (
+        |  SELECT p_partkey, p_brand, p_size FROM part
+        |  WHERE p_size BETWEEN 10 AND 15),
+        |ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk, p_brand, p_size,
+        |    MIN(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |      AS cost_c
+        |  FROM lineitem JOIN slice ON l_partkey = p_partkey
+        |  GROUP BY l_partkey, l_suppkey, p_brand, p_size),
+        |best AS (SELECT pk AS bpk, MIN(cost_c) AS best_c FROM ps GROUP BY pk),
+        |sel AS (
+        |  SELECT pk, p_brand, p_size, cost_c, MIN(sk) AS sel_supp
+        |  FROM ps JOIN best ON pk = bpk AND cost_c = best_c
+        |  GROUP BY pk, p_brand, p_size, cost_c)
+        |SELECT pk AS p_partkey, p_brand, p_size, s_name, cost_c
+        |FROM sel JOIN supplier ON sel_supp = s_suppkey
+        |ORDER BY cost_c ASC, p_partkey ASC LIMIT 100""".stripMargin,
+    "tpch_q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n2.n_name AS supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dp
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
+        |a AS (
+        |  SELECT yr,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN dp
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT)
+        |      AS nat_rev_e6,
+        |    CAST(SUM(dp) * 1000000 AS BIGINT) AS tot_rev_e6
+        |  FROM f GROUP BY yr)
+        |SELECT yr, nat_rev_e6, tot_rev_e6,
+        |  CAST(CAST(nat_rev_e6 AS HUGEINT) * 1000000 // tot_rev_e6 AS BIGINT)
+        |    AS share_ppm
+        |FROM a ORDER BY yr""".stripMargin,
+    "tpch_q13_custdist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+        |      * 1000000 AS BIGINT) AS total_rev_e6
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-04-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_e6
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e6 = (SELECT MAX(total_rev_e6) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q9_profit" ->
+      """WITH eco AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+        |li AS (
+        |  SELECT l_partkey, l_suppkey, l_orderkey,
+        |    CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |      * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c
+        |  FROM lineitem JOIN eco ON l_partkey = p_partkey),
+        |ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk, MIN(price_c) AS cost_c
+        |  FROM li GROUP BY l_partkey, l_suppkey)
+        |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(disc_c - cost_c) AS BIGINT) AS profit_c
+        |FROM li
+        |JOIN ps ON l_partkey = pk AND l_suppkey = sk
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name ASC, yr DESC""".stripMargin,
+    "tpch_q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100)
+        |      AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 1
+        |  GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS tot_c FROM pv)
+        |SELECT pk, value_c FROM pv, t
+        |WHERE value_c * 1000 > tot_c
+        |ORDER BY value_c DESC, pk ASC""".stripMargin,
+    "tpch_q12_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE)) > 90
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpch_q16_supplier_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0))
+        |SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13, 17, 21)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""".stripMargin,
+    "tpch_q20_excess_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100)
+        |      AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |t AS (SELECT pk AS tpk, COUNT(*) AS ns, CAST(SUM(q) AS BIGINT) AS sq
+        |      FROM ps GROUP BY pk),
+        |dom AS (
+        |  SELECT DISTINCT sk FROM ps JOIN t ON pk = tpk
+        |  WHERE q * ns * 2 > sq * 3)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey < 10 AND s_suppkey IN (SELECT sk FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21_waiting" ->
+      """WITH b AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) > 90 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |st AS (
+        |  SELECT ok AS sok, COUNT(DISTINCT sk) AS ns,
+        |    COUNT(DISTINCT CASE WHEN late THEN sk END) AS nl
+        |  FROM b GROUP BY ok),
+        |sole AS (
+        |  SELECT DISTINCT ok, sk FROM b JOIN st ON ok = sok
+        |  WHERE late AND ns > 1 AND nl = 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM sole JOIN supplier ON sk = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""".stripMargin,
     "tpch_q22_idle_customers" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,
