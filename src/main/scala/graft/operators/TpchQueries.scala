@@ -385,7 +385,7 @@ object TpchQueries {
     "tpch_q11_important_stock" -> ((s, d) => {
       import s.implicits._
       val natSupp = broadcast(Tables.supplier(s, d)
-        .filter($"s_nationkey" === 1).select($"s_suppkey"))
+        .filter($"s_nationkey" < 5).select($"s_suppkey"))
       val pv = Tables.lineitem(s, d)
         .join(natSupp, $"l_suppkey" === $"s_suppkey")
         .groupBy($"l_partkey".as("pk"))
@@ -758,7 +758,7 @@ object TpchQueries {
         |    CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100)
         |      AS BIGINT)) AS BIGINT) AS value_c
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |  WHERE s_nationkey = 1
+        |  WHERE s_nationkey < 5
         |  GROUP BY l_partkey),
         |t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS tot_c FROM pv)
         |SELECT pk, value_c FROM pv, t

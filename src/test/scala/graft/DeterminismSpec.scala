@@ -37,7 +37,11 @@ class DeterminismSpec extends AnyFunSuite {
     "etl_partition_stats", "etl_late_arriving_dim", "pipe_dataset_card",
     "multimodal_shard_manifest", "sketch_bottomk_distinct",
     "win_session_rollup", "sql_recursive_native", "agg_skyline_pareto",
-    "join_range_auto", "dedup_simhash", "ml_kmeans_assign")
+    "join_range_auto", "dedup_simhash", "ml_kmeans_assign",
+    "tpch_q2_min_cost", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q11_important_stock", "tpch_q13_custdist",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock", "tpch_q21_waiting")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
