@@ -348,6 +348,28 @@ object Etl {
         .limit(200)
     }),
 
+    // Order-independent table checksum — the migration/replication
+    // validation op: hash a canonical serialization of every row, reduce
+    // with XOR (commutative + associative, so partitioning/order can't
+    // change it, and no overflow is possible), alongside count and hash
+    // min/max. Two systems agree on a table iff these agree; at 100 TB
+    // this is one map-side-combinable hash-agg per partition key.
+    "etl_table_checksum" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          conv(substring(md5(concat_ws("|",
+            $"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus",
+            round(Tables.dec($"l_quantity") * 100).cast("long"),
+            round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_checksum"),
+          min($"h").as("min_h"), max($"h").as("max_h"))
+        .orderBy("l_returnflag")
+    }),
+
     // Late-arriving dimension handling: facts whose dim row hasn't landed
     // yet keep flowing (left join + sentinel surrogate) instead of being
     // dropped or blocking the load; the per-status report counts the
@@ -593,6 +615,19 @@ object Etl {
         |  GROUP BY o_orderkey, x, y)
         |SELECT o_orderkey, x, y, zval FROM z
         |ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin,
+    "etl_table_checksum" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substring(md5(concat_ws('|',
+        |      l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |      CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT),
+        |      CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT))),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+        |  MIN(h) AS min_h, MAX(h) AS max_h
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "etl_late_arriving_dim" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 17 <> 0),

@@ -207,6 +207,29 @@ object TextOps {
         .orderBy("doc_id", "rn")
     }),
 
+    // Fuzzy entity resolution by BLOCKING: candidate pairs come from an
+    // equi-join on a cheap blocking key (the first name token), then the
+    // expensive edit-distance runs only within blocks — O(Σ block²)
+    // instead of O(n²), the standard record-linkage architecture. At
+    // 100 TB the blocking key is the shuffle key and oversized blocks get
+    // a second key (length bucket) — same pattern as every LSH family
+    // here: cheap candidate generation, exact rerank.
+    "dedup_fuzzy_blocking" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d)
+        .filter($"p_partkey" < 200)
+        .select($"p_partkey", $"p_name",
+          element_at(split($"p_name", " "), 1).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("d1"), col("b.p_partkey").as("d2"),
+          col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("lev"))
+        .filter($"lev" <= 4)
+        .orderBy("d1", "d2")
+    }),
+
     // BM25-style ranked retrieval for a fixed 3-term query, fully integer:
     // per-term score = tf-saturation × idf, summed over matched terms.
     // tf-saturation uses the real BM25 form (k1=2, b=0.75, length-
@@ -718,6 +741,16 @@ object TextOps {
         |    ORDER BY score_e6 DESC, tok ASC) AS rn FROM s)
         |SELECT doc_id, CAST(rn AS INT) AS rn, tok, tf, df, score_e6
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "dedup_fuzzy_blocking" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey < 200)
+        |SELECT a.p_partkey AS d1, b.p_partkey AS d2,
+        |  a.p_name AS name1, b.p_name AS name2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY d1, d2""".stripMargin,
     "text_bm25_topk" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS t
