@@ -79,6 +79,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(streamRows == batchRows)
   }
 
+  test("A7: parquet schema evolution — added columns merge, old rows backfill null") {
+    // The 100 TB reality: a long-lived dataset accretes columns; files
+    // written before the addition must stay readable with NULL backfill
+    // and no rewrite. mergeSchema unions the per-file footers.
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("id", "score", "v"))
+    assert(merged.count() == 4)
+    val byId = merged.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("score"))) None
+         else Some(r.getLong(r.fieldIndex("score"))))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "pre-evolution rows backfill NULL")
+    assert(byId(3L).contains(30L) && byId(4L).contains(40L))
+    // and filters on the NEW column still prune correctly across old files
+    assert(merged.filter($"score" >= 40).count() == 1)
+  }
+
   test("A6: ORC sink/source round-trips data and pushes filters into the scan") {
     // Spark's second first-class columnar format: same writer/reader API,
     // same predicate-pushdown contract as parquet — a deployment can point
