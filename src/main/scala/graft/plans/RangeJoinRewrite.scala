@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
   * predicate), fires only when: the join is INNER, the condition has NO
   * cross-side equi conjunct (if one exists the hash join on it is already
   * the right plan and the band is a cheap residual), and the band sides
-  * are integral. The rewritten join contains a bucket-equality conjunct,
-  * which disqualifies it from re-matching — the rule is fixed-point safe.
+  * are integral. Both band spellings match: `abs(x − y) <= c` and the
+  * BETWEEN form `x >= y − c1 AND x <= y + c2` (cell width max(c1,c2) — a
+  * superset cover the residual tightens). The rewritten join contains a
+  * bucket-equality conjunct, which disqualifies it from re-matching — the
+  * rule is fixed-point safe.
   *
   * Injected via [[GraftExtensions]] at session construction, or
   * retrofitted onto an existing session with [[RangeJoinRewrite.install]]
@@ -71,6 +74,41 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** One side of the BETWEEN spelling: x ≥ y − c (lower) / x ≤ y + c
+    * (upper), any operand order. Returns (x, y, c, isLower). */
+  private object HalfBand {
+    def unapply(e: Expression): Option[(Expression, Expression, Long, Boolean)] =
+      e match {
+        case GreaterThanOrEqual(x, Subtract(y, PosIntegralLit(c), _)) =>
+          Some((x, y, c, true))
+        case LessThanOrEqual(Subtract(y, PosIntegralLit(c), _), x) =>
+          Some((x, y, c, true))
+        case LessThanOrEqual(x, Add(y, PosIntegralLit(c), _)) =>
+          Some((x, y, c, false))
+        case GreaterThanOrEqual(Add(y, PosIntegralLit(c), _), x) =>
+          Some((x, y, c, false))
+        case _ => None
+      }
+  }
+
+  /** Find the BETWEEN band in a conjunct list: a lower and an upper half
+    * over the SAME (x, y) pair. Width = max(c1, c2) — a superset cover
+    * (y−c1 ≤ x ≤ y+c2 implies |x−y| ≤ max), exactness restored by the
+    * residual. */
+  private def betweenBand(conjuncts: Seq[Expression])
+      : Option[(Expression, Expression, Long)] = {
+    val halves = conjuncts.collect { case HalfBand(x, y, c, lower) =>
+      (x, y, c, lower)
+    }
+    halves.collectFirst {
+      case (x, y, c1, true) if halves.exists { case (x2, y2, _, lower2) =>
+          !lower2 && x2.semanticEquals(x) && y2.semanticEquals(y) } =>
+        val c2 = halves.collectFirst { case (x2, y2, cc, false)
+            if x2.semanticEquals(x) && y2.semanticEquals(y) => cc }.get
+        (x, y, math.max(c1, c2))
+    }
+  }
+
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType => true
     case _                                  => false
@@ -89,21 +127,21 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
               a.references.subsetOf(right.outputSet))
           case _ => false
         }
-        val band = if (crossSideEqui) None else conjuncts.collectFirst {
-          // orient (lx from left, rx from right); Band is symmetric in its
-          // first two slots because abs(x−y) = abs(y−x)
-          case Band(x, y, c)
-              if x.deterministic && y.deterministic &&
-                integral(x) && integral(y) &&
-                x.references.subsetOf(left.outputSet) &&
-                y.references.subsetOf(right.outputSet) =>
-            (x, y, c)
-          case Band(x, y, c)
-              if x.deterministic && y.deterministic &&
-                integral(x) && integral(y) &&
-                y.references.subsetOf(left.outputSet) &&
-                x.references.subsetOf(right.outputSet) =>
-            (y, x, c)
+        def orient(x: Expression, y: Expression, c: Long)
+            : Option[(Expression, Expression, Long)] =
+          if (!x.deterministic || !y.deterministic ||
+              !integral(x) || !integral(y)) None
+          else if (x.references.subsetOf(left.outputSet) &&
+              y.references.subsetOf(right.outputSet)) Some((x, y, c))
+          else if (y.references.subsetOf(left.outputSet) &&
+              x.references.subsetOf(right.outputSet)) Some((y, x, c))
+          else None
+        val band = if (crossSideEqui) None else {
+          // abs(x−y)<=c first (Band is symmetric in x/y), then the
+          // two-conjunct BETWEEN spelling
+          conjuncts.collectFirst { case Band(x, y, c) => (x, y, c) }
+            .orElse(betweenBand(conjuncts))
+            .flatMap { case (x, y, c) => orient(x, y, c) }
         }
         band match {
           case Some((lx, rx, c)) => rewrite(j, lx, rx, c)

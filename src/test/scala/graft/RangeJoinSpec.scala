@@ -70,6 +70,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(j.collect().length == 1)
   }
 
+  test("BETWEEN spelling rewrites too, including asymmetric bounds") {
+    val xs = Seq(-9L, -4L, 0L, 3L, 5L, 11L, 20L, 21L)
+    val a = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("a_id", "a_v")
+    val b = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("b_id", "b_v")
+    // a_v BETWEEN b_v - 3 AND b_v + 7 (asymmetric band)
+    val j = a.join(b,
+      $"a_v" >= $"b_v" - lit(3L) && $"a_v" <= $"b_v" + lit(7L) &&
+        $"a_id" =!= $"b_id")
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("Generate"),
+      p.take(800))
+    val got = j.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expect = (for {
+      i <- xs.indices; k <- xs.indices
+      if i != k && xs(i) >= xs(k) - 3 && xs(i) <= xs(k) + 7
+    } yield (i.toLong, k.toLong)).toSet
+    assert(got == expect)
+  }
+
   test("extreme values near Long.Min/Max do not overflow the cell arithmetic") {
     // cell(Long.MinValue) − 1 and cell(Long.MaxValue) + 1 wrap; with ANSI
     // arithmetic the rewrite would THROW where the naive plan returns rows.
