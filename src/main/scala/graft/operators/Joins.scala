@@ -210,6 +210,26 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // The variable-width companion: a NAIVE cross-user point-in-interval
+    // join (clicks falling inside any purchase's trailing 30-minute
+    // attribution window — no equi key at all), relying on
+    // RangeJoinRewrite's interval path: the interval side replicates to
+    // every cell it spans, the point side keeps one cell, correctness is
+    // width-independent. DuckDB's IEJoin runs the identical SQL.
+    "join_interval_auto" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.RangeJoinRewrite.install(s)
+      val ev = Tables.events(s, d).withColumn("ts_us", Tables.tsUs)
+      val pur = ev.filter($"event_type" === "purchase" && $"event_id" % 7 === 0)
+        .select($"event_id".as("p_id"),
+          ($"ts_us" - 1800000000L).as("lo"), $"ts_us".as("hi"))
+      val clk = ev.filter($"event_type" === "click" && $"event_id" % 5 === 0)
+        .select($"event_id".as("c_id"), $"ts_us".as("t"))
+      clk.join(pur, $"t" >= $"lo" && $"t" <= $"hi")
+        .select($"c_id", $"p_id", ($"hi" - $"t").as("before_purchase_us"))
+        .orderBy("c_id", "p_id")
+    }),
+
     // C12: as-of join — for each purchase, ts of the most recent strictly
     // prior click by the same user. Spark has no native ASOF JOIN; the
     // AsOfJoin rewrite (union + single shuffle + range-frame window) avoids
@@ -332,6 +352,17 @@ object Joins {
         |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
         | AND a.event_id < b.event_id
         |ORDER BY a_id, b_id""".stripMargin,
+    "join_interval_auto" ->
+      """WITH pur AS (
+        |  SELECT event_id AS p_id, epoch_us(ts) - 1800000000 AS lo,
+        |    epoch_us(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0),
+        |clk AS (
+        |  SELECT event_id AS c_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click' AND event_id % 5 = 0)
+        |SELECT c_id, p_id, hi - t AS before_purchase_us
+        |FROM clk JOIN pur ON t >= lo AND t <= hi
+        |ORDER BY c_id, p_id""".stripMargin,
     "join_asof" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  MAX(epoch_us(c.ts)) AS last_click_us

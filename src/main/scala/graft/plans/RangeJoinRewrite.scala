@@ -91,6 +91,44 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
+  /** Point-in-interval: x ≥ lo AND x ≤ hi where lo/hi are arbitrary
+    * expressions of the OTHER side (variable-width intervals — no
+    * constant to bucket by). Returns (x, lo, hi). The rewrite replicates
+    * the interval side to EVERY width-W cell the interval touches
+    * (explode(sequence(lo div W, hi div W))) and the point side to its
+    * single cell, so coverage holds for ANY interval width — W (conf
+    * `spark.graft.rangeJoin.intervalCellWidth`) only tunes the
+    * replication factor, never correctness. A point in [lo, hi] has
+    * cell(x) ∈ [cell(lo), cell(hi)] by monotonicity, and each (point,
+    * interval) pair meets in exactly one cell (the point's). */
+  private def intervalBand(conjuncts: Seq[Expression],
+                           leftSet: AttributeSet, rightSet: AttributeSet)
+      : Option[(Expression, Expression, Expression)] = {
+    def sameSide(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(leftSet) && b.references.subsetOf(leftSet)) ||
+      (a.references.subsetOf(rightSet) && b.references.subsetOf(rightSet))
+    def opposite(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(leftSet) && b.references.subsetOf(rightSet)) ||
+      (a.references.subsetOf(rightSet) && b.references.subsetOf(leftSet))
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(x, lo) => (x, lo)
+      case LessThanOrEqual(lo, x)    => (x, lo)
+    }
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(x, hi)    => (x, hi)
+      case GreaterThanOrEqual(hi, x) => (x, hi)
+    }
+    (for {
+      (x, lo) <- lowers
+      (x2, hi) <- uppers
+      if x.semanticEquals(x2) && x.deterministic &&
+        lo.deterministic && hi.deterministic &&
+        integral(x) && integral(lo) && integral(hi) &&
+        lo.references.nonEmpty && hi.references.nonEmpty &&
+        sameSide(lo, hi) && opposite(x, lo)
+    } yield (x, lo, hi)).headOption
+  }
+
   /** Find the BETWEEN band in a conjunct list: a lower and an upper half
     * over the SAME (x, y) pair. Width = max(c1, c2) — a superset cover
     * (y−c1 ≤ x ≤ y+c2 implies |x−y| ≤ max), exactness restored by the
@@ -136,16 +174,22 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           else if (y.references.subsetOf(left.outputSet) &&
               x.references.subsetOf(right.outputSet)) Some((y, x, c))
           else None
-        val band = if (crossSideEqui) None else {
+        if (crossSideEqui) j
+        else {
           // abs(x−y)<=c first (Band is symmetric in x/y), then the
-          // two-conjunct BETWEEN spelling
-          conjuncts.collectFirst { case Band(x, y, c) => (x, y, c) }
-            .orElse(betweenBand(conjuncts))
-            .flatMap { case (x, y, c) => orient(x, y, c) }
-        }
-        band match {
-          case Some((lx, rx, c)) => rewrite(j, lx, rx, c)
-          case None              => j
+          // two-conjunct BETWEEN spelling, then variable-width intervals
+          val fixedBand =
+            conjuncts.collectFirst { case Band(x, y, c) => (x, y, c) }
+              .orElse(betweenBand(conjuncts))
+              .flatMap { case (x, y, c) => orient(x, y, c) }
+          fixedBand match {
+            case Some((lx, rx, c)) => rewrite(j, lx, rx, c)
+            case None =>
+              intervalBand(conjuncts, left.outputSet, right.outputSet) match {
+                case Some((x, lo, hi)) => rewriteInterval(j, x, lo, hi)
+                case None              => j
+              }
+          }
         }
     }
 
@@ -181,6 +225,39 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     // Restore the original output (drop the cell columns).
     Project(j.left.output ++ j.right.output,
       Join(gen, projR, Inner, Some(newCond), j.hint))
+  }
+
+  /** Variable-width point-in-interval: the INTERVAL side replicates to
+    * every width-W cell its [lo, hi] touches (explode of the cell
+    * sequence — step auto-selected so an inverted interval yields
+    * harmless extra replicas instead of an error, and a NULL bound emits
+    * no rows, matching inner-join null semantics); the POINT side keeps
+    * its single cell. Each overlapping pair meets exactly once, in the
+    * point's cell. W only tunes replication (default 2^32 ticks). */
+  private def rewriteInterval(j: Join, x: Expression, lo: Expression,
+                              hi: Expression): LogicalPlan = {
+    val w = Literal(conf.getConfString(
+      "spark.graft.rangeJoin.intervalCellWidth", "4294967296").toLong, LongType)
+    val xOnLeft = x.references.subsetOf(j.left.outputSet)
+    val pointChild = if (xOnLeft) j.left else j.right
+    val intervalChild = if (xOnLeft) j.right else j.left
+    val cellX = Alias(IntegralDivide(Cast(x, LongType), w), "__graft_pcell")()
+    val pointProj = Project(pointChild.output :+ cellX, pointChild)
+    // Sequence is TimeZoneAwareExpression — unresolved without a zone id
+    // even over integral inputs
+    val cells = Sequence(
+      IntegralDivide(Cast(lo, LongType), w),
+      IntegralDivide(Cast(hi, LongType), w), None,
+      Some(conf.sessionLocalTimeZone))
+    val bucketI = AttributeReference("__graft_icell", LongType)()
+    val gen = Generate(Explode(cells), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(bucketI),
+      child = intervalChild)
+    val newLeft = if (xOnLeft) pointProj else gen
+    val newRight = if (xOnLeft) gen else pointProj
+    val newCond = And(EqualTo(cellX.toAttribute, bucketI), j.condition.get)
+    Project(j.left.output ++ j.right.output,
+      Join(newLeft, newRight, Inner, Some(newCond), j.hint))
   }
 }
 

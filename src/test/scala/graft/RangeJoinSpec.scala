@@ -108,6 +108,30 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("variable-width interval join rewrites: point side one cell, interval side spans") {
+    val pts = Seq(0L, 5L, 17L, 99L, 150L, 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("p_id", "t")
+    // intervals of very different widths, plus inverted and null bounds
+    val iv = Seq(
+      (100L, Some(0L), Some(20L)),      // covers 0,5,17
+      (101L, Some(90L), Some(2000L)),   // wide: covers 99,150,1000
+      (102L, Some(60L), Some(40L)),     // inverted: matches nothing
+      (103L, None, Some(10L)),          // null bound: matches nothing
+      (104L, Some(149L), Some(151L))    // narrow: covers 150
+    ).toDF("i_id", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.intervalCellWidth", "64")
+    try {
+      val j = pts.join(iv, $"t" >= $"lo" && $"t" <= $"hi")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("Generate"),
+        p.take(800))
+      val got = j.select($"p_id", $"i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 101L),
+        (4L, 101L), (4L, 104L), (5L, 101L)))
+    } finally spark.conf.unset("spark.graft.rangeJoin.intervalCellWidth")
+  }
+
   test("registered query join_range_auto matches the manual bucket version") {
     val auto = SparkEntry.queries("join_range_auto")(spark, TestSpark.sfDir)
     val manual = SparkEntry.queries("join_range_bucket")(spark, TestSpark.sfDir)
