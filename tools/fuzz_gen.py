@@ -56,7 +56,23 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(14)
+    kind = rnd.randrange(15)
+    if kind == 14:  # keyless point-in-interval join: exercises the
+        # variable-width path of RangeJoinRewrite (interval side
+        # replicates to its spanning cells) against DuckDB's IEJoin
+        p2 = gen_pred(rnd)
+        c1 = rnd.randrange(20, 200)
+        c2 = rnd.randrange(20, 200)
+        return (f"WITH a AS (SELECT o_orderkey AS id, "
+                f"CAST(round(o_totalprice) AS BIGINT) AS v "
+                f"FROM orders WHERE {where}), "
+                f"b AS (SELECT o_orderkey AS id, "
+                f"CAST(round(o_totalprice) AS BIGINT) - {c1} AS lo, "
+                f"CAST(round(o_totalprice) AS BIGINT) + {c2} AS hi "
+                f"FROM orders WHERE ({p2})) "
+                f"SELECT a.id AS a_id, b.id AS b_id, a.v - b.lo AS off_lo "
+                f"FROM a JOIN b ON a.v >= b.lo AND a.v <= b.hi AND a.id <> b.id "
+                f"ORDER BY a_id, b_id")
     if kind == 13:  # keyless band self-join: exercises RangeJoinRewrite on
         # the Spark side (cell-replicated equi-join) against DuckDB's
         # IEJoin running the identical SQL
