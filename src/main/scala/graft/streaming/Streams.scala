@@ -19,6 +19,29 @@ import org.apache.spark.sql.types._
   * stateful aggregation keyed by (bucket, type) / user, state store per
   * partition (RocksDB provider at real scale), watermarks bounding state.
   */
+/** Named-state processor behind stream_tws_totals: running (Σ cents, n)
+  * per user. Top-level so the closure stays serializable. */
+class TwsRunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (t, n) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => t += r._2; n += 1 }
+    st.update((t, n))
+    Iterator.single((key, t, n))
+  }
+}
+
 object Streams {
 
   /** events schema as the streaming source sees it (ts already BIGINT ns
@@ -182,6 +205,39 @@ object Streams {
           (unix_micros($"pt") - unix_micros($"ct")).as("gap_us"))
       runToMemory(s, joined, "graft_stream_ij", "append")
         .orderBy("p_id", "c_id")
+    }),
+
+    // transformWithState (Spark 4's arbitrary-state successor to
+    // flatMapGroupsWithState): per-user running (value total, event
+    // count) in a NAMED ValueState on the RocksDB provider — the API a
+    // production stateful consumer migrates to (named state variables,
+    // TTL, timers). Values are quantized to cents BEFORE keying (rule
+    // R8), the static input lands in one AvailableNow batch, so the
+    // final emission per key equals the batch aggregate the oracle runs.
+    "stream_tws_totals" -> ((s, d) => {
+      import s.implicits._
+      val prior = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val totals = readEvents(s, d)
+          .select($"user_id",
+            round(Tables.dec($"value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new TwsRunningTotals(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "total_cents", "n_events")
+        runToMemory(s, totals, "graft_stream_tws", "update")
+          .orderBy("user_id")
+      } finally prior match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     })
   )
 
@@ -213,6 +269,12 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_tws_totals" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    AS BIGINT) AS total_cents,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_static_enrich" ->
       """SELECT n_name, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_e6
