@@ -227,6 +227,44 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // SQL PIVOT clause (the parser surface, vs agg_pivot's DataFrame
+    // .pivot API — same Expand-free plan with an explicit value list).
+    "sql_pivot_clause" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_pv")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  coalesce(urgent, 0) AS urgent, coalesce(high, 0) AS high,
+          |  coalesce(medium, 0) AS medium, coalesce(unspec, 0) AS unspec,
+          |  coalesce(low, 0) AS low
+          |FROM (
+          |  SELECT * FROM (
+          |    SELECT o_orderstatus, o_orderpriority FROM graft_orders_pv
+          |  ) PIVOT (
+          |    COUNT(1) FOR o_orderpriority IN (
+          |      '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+          |      '4-NOT SPECIFIED' AS unspec, '5-LOW' AS low)
+          |  )
+          |)
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // GROUPING()/GROUPING_ID() metadata over a cube — the standard way a
+    // report distinguishes "NULL because subtotal" from "NULL in the
+    // data"; the bitmask is engine-defined per spec and identical here.
+    "agg_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gid")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '-') AS rflag,
+          |  coalesce(l_linestatus, '-') AS lstatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rflag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_lstatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  COUNT(*) AS n
+          |FROM graft_li_gid
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, rflag, lstatus""".stripMargin)
+    }),
+
     // Distributed moment sketch + deterministic finishers: each group
     // carries only (n, Σc, Σc², Σc³, Σc⁴) — algebraic and mergeable by
     // addition, so map-side partials do all the work and the shuffle is
@@ -525,6 +563,24 @@ object Aggregates {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_pivot_clause" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, '-') AS rflag,
+        |  coalesce(l_linestatus, '-') AS lstatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rflag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_lstatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "agg_moment_sketch" ->
       """WITH g AS (
         |  SELECT l_returnflag,
