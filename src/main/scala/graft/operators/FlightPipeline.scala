@@ -69,7 +69,11 @@ object FlightPipeline {
         ((col("arr_utc_us") - col("dep_utc_us")) / 60000000L).cast("long"))
       .drop("dep_local_ts", "arr_local_ts")
 
-  /** Airports enrichment (E3 consumer): broadcast join on both endpoints. */
+  /** Airports enrichment (E3 consumer): broadcast join on both endpoints,
+    * plus a geo cross-check: great-circle km computed from the endpoint
+    * coordinates next to the feed's declared mileage, with a DQ flag when
+    * they disagree by >10% (a transposed-coordinate or stale-mileage
+    * detector — the check the reference's ingest should have had). */
   def enrich(flights: DataFrame, airports: DataFrame): DataFrame = {
     val dep = airports.select(
       col("iata").as("departureAirport"), col("countryCode").as("dep_country"),
@@ -82,6 +86,12 @@ object FlightPipeline {
     flights
       .join(broadcast(dep), Seq("departureAirport"), "left")
       .join(broadcast(arr), Seq("arrivalAirport"), "left")
+      .withColumn("computed_km", graft.functions.Geo.haversineKm(
+        col("dep_lat"), col("dep_lon"), col("arr_lat"), col("arr_lon")))
+      .withColumn("distance_dq_ok",
+        col("computed_km").isNull || col("distanceMiles").isNull ||
+        (abs(col("computed_km") * 0.621371 - col("distanceMiles")) <=
+          col("distanceMiles") * 0.10 + lit(25.0)))
   }
 
   /** Mongo-upsert semantics (E2): within the reload window, incoming rows

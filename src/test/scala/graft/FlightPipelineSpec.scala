@@ -116,4 +116,24 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(runs(0) == runs(1) && runs(1) == runs(2),
       "upsert winner must not depend on partitioning/run")
   }
+
+  test("E3: geo cross-check accepts true mileage, flags corrupt mileage") {
+    val out = Files.createTempDirectory("graft_fp_geo").toString + "/flights"
+    val (flights, _) = FlightPipeline.runImport(spark, schedules, airports, out)
+    // AA 2475 mi JFK→LAX and BA 3451 mi LHR→JFK are the surveyed values
+    val flags = flights.select($"carrier", $"distance_dq_ok")
+      .as[(String, Boolean)].collect()
+    assert(flags.nonEmpty && flags.forall(_._2),
+      s"true mileages must pass: ${flags.filterNot(_._2).mkString(",")}")
+    // corrupt the declared mileage → the haversine check flags it
+    val corrupt = FlightPipeline.enrich(
+      flights.drop("dep_country", "dep_region", "dep_lon", "dep_lat",
+          "arr_country", "arr_region", "arr_lon", "arr_lat",
+          "computed_km", "distance_dq_ok")
+        .withColumn("distanceMiles", lit(100)),
+      graft.sources.Sources.readCsv(spark, airports,
+        graft.sources.Sources.airportsSchema))
+    assert(corrupt.filter(!$"distance_dq_ok").count() == corrupt.count(),
+      "a 100-mile JFK-LAX claim must fail the geo check")
+  }
 }
