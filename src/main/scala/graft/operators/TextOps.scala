@@ -432,6 +432,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Threshold-sensitivity curve for the near-dup policy: how many pairs
+    // fire and how many documents the greedy lowest-id-keep would drop at
+    // EACH candidate Jaccard threshold — the tuning report you read
+    // before committing to a cutoff (too low eats distinct docs, too high
+    // leaks near-dups). One pair computation feeds every threshold via an
+    // explode; cost is the same one posting-list pass as the dedup itself.
+    "pipe_dedup_threshold_curve" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .filter($"doc_id" < 150)
+        .select($"doc_id", $"lang", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang", explode(shingles3).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val scored = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .select($"d2", expr("(inter * 1000000) div (n1 + n2 - inter)").as("jac_e6"))
+      scored
+        .select($"d2", $"jac_e6",
+          explode(expr("array(5000L, 10000L, 25000L, 50000L, 400000L)"))
+            .as("thr"))
+        .filter($"jac_e6" >= $"thr")
+        .groupBy($"thr")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct($"d2").as("n_docs_dropped"))
+        .orderBy("thr")
+    }),
+
     // Connected-components dup clustering — the refinement over the greedy
     // pairwise keep: near-dup pairs (3-gram Jaccard >= 5%) form an edge
     // list, and 3 synchronous rounds of min-label propagation assign every
@@ -867,6 +900,30 @@ object TextOps {
         |  (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) AS jac_e6
         |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |ORDER BY jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+    "pipe_dedup_threshold_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |ti AS (
+        |  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM ti WHERE i <= len(t) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |scored AS (
+        |  SELECT d2, (inter * 1000000) // (s1.n_sh + s2.n_sh - inter) AS jac_e6
+        |  FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2),
+        |x AS (
+        |  SELECT d2, jac_e6, unnest([5000, 10000, 25000, 50000, 400000]) AS thr
+        |  FROM scored)
+        |SELECT CAST(thr AS BIGINT) AS thr, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT d2) AS n_docs_dropped
+        |FROM x WHERE jac_e6 >= thr
+        |GROUP BY thr ORDER BY thr""".stripMargin,
     "dedup_corpus_keep" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t
