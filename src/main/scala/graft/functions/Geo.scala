@@ -44,6 +44,11 @@ object Geo {
   def geoCell(lat: Column, lon: Column, cellDeg: Double): Column = {
     val latC = floor((lat + 90.0) / cellDeg).cast("long")
     val lonC = floor((lon + 180.0) / cellDeg).cast("long")
-    latC * 100000L + lonC
+    // Row stride exceeds the max lon cell index (360/cellDeg), so cell
+    // ids never collide across latitude rows regardless of cellDeg —
+    // callers doing ±1 neighbor-id arithmetic stay correct at any
+    // granularity (the old fixed 100000 stride collided below ~0.0036°).
+    val stride = math.ceil(360.0 / cellDeg).toLong + 1L
+    latC * stride + lonC
   }
 }

@@ -329,7 +329,10 @@ object Analytics {
         .agg(count(lit(1)).as("n_exact"),
           max(when($"rn" === 8, $"h")).as("h8"))
         .select($"o_orderpriority", $"n_exact", $"h8",
-          expr("""CASE WHEN n_exact >= 8
+          // h8 > 0 guard: at h8 = 0 (probability ~2^-60) Spark's div
+          // yields NULL while DuckDB's // raises — degrade to n_exact on
+          // both engines instead of diverging.
+          expr("""CASE WHEN n_exact >= 8 AND h8 > 0
                  |THEN 7 * 1152921504606846976 div h8
                  |ELSE n_exact END""".stripMargin.replaceAll("\n", " "))
             .as("est_distinct"))
@@ -567,7 +570,7 @@ object Analytics {
         |    MAX(CASE WHEN rn = 8 THEN h END) AS h8
         |  FROM r GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n_exact, h8,
-        |  CASE WHEN n_exact >= 8 THEN 7 * 1152921504606846976 // h8
+        |  CASE WHEN n_exact >= 8 AND h8 > 0 THEN 7 * 1152921504606846976 // h8
         |       ELSE n_exact END AS est_distinct
         |FROM a ORDER BY o_orderpriority""".stripMargin,
     "graph_triangle_count" ->

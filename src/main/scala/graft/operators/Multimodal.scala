@@ -144,7 +144,7 @@ object Multimodal {
         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM documents)
-        |SELECT source, (cum - n_chars) // 16384 AS shard_id,
+        |SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS shard_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin

@@ -382,7 +382,7 @@ object Pipeline {
         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
         |  FROM w)
         |SELECT source, n_docs, n_tokens,
-        |  base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+        |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
     "pipe_chunk_overlap" ->
       """WITH t AS (

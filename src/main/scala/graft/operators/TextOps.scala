@@ -110,7 +110,9 @@ object TextOps {
         .filter($"rn" <= 10)
         .groupBy($"token")
         .agg(max($"df").as("df"),
-          sort_array(collect_list($"doc_id")).as("postings_head"))
+          // rule R9a: posting array → ','-joined STRING at the boundary
+          array_join(sort_array(collect_list($"doc_id")), ",")
+            .as("postings_head_csv"))
         .orderBy("token")
     }),
 
@@ -721,7 +723,8 @@ object TextOps {
         |    count(*) OVER (PARTITION BY token) AS df,
         |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
         |  FROM t)
-        |SELECT token, max(df) AS df, list_sort(list(doc_id)) AS postings_head
+        |SELECT token, max(df) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings_head_csv
         |FROM r WHERE rn <= 10
         |GROUP BY token ORDER BY token""".stripMargin,
     "text_exact_dedup" ->

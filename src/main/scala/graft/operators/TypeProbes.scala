@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *  - DECIMAL measures  → micro-scaled BIGINT (`*_e6`, Tables.e6 / R2')
   *  - DATE              → ISO `CAST(d AS STRING)`
   *  - TIMESTAMP         → truncated epoch-µs BIGINT (rule R3)
-  *  - ARRAY             → ARRAY<BIGINT>
+  *  - ARRAY             → ','-joined STRING (R9a: never a raw array cell)
   *  - BINARY            → uppercase hex STRING
+  *  - window-SUM math   → CAST(... AS BIGINT) on the oracle side (R9b:
+  *    DuckDB integer arithmetic against `SUM(x) OVER ()` is HUGEINT,
+  *    which pandas renders float64 and the driver stringifies as `0.0`)
   * All run over the 5-row region dim: negligible cost, deterministic,
   * total ORDER BY on the key.
   */
@@ -59,14 +62,19 @@ object TypeProbes {
         .orderBy("r_regionkey")
     }),
 
-    // ARRAY boundary: ARRAY<BIGINT> values incl. empty and singleton.
+    // ARRAY boundary: ARRAY<BIGINT> computed internally, emitted as a
+    // ','-joined STRING (incl. empty and singleton). Rule R9a: the driver's
+    // pandas compare cannot sort ndarray cells, so arrays never cross the
+    // output boundary raw — array_join ↔ array_to_string on both sides.
     "probe_array_bigint" -> ((s, d) => {
       import s.implicits._
       Tables.region(s, d)
         .select($"r_regionkey",
-          array($"r_regionkey", $"r_regionkey" * 2, lit(7L)).as("arr"),
-          expr("CASE WHEN r_regionkey = 0 THEN array() ELSE array(r_regionkey) END")
-            .cast("array<bigint>").as("arr_edge"))
+          array_join(array($"r_regionkey", $"r_regionkey" * 2, lit(7L)), ",")
+            .as("arr_csv"),
+          array_join(
+            expr("CASE WHEN r_regionkey = 0 THEN array() ELSE array(r_regionkey) END")
+              .cast("array<bigint>"), ",").as("arr_edge_csv"))
         .orderBy("r_regionkey")
     }),
 
@@ -75,6 +83,26 @@ object TypeProbes {
       import s.implicits._
       Tables.region(s, d)
         .select($"r_regionkey", hex($"r_name".cast("binary")).as("name_hex"))
+        .orderBy("r_regionkey")
+    }),
+
+    // HUGEINT boundary (R9b): integer div/mod against an unbounded-window
+    // SUM — the exact shape that silently became DuckDB HUGEINT → pandas
+    // float64 in pipe_source_mixture / multimodal_shard_manifest. Spark
+    // side is BIGINT throughout; the oracle must CAST its window-derived
+    // arithmetic back to BIGINT before output.
+    "probe_hugeint_window" -> ((s, d) => {
+      import s.implicits._
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.region(s, d)
+        .select($"r_regionkey",
+          sum($"r_regionkey" + 1).over(all).as("tot"))
+        .select($"r_regionkey",
+          expr("(1000000 * (r_regionkey + 1)) div tot").as("share_ppm"),
+          expr("(1000000 * (r_regionkey + 1)) % tot").as("rem_ppm"))
         .orderBy("r_regionkey")
     })
   )
@@ -95,14 +123,29 @@ object TypeProbes {
       """SELECT r_regionkey,
         |  epoch_us(TIMESTAMP '2024-01-02 03:04:05.123456') + r_regionkey AS ts_us
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    // R9a corollary: DuckDB array_to_string([]) is NULL (string_agg
+    // semantics) while Spark array_join([]) is '' — COALESCE the oracle.
     "probe_array_bigint" ->
       """SELECT r_regionkey,
-        |  [r_regionkey, r_regionkey * 2, 7] AS arr,
-        |  CASE WHEN r_regionkey = 0 THEN CAST([] AS BIGINT[])
-        |       ELSE [r_regionkey] END AS arr_edge
+        |  array_to_string([r_regionkey, r_regionkey * 2, 7], ',') AS arr_csv,
+        |  COALESCE(array_to_string(
+        |    CASE WHEN r_regionkey = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE [r_regionkey] END, ','), '') AS arr_edge_csv
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "probe_binary_hex" ->
       """SELECT r_regionkey, upper(hex(r_name)) AS name_hex
-        |FROM region ORDER BY r_regionkey""".stripMargin
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    // R9b: the // and % against SUM(...) OVER () are HUGEINT in DuckDB;
+    // without the CASTs pandas renders them float64 and the driver's
+    // stringify diverges ("0.0" vs "0"). Every window-SUM-arithmetic
+    // oracle must cast its outputs back to BIGINT like this.
+    "probe_hugeint_window" ->
+      """WITH w AS (
+        |  SELECT r_regionkey, SUM(r_regionkey + 1) OVER () AS tot
+        |  FROM region)
+        |SELECT r_regionkey,
+        |  CAST((1000000 * (r_regionkey + 1)) // tot AS BIGINT) AS share_ppm,
+        |  CAST((1000000 * (r_regionkey + 1)) % tot AS BIGINT) AS rem_ppm
+        |FROM w ORDER BY r_regionkey""".stripMargin
   )
 }

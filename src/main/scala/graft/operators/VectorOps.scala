@@ -72,12 +72,14 @@ object VectorOps {
           $"embedding")
         .select($"vec_id",
           round($"ma" * 1000000).cast("long").as("maxabs_e6"),
+          // quantized vector stays an array internally; rule R9a joins it
+          // to a STRING at the output boundary (driver can't sort ndarrays)
           expr(
-            """CASE WHEN ma = 0
+            """array_join(CASE WHEN ma = 0
               |  THEN transform(embedding, x -> cast(0 as bigint))
               |  ELSE transform(embedding,
               |    x -> cast(floor(cast(x as double) * 127.0 / ma + 0.5) as bigint))
-              |END""".stripMargin).as("q8"))
+              |END, ',')""".stripMargin).as("q8_csv"))
         .orderBy("vec_id")
     }),
 
@@ -134,7 +136,7 @@ object VectorOps {
       graft.functions.AnnSearch
         .randomProject(Tables.embeddings(s, d).filter($"vec_id" < 200),
           dim = 64, outDims = 8)
-        .select($"vec_id", $"proj_e6")
+        .select($"vec_id", array_join($"proj_e6", ",").as("proj_e6_csv"))
         .orderBy("vec_id")
     })
   )
@@ -219,7 +221,7 @@ object VectorOps {
         |    CAST(round(list_reduce(list_transform(list_zip(e.v, w.wv),
         |      q -> q[1] * q[2]), (x, y) -> x + y) * 1000000) AS BIGINT) AS y
         |  FROM e CROSS JOIN w)
-        |SELECT vec_id, list(y ORDER BY t) AS proj_e6
+        |SELECT vec_id, array_to_string(list(y ORDER BY t), ',') AS proj_e6_csv
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "vec_quantize_int8" ->
       """WITH m AS (
@@ -229,10 +231,10 @@ object VectorOps {
         |  FROM embeddings WHERE vec_id < 100)
         |SELECT vec_id,
         |  CAST(round(ma * 1000000) AS BIGINT) AS maxabs_e6,
-        |  CASE WHEN ma = 0
+        |  array_to_string(CASE WHEN ma = 0
         |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
         |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT))
-        |  END AS q8
+        |  END, ',') AS q8_csv
         |FROM m ORDER BY vec_id""".stripMargin
   )
 }

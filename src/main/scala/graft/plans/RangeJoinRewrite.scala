@@ -157,12 +157,17 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     else plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _) =>
         val conjuncts = splitConjunctivePredicates(cond)
+        // An existing cross-side equi key (= or <=>) means Spark already
+        // plans a hash join — replicating 3× for the band adds no benefit,
+        // so both forms disqualify the rewrite.
+        def crossSide(a: Expression, b: Expression): Boolean =
+          (a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) &&
+            a.references.subsetOf(right.outputSet))
         val crossSideEqui = conjuncts.exists {
-          case EqualTo(a, b) =>
-            (a.references.subsetOf(left.outputSet) &&
-              b.references.subsetOf(right.outputSet)) ||
-            (b.references.subsetOf(left.outputSet) &&
-              a.references.subsetOf(right.outputSet))
+          case EqualTo(a, b)       => crossSide(a, b)
+          case EqualNullSafe(a, b) => crossSide(a, b)
           case _ => false
         }
         def orient(x: Expression, y: Expression, c: Long)
@@ -236,8 +241,14 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     * point's cell. W only tunes replication (default 2^32 ticks). */
   private def rewriteInterval(j: Join, x: Expression, lo: Expression,
                               hi: Expression): LogicalPlan = {
-    val w = Literal(conf.getConfString(
-      "spark.graft.rangeJoin.intervalCellWidth", "4294967296").toLong, LongType)
+    // A bad conf value must not explode inside the optimizer, and a tiny
+    // width with wide intervals would build huge (or >2^31, runtime-error)
+    // replica arrays — clamp unparsable/non-positive values to the default.
+    val defaultW = 4294967296L
+    val wVal = scala.util.Try(conf.getConfString(
+        "spark.graft.rangeJoin.intervalCellWidth", defaultW.toString).toLong)
+      .toOption.filter(_ > 0L).getOrElse(defaultW)
+    val w = Literal(wVal, LongType)
     val xOnLeft = x.references.subsetOf(j.left.outputSet)
     val pointChild = if (xOnLeft) j.left else j.right
     val intervalChild = if (xOnLeft) j.right else j.left

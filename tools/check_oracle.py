@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
 """Dev-time self-check mirroring the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 SQL from <verifyOutDir>/oracle_sql.json in DuckDB against views over the
-<sfDir> parquet tables, sorts columns by name on both sides, stringifies
-values, and reports per-query match/mismatch.
+<sfDir> parquet tables, and compares the way the driver does: columns
+sorted by name, rows sorted via pandas sort_values, cells stringified with
+plain str() — NO normalization. Two rounds in a row a normalizing compare
+(int-ifying float64, stringifying ndarrays) masked exactly the divergences
+the driver rejects, so this version is deliberately driver-exact:
+
+  - oracle df comes from DuckDB's .df() (the driver's path), so HUGEINT →
+    float64 is VISIBLE here, not collapsed;
+  - a float64 oracle column whose Spark counterpart is integer is rejected
+    up front (the HUGEINT tell, rule R9b);
+  - ndarray/list cells are rejected outright (rule R9a) — and the compare
+    still runs through sort_values, which throws on them like the driver;
+  - str(5.0) stays "5.0" and str(5) stays "5"; if both engines agree on
+    the dtype they agree on the string, otherwise they fail — as graded.
 
 NOT part of the engine — local test tooling only (the engine is pure Scala
 Spark; this mirrors what the driver's harness does so oracle SQL dialect
@@ -18,6 +30,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -26,20 +39,8 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-
-def norm_cell(v):
-    # array cells first: `v != v` is ambiguous on ndarrays
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if v is None or v != v:  # None or NaN
-        return "NULL"
-    if isinstance(v, float):
-        # pandas turns nullable int64 parquet columns into float64; undo it
-        # so both sides stringify identically (exact below 2^53)
-        if v == int(v) and abs(v) < 2**53:
-            return str(int(v))
-        return f"{v:.6f}"
-    return str(v)
+INT_PA_TYPES = {"int8", "int16", "int32", "int64", "uint8", "uint16",
+                "uint32", "uint64"}
 
 
 def risky_output_types(res_dir: Path) -> list:
@@ -57,31 +58,65 @@ def risky_output_types(res_dir: Path) -> list:
         t = str(field.type)
         if t.startswith("decimal") or t in ("float", "double", "halffloat"):
             bad.append((field.name, t))
+        if t.startswith("list") or t.startswith("large_list") \
+                or t.startswith("fixed_size_list") or t.startswith("struct") \
+                or t.startswith("map"):
+            bad.append((field.name, t + " (R9a: driver cannot sort array "
+                        "cells — array_join to STRING)"))
     return bad
 
 
-def duck_risky_cells(duck_df: pd.DataFrame) -> list:
-    """Mirror gate on the oracle side: Decimal/float cells would stringify
-    engine-dependently in the driver. (fetchall keeps DuckDB DECIMALs as
-    decimal.Decimal objects — exactly the values to refuse.) STRICT on
-    floats: even an integral DOUBLE (e.g. DuckDB round() yields DOUBLE) is
-    rejected, because the driver's pandas path renders it '5.0' against
-    Spark's BIGINT '5' — norm_cell's collapsing would mask that here."""
+def spark_int_cols(spark_df: pd.DataFrame) -> set:
+    """Columns the DRIVER will stringify integer-style on the Spark side.
+    Must use the pandas dtype, not the parquet schema: a nullable BIGINT
+    parquet column becomes float64 in the driver's pandas frame too, so
+    both sides render '5.0' and the driver passes — only an int64-vs-
+    float64 dtype SPLIT between the frames is the HUGEINT tell."""
+    return {c for c in spark_df.columns if spark_df[c].dtype.kind in "iu"}
+
+
+def duck_risky(duck_df: pd.DataFrame, duck_raw: pd.DataFrame,
+               int_cols: set) -> list:
+    """Oracle-side gates, driver-exact:
+    (a) decimal.Decimal cells (from the exact fetchall frame) — DECIMAL
+        output is banned on either side;
+    (b) ndarray/list cells — the driver's sort_values throws on them
+        (rule R9a);
+    (c) a float dtype column whose Spark counterpart is an integer — the
+        HUGEINT tell (rule R9b): DuckDB window-SUM arithmetic widened to
+        HUGEINT, pandas rendered it float64, the driver will see '0.0'
+        vs '0'."""
     bad = []
-    for c in duck_df.columns:
-        for v in duck_df[c].head(200):
+    for c in duck_raw.columns:
+        for v in duck_raw[c].head(200):
             if isinstance(v, decimal.Decimal):
-                bad.append((c, "decimal"))
+                bad.append((c, "decimal (emit *_e6 BIGINT)"))
                 break
-            if isinstance(v, float) and v == v:
-                bad.append((c, "float"))
+            if isinstance(v, (list, tuple, np.ndarray)):
+                bad.append((c, "array cell (R9a: array_to_string it)"))
                 break
+    for c in duck_df.columns:
+        if duck_df[c].dtype.kind == "f" and c in int_cols:
+            bad.append((c, "float64 vs Spark integer (R9b: CAST the "
+                        "DuckDB window/HUGEINT arithmetic to BIGINT)"))
     return bad
 
 
 def canon(df: pd.DataFrame) -> list:
+    """The driver's path: sort columns by name, sort_values over all of
+    them (this THROWS on unhashable/unorderable cells — intentionally not
+    caught here so the failure class is loud), then plain-str each cell.
+    Only None/NaN get a shared spelling, since both engines' pandas frames
+    represent SQL NULL with whichever of the two fits the dtype."""
     df = df[sorted(df.columns)]
-    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    if len(df.columns) > 0 and len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    out = []
+    for row in df.itertuples(index=False):
+        out.append(tuple(
+            "NULL" if v is None or (isinstance(v, float) and v != v) else str(v)
+            for v in row))
+    return sorted(out)
 
 
 def main():
@@ -111,19 +146,22 @@ def main():
             n_bad += 1
             continue
         try:
-            # fetchall (not .df()) so wide DECIMALs stay exact Decimals —
-            # pandas converts DuckDB decimals to lossy float64.
+            # exact-values frame for decimal/array cell detection...
             cur = con.execute(sql)
             duck_cols = [c[0] for c in cur.description]
-            duck_df = pd.DataFrame(cur.fetchall(), columns=duck_cols, dtype=object)
+            duck_raw = pd.DataFrame(cur.fetchall(), columns=duck_cols,
+                                    dtype=object)
+            # ...and the driver's .df() frame for the actual compare, so
+            # HUGEINT→float64 widening is visible exactly as graded.
+            duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"SQLERR {name}: {e}")
             n_bad += 1
             continue
-        risky = risky_output_types(res_dir) + duck_risky_cells(duck_df)
+        risky = risky_output_types(res_dir) + \
+            duck_risky(duck_df, duck_raw, spark_int_cols(spark_df))
         if risky:
-            print(f"TYPE  {name}: driver-unsafe output columns {risky} "
-                  f"(emit *_e6 BIGINT instead)")
+            print(f"TYPE  {name}: driver-unsafe output columns {risky}")
             n_bad += 1
             continue
         s, d = canon(spark_df), canon(duck_df)
