@@ -15,6 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     operators.Scans.queries ++
+    operators.Ingest.queries ++
     operators.FilterProject.queries ++
     operators.Joins.queries ++
     operators.Aggregates.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Scans.oracleSql ++
+    operators.Ingest.oracleSql ++
     operators.FilterProject.oracleSql ++
     operators.Joins.oracleSql ++
     operators.Aggregates.oracleSql ++

@@ -46,12 +46,23 @@ object Sources {
     StructField("globalRegion", StringType), StructField("wac", IntegerType),
     StructField("longitude", DoubleType), StructField("latitude", DoubleType)))
 
-  /** A2: CSV ingest with explicit schema, header, null and date handling. */
+  /** A2: CSV ingest with explicit schema, header, null and date handling.
+    * escape='"' selects RFC 4180 quote-doubling (Spark's default is
+    * backslash-escape, which most other CSV consumers cannot parse). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
       .option("nullValue", "")
+      .option("escape", "\"")
       .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+
+  /** A2 sink side: RFC 4180 CSV (header row, `""` quote doubling) so the
+    * output is readable by any standard CSV consumer, not just Spark. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
       .csv(path)
 
   /** A3: JSON-lines ingest with explicit schema. */

@@ -101,6 +101,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.filter($"score" >= 40).count() == 1)
   }
 
+  test("A2/A3 oracle queries: text round-trips preserve quoting, NULLs, nesting") {
+    // The oracle-checked form (operators.Ingest): engine-written CSV/JSON
+    // re-read by the engine must reproduce the source rows exactly —
+    // embedded commas and doubled quotes, empty-field NULL, ISO dates,
+    // nested struct/array fields, and JSON keys omitted for NULL.
+    val csv = operators.Ingest.queries("ingest_csv_roundtrip")(spark, TestSpark.sfDir).collect()
+    assert(csv.length == 25)
+    val r7 = csv.find(_.getLong(0) == 7L).get
+    assert(r7.getAs[String]("note") == "a,\"q\" NATION_7", "RFC-4180 quote round-trip")
+    assert(r7.getAs[String]("d_s") == "1992-01-10")
+    assert(r7.getAs[Long]("opt") == 49L)
+    assert(csv.find(_.getLong(0) == 3L).get.isNullAt(4), "empty CSV field -> NULL")
+    val js = operators.Ingest.queries("ingest_json_roundtrip")(spark, TestSpark.sfDir).collect()
+    assert(js.length == 25)
+    val j5 = js.find(_.getLong(0) == 5L).get
+    assert(j5.getAs[Long]("geo_rk") == 0L && j5.getAs[String]("geo_nm") == "NATION_5")
+    assert(j5.getAs[String]("arr_s") == "5,10")
+    assert(js.find(_.getLong(0) == 4L).get.isNullAt(5), "absent JSON key -> NULL")
+  }
+
   test("A6: ORC sink/source round-trips data and pushes filters into the scan") {
     // Spark's second first-class columnar format: same writer/reader API,
     // same predicate-pushdown contract as parquet — a deployment can point
