@@ -339,6 +339,58 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // KLL quantile sketch, driver-graded through its guarantee: the
+    // estimates themselves are ε-approximate (not oracle-hashable, same
+    // policy as HLL), but the worst-case rank bound |rank(v̂_q) − q·n| ≤
+    // H·n/(2k) + 2^(H−1) is a THEOREM, so the query emits whether the
+    // bound holds — computed with interval ranks (count(<v), count(≤v))
+    // so duplicate runs can't fake an error — and the oracle asserts the
+    // flags are identically 1 plus the exact group sizes. One pass builds
+    // the sketch (map-side partials, one ~k·H-item state per group over
+    // the shuffle), a second pass ranks the returned values; the check
+    // costs 2 scans but the OPERATOR is the one-pass mergeable form a
+    // 100 TB cluster needs where exact quantiles would full-sort per group.
+    "agg_quantile_sketch_rank" -> ((s, d) => {
+      import s.implicits._
+      import graft.plans.QuantileSketchAgg.quantileSketch
+      val base = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("g"), Tables.e6($"l_extendedprice").as("x"))
+      val sk = base.groupBy("g")
+        .agg(quantileSketch($"x", 512, Seq(0.5, 0.99)).as("qs"),
+          count(lit(1)).as("n"))
+        .select($"g", $"n",
+          element_at($"qs", 1).as("p50"), element_at($"qs", 2).as("p99"))
+      base.join(broadcast(sk), "g")
+        .groupBy($"g")
+        .agg(max($"n").as("n"),
+          sum(when($"x" < $"p50", 1L).otherwise(0L)).as("r50_lt"),
+          sum(when($"x" <= $"p50", 1L).otherwise(0L)).as("r50_le"),
+          sum(when($"x" < $"p99", 1L).otherwise(0L)).as("r99_lt"),
+          sum(when($"x" <= $"p99", 1L).otherwise(0L)).as("r99_le"))
+        .select($"g", $"n",
+          // H recomputed from n (levels ≈ log2(n/k) + 2; k = 512), bound
+          // doubled for slack — still ~2% of a group, a real gate.
+          expr("""CASE WHEN
+                 |  r50_lt - (2 * (greatest(floor(log2(greatest(n div 512, 1))) + 2, 1) * n div 1024)
+                 |            + cast(pow(2, greatest(floor(log2(greatest(n div 512, 1))) + 2, 1)) as bigint))
+                 |    <= (n + 1) div 2
+                 |  AND (n + 1) div 2
+                 |    <= r50_le + (2 * (greatest(floor(log2(greatest(n div 512, 1))) + 2, 1) * n div 1024)
+                 |            + cast(pow(2, greatest(floor(log2(greatest(n div 512, 1))) + 2, 1)) as bigint))
+                 |THEN 1 ELSE 0 END""".stripMargin.replaceAll("\n", " "))
+            .cast("long").as("p50_ok"),
+          expr("""CASE WHEN
+                 |  r99_lt - (2 * (greatest(floor(log2(greatest(n div 512, 1))) + 2, 1) * n div 1024)
+                 |            + cast(pow(2, greatest(floor(log2(greatest(n div 512, 1))) + 2, 1)) as bigint))
+                 |    <= (99 * n + 99) div 100
+                 |  AND (99 * n + 99) div 100
+                 |    <= r99_le + (2 * (greatest(floor(log2(greatest(n div 512, 1))) + 2, 1) * n div 1024)
+                 |            + cast(pow(2, greatest(floor(log2(greatest(n div 512, 1))) + 2, 1)) as bigint))
+                 |THEN 1 ELSE 0 END""".stripMargin.replaceAll("\n", " "))
+            .cast("long").as("p99_ok"))
+        .orderBy("g")
+    }),
+
     // Triangle counting over the co-purchase graph (parts appearing in
     // the same order). Edges are ID-oriented (a < b) so every triangle
     // a<b<c materializes exactly once from the wedge join e(a,b)⋈e(b,c)
@@ -372,6 +424,14 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The approximate values can't hash-match an exact engine; the PROOF
+    // OBLIGATION can: Spark emits whether the sketch's rank-error theorem
+    // held (computed against exact interval ranks in the same plan), and
+    // the oracle pins the flags to 1 alongside the exact group sizes.
+    "agg_quantile_sketch_rank" ->
+      """SELECT l_returnflag AS g, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY g""".stripMargin,
     "win_cohort_retention" ->
       """WITH w AS (
         |  SELECT o_custkey AS c,

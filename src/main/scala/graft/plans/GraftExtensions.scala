@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       GraftFunctions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      GraftFunctions.quantileSketchBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite):
     // inert unless spark.graft.approxCountDistinct=true, so injecting it
     // unconditionally costs nothing.

@@ -71,11 +71,40 @@ object GraftFunctions {
   private[plans] val simhashBuilder: Seq[Expression] => Expression =
     exprs => SimHash60(exprs.head)
 
+  private[plans] val quantileSketchBuilder: Seq[Expression] => Expression =
+    exprs => {
+      def bad(detail: String) = new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"quantile_sketch: $detail"))
+      val kArg = exprs(1)
+      if (!kArg.foldable) throw bad(s"k must be an integer literal, got ${kArg.sql}")
+      val k = kArg.eval() match {
+        case i: Int   => i
+        case l: Long  => l.toInt
+        case s: Short => s.toInt
+        case b: Byte  => b.toInt
+        case other => throw bad(s"k must be an integer literal, got ${kArg.sql}" +
+          (if (other == null) " (NULL)" else ""))
+      }
+      val qArg = exprs(2)
+      if (!qArg.foldable) throw bad(s"quantiles must be a constant array, got ${qArg.sql}")
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val qs = (qArg.eval(), qArg.dataType) match {
+        case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(DoubleType, _)) => a.toDoubleArray().toSeq
+        case _ => throw bad(
+          s"quantiles must be ARRAY<DOUBLE>, got ${qArg.dataType.simpleString}")
+      }
+      QuantileSketchAgg(exprs.head, k, qs).toAggregateExpression()
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("minhash_sketch", minhashBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("morton", mortonBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("simhash60", simhashBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("quantile_sketch", quantileSketchBuilder, "scala_udf")
   }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{KllState, QuantileSketchAgg}
+import graft.plans.QuantileSketchAgg.quantileSketch
+
+/** Round-2 verdict item 7: one-pass mergeable approximate quantiles
+  * (KLL/MRL compactor stack) with a deterministic fixed-seed offset
+  * choice. The exact paths already in the registry (histogram method,
+  * weighted-median two-phase refine) need a bounded domain or a second
+  * pass; this is the mergeable single-pass form a real cluster runs, so
+  * the spec gates the rank-error bound the way SketchSpec gates HLL/MG.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val QS = Array(0.01, 0.1, 0.5, 0.9, 0.99)
+
+  /** Exact rank of v (count of x <= v) — the bound's currency. */
+  private def rankOf(sorted: Array[Long], v: Long): Long = {
+    // upper bound via binary search
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  private def assertWithinBound(data: Array[Long], st: KllState,
+                                label: String): Unit = {
+    val sorted = data.sorted
+    val n = data.length.toLong
+    assert(st.count == n, s"$label: sketch count")
+    val est = st.quantiles(QS)
+    val bound = st.rankErrorBound
+    QS.zip(est).foreach { case (q, v) =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val err = math.abs(rankOf(sorted, v) - target)
+      assert(err <= bound,
+        s"$label q=$q: rank error $err exceeds worst-case bound $bound (n=$n)")
+    }
+  }
+
+  test("n <= k: sketch is exact (no compaction ever fires)") {
+    val data = (1L to 100L).map(_ * 13L).reverse.toArray
+    val st = new KllState(256)
+    data.foreach(st.insert)
+    val sorted = data.sorted
+    QS.zip(st.quantiles(QS)).foreach { case (q, v) =>
+      val exact = sorted(math.max(1, math.ceil(q * 100).toInt) - 1)
+      assert(v == exact, s"q=$q: $v != exact $exact")
+    }
+  }
+
+  test("seeded skewed stream of 200k: rank error within the H*n/2k bound") {
+    val rnd = new scala.util.Random(42)
+    // heavy duplication + heavy tail: 60% from 100 hot keys, rest ~ square
+    val data = Array.fill(200000) {
+      if (rnd.nextInt(10) < 6) rnd.nextInt(100).toLong
+      else { val x = rnd.nextInt(100000).toLong; x * x }
+    }
+    val st = new KllState(128)
+    data.foreach(st.insert)
+    assertWithinBound(data, st, "skewed-200k")
+  }
+
+  test("merge invariance: chunked merge trees stay within bound and agree with count") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(120000)(rnd.nextLong() % 1000000L)
+    // linear fold of 37 uneven chunks
+    val chunks = data.grouped(3243).toArray
+    val linear = new KllState(128)
+    chunks.foreach { ch =>
+      val part = new KllState(128); ch.foreach(part.insert); linear.mergeIn(part)
+    }
+    assertWithinBound(data, linear, "linear-merge")
+    // balanced binary merge tree over the same chunks
+    var layer = chunks.map { ch =>
+      val s = new KllState(128); ch.foreach(s.insert); s
+    }
+    while (layer.length > 1) {
+      layer = layer.grouped(2).map { pair =>
+        if (pair.length == 2) { pair(0).mergeIn(pair(1)); pair(0) } else pair(0)
+      }.toArray
+    }
+    assertWithinBound(data, layer(0), "tree-merge")
+  }
+
+  test("DataFrame aggregate + SQL surface: per-group quantiles at sfDir") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select($"l_returnflag".as("g"), Tables.e6($"l_extendedprice").as("x"))
+    val sk = li.groupBy("g")
+      .agg(quantileSketch($"x", 512, Seq(0.5, 0.99)).as("qs"), count("*").as("n"))
+      .collect()
+    assert(sk.length == 3)
+    val exact = li.as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sorted }
+    sk.foreach { r =>
+      val g = r.getString(0)
+      val qs = r.getSeq[Long](1)
+      val n = r.getLong(2)
+      val sorted = exact(g)
+      // k=512 >> group sizes at sf0.001 would make this exact; still
+      // assert through the bound so the test survives at bigger sfDir.
+      val st = new KllState(512); sorted.foreach(st.insert)
+      Seq(0.5 -> qs(0), 0.99 -> qs(1)).foreach { case (q, v) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val err = math.abs(rankOf(sorted, v) - target)
+        assert(err <= st.rankErrorBound, s"group $g q=$q err $err")
+      }
+    }
+    // SQL name, registered via GraftFunctions/GraftExtensions
+    graft.plans.GraftFunctions.register(spark)
+    li.createOrReplaceTempView("qsk_in")
+    val viaSql = spark.sql(
+      "SELECT g, quantile_sketch(x, 512, array(0.5D, 0.99D)) AS qs FROM qsk_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    sk.foreach { r =>
+      assert(viaSql(r.getString(0)) == r.getSeq[Long](1),
+        "SQL surface must agree with the Column form")
+    }
+  }
+
+  test("sf0.1 lineitem (600k rows): empirical error well inside the bound") {
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(Tables.e6($"l_extendedprice").as("x"))
+    // 32 shuffle partitions -> 32 map-side partials merged in arbitrary
+    // order: the cluster shape, not a single linear stream.
+    val arr = li.repartition(32).agg(quantileSketch($"x", 512, QS.toSeq).as("qs"))
+      .head().getSeq[Long](0)
+    val sorted = li.as[Long].collect().sorted
+    val n = sorted.length.toLong
+    val h = math.ceil(math.log(n.toDouble / 512) / math.log(2)).toInt + 1
+    val bound = h.toLong * n / 1024 + (1L << (h - 1))
+    QS.zip(arr).foreach { case (q, v) =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val err = math.abs(rankOf(sorted, v) - target)
+      assert(err <= bound, s"sf0.1 q=$q rank error $err > bound $bound")
+      // and the practical claim: ~1% of n, far tighter than worst case
+      assert(err <= n / 100, s"sf0.1 q=$q rank error $err > 1% of $n")
+    }
+  }
+
+  test("NULL and empty-group semantics: nulls skipped, empty group -> NULL") {
+    val df = Seq[(String, Option[Long])](
+      ("a", Some(1L)), ("a", Some(2L)), ("a", None), ("b", None))
+      .toDF("g", "x")
+    val out = df.groupBy("g").agg(quantileSketch($"x", 64, Seq(0.5)).as("qs"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out("a") == Seq(1L), "nulls must not count toward ranks")
+    assert(out("b") == null, "all-NULL group evaluates to NULL")
+  }
+}
