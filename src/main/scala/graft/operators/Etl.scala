@@ -142,6 +142,48 @@ object Etl {
         .orderBy("k")
     }),
 
+    // MERGE INTO a partitioned parquet table through the REAL copy-on-write
+    // sink (sources/MergeSink.scala), graded end-to-end: build the base
+    // table on disk, apply a deterministic change batch (deletes, updates,
+    // inserts incl. a brand-new partition, duplicate-key later-seq-wins)
+    // via mergeInto — which prunes the read to affected partitions and
+    // dynamic-overwrites only those directories — then READ THE TABLE BACK
+    // and emit per-partition totals. The oracle replicates the merge
+    // relationally, so the hash-match proves the sink's on-disk result,
+    // not just the dataflow (etl_cdc_apply already proves that half).
+    // Changes touch only partitions 1/3/9; 2/4/5 ride through untouched —
+    // the partition-granularity COW guarantee MergeSinkSpec asserts at the
+    // file level.
+    "etl_merge_cow" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_fixtures/merge_cow"
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey".as("k"),
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_cents"),
+        substring($"o_orderpriority", 1, 1).as("p"))
+      base.write.partitionBy("p").mode("overwrite").parquet(dir)
+      val ch = base.filter($"p".isin("1", "3"))
+      val changes = ch.filter($"k" % 7 === 0)
+          .select($"k", lit(0L).as("price_cents"), $"p",
+            lit("D").as("op"), lit(1L).as("seq"))
+        .unionByName(ch.filter($"k" % 7 === 1 || $"k" % 7 === 2)
+          .select($"k", ($"price_cents" + 1000L).as("price_cents"), $"p",
+            lit("U").as("op"), lit(1L).as("seq")))
+        .unionByName(ch.filter($"k" % 7 === 3)
+          .select(($"k" + 1000000000L).as("k"),
+            ($"price_cents" + 5L).as("price_cents"), lit("9").as("p"),
+            lit("U").as("op"), lit(1L).as("seq")))
+        .unionByName(ch.filter($"k" % 70 === 1)
+          .select($"k", ($"price_cents" + 2000L).as("price_cents"), $"p",
+            lit("U").as("op"), lit(2L).as("seq")))
+      graft.sources.MergeSink.mergeInto(s, dir, changes, Seq("k"), "p")
+      s.read.parquet(dir)
+        .groupBy($"p".cast("string").as("p"))
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          sum($"price_cents").as("sum_price_cents"))
+        .orderBy("p")
+    }),
+
     // Snapshot diff (reconciliation audit): FULL OUTER join two snapshots
     // on the natural key, classify each key as added / removed / changed,
     // drop the unchanged majority. Snapshot B is a deterministic mutation
@@ -494,6 +536,34 @@ object Etl {
         |SELECT k, price_cents, coalesce(op, 'B') AS src_op
         |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
         |ORDER BY k""".stripMargin,
+    // Relational replica of the COW merge the Spark side performs on disk;
+    // sums CAST to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT, rule R9b).
+    "etl_merge_cow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS price_cents,
+        |    substr(o_orderpriority, 1, 1) AS p
+        |  FROM orders),
+        |ch AS (SELECT * FROM base WHERE p IN ('1', '3')),
+        |changes AS (
+        |  SELECT k, 0 AS price_cents, p, 'D' AS op, 1 AS seq FROM ch WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, price_cents + 1000, p, 'U', 1 FROM ch WHERE k % 7 IN (1, 2)
+        |  UNION ALL
+        |  SELECT k + 1000000000, price_cents + 5, '9', 'U', 1 FROM ch WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT k, price_cents + 2000, p, 'U', 2 FROM ch WHERE k % 70 = 1),
+        |u AS (
+        |  SELECT k, price_cents, p, NULL AS op, 0 AS src, 0 AS seq FROM base
+        |  UNION ALL
+        |  SELECT k, price_cents, p, op, 1 AS src, seq FROM changes),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k, p ORDER BY src DESC, seq DESC) AS rn
+        |  FROM u)
+        |SELECT p, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+        |FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+        |GROUP BY p ORDER BY p""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_orderkey AS k,
