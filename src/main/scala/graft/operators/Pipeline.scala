@@ -268,6 +268,33 @@ object Pipeline {
         .orderBy("fold", "source")
     }),
 
+    // Deterministic weighted sampling per stratum — the corpus-curation
+    // primitive behind "sample N docs per language, preferring higher
+    // quality". Priority = hash(doc_id) div weight (Efraimidis–Spirakis
+    // A-ES collapsed to integer arithmetic: under a uniform hash, a doc's
+    // chance of a bottom-k priority grows ∝ its weight); bottom-k
+    // priorities win, doc_id breaks ties. Fully deterministic and
+    // content-addressed — re-runs and engine swaps reproduce the exact
+    // sample, so the oracle hash-matches the SELECTION itself, unlike
+    // rand()-based sampling. Scale shape: scan → per-stratum TopK by
+    // priority (map-side k-heaps via the window's rank pushdown), no
+    // global sort, no driver collect.
+    "pipe_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"priority".asc, $"doc_id".asc)
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          expr("1 + (n_chars div 100)").as("weight"),
+          conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .withColumn("priority", expr("h div weight"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .select($"lang", $"doc_id", $"weight", $"priority")
+        .orderBy($"lang", $"priority", $"doc_id")
+    }),
+
     // First iteration of BPE tokenizer training: count adjacent character
     // pairs WITHIN tokens across the corpus — the most frequent pair is
     // the first merge rule. Pairs come from substring(tok, i, 2) over a
@@ -403,6 +430,18 @@ object Pipeline {
         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipe_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, 1 + (n_chars // 100) AS weight,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      // (1 + (n_chars // 100)) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, weight, priority,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority ASC, doc_id ASC) AS rn
+        |  FROM p)
+        |SELECT lang, doc_id, weight, priority FROM r WHERE rn <= 20
+        |ORDER BY lang, priority, doc_id""".stripMargin,
     "pipe_kfold_split" ->
       """SELECT fold, source, COUNT(*) AS n_docs,
         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,

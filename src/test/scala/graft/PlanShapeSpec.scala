@@ -65,6 +65,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("text"), "text column must be pruned from the scan")
   }
 
+  test("weighted sample pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    val p = plan("pipe_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k must become a group-limit, not a full per-group sort:\n${p.take(800)}")
+    assert(!p.contains("text"), "text column must be pruned from the scan")
+  }
+
   test("IVF probe path broadcasts centroids and probes (no embedding shuffle join)") {
     val p = plan("sim_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
