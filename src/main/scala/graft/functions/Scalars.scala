@@ -162,6 +162,34 @@ object Scalars {
         .orderBy("doc_id")
     }),
 
+    // H7 promoted to an oracle row (r3): MAP construction and the map HOF
+    // surface (map_concat, element_at, map_filter, transform_values,
+    // map_keys/values, aggregate-fold), emitted in CANONICAL STRING form
+    // ("k:v" pairs, keys sorted, comma-joined) because a raw MAP cell is
+    // driver-unsortable (same class as rule R9a arrays). The oracle
+    // rebuilds the same entries relationally — UNION ALL + string_agg —
+    // so the hash-match proves entry-level semantics, not just counts.
+    "fn_map_canonical" -> ((s, d) => {
+      import s.implicits._
+      Tables.nation(s, d)
+        .select($"n_nationkey",
+          map(lit("nk"), $"n_nationkey".cast("long"),
+              lit("rk"), $"n_regionkey".cast("long"),
+              lit("len"), length($"n_name").cast("long")).as("m"))
+        .withColumn("m2",
+          map_concat($"m", map(lit("x2"), $"n_nationkey".cast("long") * 2L)))
+        .withColumn("mv",
+          expr("transform_values(map_filter(m2, (k, v) -> v % 2 = 0), (k, v) -> v + 1)"))
+        .select($"n_nationkey",
+          element_at($"m2", "rk").as("rk"),
+          size($"m2").cast("long").as("m2_size"),
+          expr("array_join(transform(array_sort(map_keys(mv)), " +
+            "k -> concat(k, ':', element_at(mv, k))), ',')").as("m_canon"),
+          expr("aggregate(map_values(m2), CAST(0 AS BIGINT), (a, v) -> a + v)")
+            .as("v_sum"))
+        .orderBy("n_nationkey")
+    }),
+
     // H8: generator/UDTF surface — posexplode of tokenized text (0-based pos).
     "fn_explode_pos" -> ((s, d) => {
       import s.implicits._
@@ -173,6 +201,26 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_map_canonical" ->
+      """WITH b AS (
+        |  SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS r,
+        |    CAST(length(n_name) AS BIGINT) AS l
+        |  FROM nation),
+        |ent AS (
+        |  SELECT k, 'nk' AS mk, CAST(k AS BIGINT) AS mv FROM b
+        |  UNION ALL SELECT k, 'rk', r FROM b
+        |  UNION ALL SELECT k, 'len', l FROM b
+        |  UNION ALL SELECT k, 'x2', CAST(2 * k AS BIGINT) FROM b),
+        |canon AS (
+        |  SELECT k, string_agg(mk || ':' || CAST(mv + 1 AS VARCHAR), ',' ORDER BY mk) AS m_canon
+        |  FROM ent WHERE mv % 2 = 0 GROUP BY k),
+        |agg AS (
+        |  SELECT k, count(*) AS m2_size, CAST(sum(mv) AS BIGINT) AS v_sum
+        |  FROM ent GROUP BY k)
+        |SELECT b.k AS n_nationkey, b.r AS rk, agg.m2_size,
+        |  coalesce(canon.m_canon, '') AS m_canon, agg.v_sum
+        |FROM b JOIN agg ON b.k = agg.k LEFT JOIN canon ON b.k = canon.k
+        |ORDER BY n_nationkey""".stripMargin,
     "fn_url_parse" ->
       """WITH u AS (
         |  SELECT c_custkey,
