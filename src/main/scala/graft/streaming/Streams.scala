@@ -238,6 +238,61 @@ object Streams {
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }),
+
+    // 9th streaming oracle: ONLINE near-duplicate detection — the form a
+    // live ingest pipeline needs (catch a near-dup the moment it lands,
+    // not in the nightly batch). Each incoming doc gets its 60-bit
+    // signature from the engine's codegen SimHash60 expression, fans out
+    // to 4×15-bit LSH band buckets (pigeonhole: hamming ≤ 12 pairs share
+    // ≥1 exact band with high probability — same banding as
+    // dedup_simhash_pairs), and each bucket's state holds the (doc_id,
+    // sig) seen so far; a new doc emits (doc_id, dup_of = least earlier
+    // matching doc). Determinism: within a batch the group sorts by
+    // doc_id, so "earlier" ≡ lower doc_id — exactly the batch semantics
+    // the oracle replicates. Scale: state is per-bucket and bounded by
+    // bucket occupancy (a production job adds TTL/caps per bucket); the
+    // shuffle key is the band bucket, never the corpus.
+    "stream_neardup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val bands = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter($"doc_id" < 200)
+        .select($"doc_id",
+          graft.plans.SimHash60.simhash60(split($"text", " ")).as("sig"))
+        .select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
+        .select(($"b".cast("long") * 32768L +
+            expr("shiftright(sig, 15 * b) & 32767")).as("bucket"),
+          $"doc_id", $"sig")
+      val pairs = bands.as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Array[(Long, Long)], (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (_: Long, rows: Iterator[(Long, Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[Array[(Long, Long)]]) =>
+            val arrived = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+            var seen = state.getOption.getOrElse(Array.empty[(Long, Long)])
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            arrived.foreach { case (id, sig) =>
+              var best = Long.MaxValue
+              seen.foreach { case (pid, psig) =>
+                if (pid < id && pid < best &&
+                  java.lang.Long.bitCount(sig ^ psig) <= 12) best = pid
+              }
+              if (best != Long.MaxValue) out += ((id, best))
+              seen = seen :+ ((id, sig))
+            }
+            state.update(seen)
+            out.iterator
+        }.toDF("doc_id", "dup_of")
+      runToMemory(s, pairs, "graft_stream_neardup", "update")
+        .groupBy($"doc_id")
+        .agg(min($"dup_of").as("dup_of"))
+        .orderBy("doc_id")
     })
   )
 
@@ -269,6 +324,33 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Batch dual of the online near-dup: same md5-derived signature
+    // replication as dedup_simhash_pairs, then dup_of = least earlier doc
+    // sharing a band with hamming <= 12 — "earlier" in one AvailableNow
+    // batch is lower doc_id by construction.
+    "stream_neardup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    CAST(SUM(CASE WHEN (h >> k) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM h, range(0, 60) r(k) GROUP BY doc_id, k),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS chunk
+        |  FROM sig, range(0, 4) r(b))
+        |SELECT y.doc_id AS doc_id, CAST(min(x.doc_id) AS BIGINT) AS dup_of
+        |FROM bands x JOIN bands y
+        |  ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 12
+        |GROUP BY y.doc_id ORDER BY doc_id""".stripMargin,
     "stream_tws_totals" ->
       """SELECT user_id,
         |  CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT))
