@@ -82,29 +82,32 @@ object MergeSink {
       .select((keyCols ++ payloadCols :+ partitionCol).map(col): _*)
       .localCheckpoint() // sever lineage: the write overwrites its own source
 
-    val rows = merged.count()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-
-    // Dynamic overwrite only replaces directories PRESENT in the output:
-    // an affected partition whose every row was deleted produces no output
-    // rows, so its stale directory must be removed explicitly.
-    val surviving = merged.select(col(partitionCol)).distinct()
-      .collect().map(v => String.valueOf(v.get(0))).toSet
-    val emptied = affected.map(String.valueOf).filterNot(surviving)
-    if (emptied.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(tablePath)
-      val fs = root.getFileSystem(conf)
-      emptied.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v"), true)
+    try {
+      val rows = merged.count()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-    }
-    MergeStats(affected.map(String.valueOf), rows)
+
+      // Dynamic overwrite only replaces directories PRESENT in the output:
+      // an affected partition whose every row was deleted produces no output
+      // rows, so its stale directory must be removed explicitly.
+      val surviving = merged.select(col(partitionCol)).distinct()
+        .collect().map(v => String.valueOf(v.get(0))).toSet
+      val emptied = affected.map(String.valueOf).filterNot(surviving)
+      if (emptied.nonEmpty) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = root.getFileSystem(conf)
+        emptied.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v"), true)
+        }
+      }
+      MergeStats(affected.map(String.valueOf), rows)
+    } finally merged.unpersist() // release the checkpoint blocks: a long
+    // CDC session applies many batches and the slices would accumulate
   }
 }

@@ -50,6 +50,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("quantile_sketch SQL surface validates k and the quantile array") {
+    GraftFunctions.register(spark)
+    // happy path: exact on tiny input (n <= k, no compaction)
+    val qs = spark.sql(
+      """SELECT quantile_sketch(x, 64, array(0.5D, 1.0D)) AS qs
+        |FROM (VALUES (CAST(10 AS BIGINT)), (20), (30)) t(x)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(qs == Seq(20L, 30L))
+    // non-constant k
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT quantile_sketch(x, CAST(x AS INT), array(0.5D))
+          |FROM (VALUES (CAST(10 AS BIGINT))) t(x)""".stripMargin).collect()
+    }
+    assert(e1.getMessage.contains("integer literal"))
+    // wrong quantile element type (strings, not doubles)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT quantile_sketch(x, 64, array('a'))
+          |FROM (VALUES (CAST(10 AS BIGINT))) t(x)""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<DOUBLE>"))
+  }
+
   test("GraftExtensions injects the functions at session construction") {
     import org.apache.spark.sql.SparkSession
     val orig = spark
