@@ -39,6 +39,15 @@ import org.apache.spark.sql.functions._
   * partition-granularity COW table, minus the transaction log: the
   * atomicity unit here is the partition directory, which is exactly the
   * guarantee plain parquet can offer.
+  *
+  * Key scope: the partition column is implicitly PART OF the merge key —
+  * a change row matches a target row only within its own partition (the
+  * whole point is never reading the others). A change row carrying a
+  * key's OLD key value but a NEW partition value therefore INSERTS into
+  * the new partition and leaves the old row in place; moving a row
+  * across partitions is spelled delete-in-old + upsert-in-new, the same
+  * contract partition-scoped CDC has on Hive-layout tables
+  * (spec-asserted in MergeSinkSpec).
   */
 object MergeSink {
 

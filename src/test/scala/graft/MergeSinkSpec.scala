@@ -118,6 +118,58 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readState(dir).size == 200)
   }
 
+  test("partition is part of the merge key: cross-partition move = delete + upsert") {
+    val dir = writeBase()
+    // k=3 lives in prio=4 (id=2 -> k=3, prio=(2%5)+1=3? compute: k=id+1,
+    // prio=(id%5)+1 so k=3 -> id=2 -> prio=3). An upsert of k=3 aimed at
+    // prio=2 must NOT move it: it inserts a second row in prio=2.
+    MergeSink.mergeInto(spark, dir,
+      Seq((3L, 777L, "2", "U", 1L)).toDF("k", "price_cents", "prio", "op", "seq"),
+      Seq("k"), "prio")
+    val rows = spark.read.parquet(dir)
+      .filter($"k" === 3L)
+      .select($"price_cents", $"prio".cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((207L, "3"), (777L, "2")),
+      s"wrong-partition upsert inserts, never moves: $rows")
+    // the documented move spelling: D in the old partition + U in the new
+    MergeSink.mergeInto(spark, dir,
+      Seq((3L, 0L, "3", "D", 1L), (3L, 888L, "2", "U", 1L))
+        .toDF("k", "price_cents", "prio", "op", "seq"),
+      Seq("k"), "prio")
+    val moved = spark.read.parquet(dir).filter($"k" === 3L)
+      .select($"price_cents", $"prio".cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(moved == Set((888L, "2")), s"delete+upsert moves the row: $moved")
+  }
+
+  test("seeded randomized batches agree with an in-memory reference merge") {
+    val dir = writeBase()
+    val ref = scala.collection.mutable.Map.empty[(Long, String), Long]
+    baseDf.collect().foreach(r =>
+      ref((r.getLong(0), r.getString(2))) = r.getLong(1))
+    val rnd = new scala.util.Random(20260813)
+    (1 to 6).foreach { batch =>
+      val rows = (1 to 30).map { i =>
+        val k = rnd.nextInt(260).toLong + 1 // may or may not exist
+        val p = (rnd.nextInt(6) + 1).toString // partitions 1..6 (6 is new)
+        val del = rnd.nextInt(4) == 0
+        (k, rnd.nextInt(100000).toLong, p, if (del) "D" else "U", i.toLong)
+      }
+      MergeSink.mergeInto(spark, dir,
+        rows.toDF("k", "price_cents", "prio", "op", "seq"), Seq("k"), "prio")
+      // reference: last op per (k, p) by seq wins within the batch
+      rows.groupBy(r => (r._1, r._3)).foreach { case ((k, p), ops) =>
+        val last = ops.maxBy(_._5)
+        if (last._4 == "D") ref.remove((k, p)) else ref((k, p)) = last._2
+      }
+      val state = spark.read.parquet(dir)
+        .select($"k", $"prio".cast("string"), $"price_cents").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(state == ref.toMap, s"batch $batch diverged from reference")
+    }
+  }
+
   test("empty change batch is a no-op") {
     val dir = writeBase()
     val before = (1 to 5).map(p => p.toString -> stamps(dir, p.toString)).toMap
