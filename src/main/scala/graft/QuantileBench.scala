@@ -62,6 +62,46 @@ object QuantileBench {
       s"rank_errs=${errs.mkString(",")} bound=$bound " +
       f"max_err_pct=${errs.max * 100.0 / n}%.4f%% " +
       s"median_agrees_rank=${math.abs(ranks.getLong(1) - n / 2) <= bound && math.abs(exact50) >= 0}")
+
+    // --- rule-level: SQL percentile_disc, exact vs ApproxQuantileRewrite.
+    // The exact path buffers every (value, count) pair per group PER TASK
+    // through partial aggregation: at this bench's 64M×2^62-domain shape —
+    // and even at 32M rows over a 1M-value domain on an 8g driver — it
+    // plain OOMs (verified), which is the 100 TB failure mode the rewrite
+    // removes (sketch state is ~k·log(n/k) regardless of cardinality).
+    // Measure the largest shape the exact path survives here: 8M rows,
+    // 100k distinct values per group.
+    plans.ApproxQuantileRewrite.install(spark)
+    val nG = n / 8
+    spark.range(nG).select(
+        ($"id" % 8).cast("string").as("g"),
+        (hash($"id").cast("long") % 100000L).as("x"))
+      .createOrReplaceTempView("qb_grouped")
+    val sql = "SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY x) " +
+      "AS p50 FROM qb_grouped GROUP BY g"
+    def runSql(): (Double, Map[String, Double]) = {
+      val t0 = System.nanoTime()
+      val rows = spark.sql(sql).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    spark.conf.set("spark.graft.approxQuantile", "false")
+    val (tOff, _) = runSql()
+    spark.conf.set("spark.graft.approxQuantile", "true")
+    val (tOn, approxG) = runSql()
+    spark.conf.set("spark.graft.approxQuantile", "false")
+    // the theorem bounds RANK error, so measure that (values straddle 0,
+    // making relative value error meaningless): |rank(v̂) − n_g/2| / n_g
+    val rankErrs = approxG.map { case (g, v) =>
+      val r = spark.sql(
+        s"SELECT count(*) FROM qb_grouped WHERE g = '$g' AND x <= $v")
+        .head().getLong(0)
+      val ng = nG / 8
+      math.abs(r - ng / 2).toDouble / ng
+    }
+    println(f"[quantilebench-rule] n=$nG groups=8 exact_disc=$tOff%.2f s " +
+      f"rewritten=$tOn%.2f s speedup=${tOff / tOn}%.1fx " +
+      f"max_rank_err_pct=${rankErrs.max * 100}%.3f%%")
     spark.stop()
   }
 }

@@ -37,10 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
       GraftFunctions.quantileSketchBuilder))
-    // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite):
-    // inert unless spark.graft.approxCountDistinct=true, so injecting it
-    // unconditionally costs nothing.
+    // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite /
+    // ApproxQuantileRewrite): inert unless spark.graft.approxCountDistinct /
+    // spark.graft.approxQuantile is true, so injecting costs nothing.
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite())
+    ext.injectOptimizerRule(_ => ApproxQuantileRewrite())
     // Keyless band joins → cell-replicated equi-join (semantics-preserving,
     // default-on, spark.graft.rangeJoin=false to disable). See
     // RangeJoinRewrite for the coverage proof.

@@ -99,6 +99,65 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ApproxQuantileRewrite: opt-in sketch rewrite of percentile_disc") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val sql = "SELECT o_orderstatus, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_custkey) AS p50 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+      Tables.orders(ext, TestSpark.sfDir).createOrReplaceTempView("orders")
+
+      ext.conf.set("spark.graft.approxQuantile", "false")
+      val exact = ext.sql(sql)
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("quantile_sketch"))
+      val exactRows = exact.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+      ext.conf.set("spark.graft.approxQuantile", "true")
+      // k above the group sizes at this sfDir ⇒ no compaction ⇒ the sketch
+      // IS exact: same smallest-value-with-cume_dist>=p tie semantics, so
+      // values must match percentile_disc bit-for-bit
+      ext.conf.set("spark.graft.approxQuantile.k", "8192")
+      val approx = ext.sql(sql)
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("quantile_sketch") && !plan.contains("percentile_disc"),
+        plan.take(500))
+      approx.collect().foreach { r =>
+        assert(r.getDouble(1) == exactRows(r.getString(0)),
+          s"${r.getString(0)}: sketch ${r.getDouble(1)} != exact ${exactRows(r.getString(0))}")
+      }
+      // out-of-scope shapes keep the exact path: DOUBLE percentile_cont,
+      // reverse ordering, and a non-BIGINT child
+      val cont = ext.sql("SELECT percentile(o_custkey, 0.5) FROM orders")
+      assert(!cont.queryExecution.optimizedPlan.toString.contains("quantile_sketch"))
+      val rev = ext.sql("SELECT percentile_disc(0.5) WITHIN GROUP " +
+        "(ORDER BY o_custkey DESC) FROM orders")
+      assert(!rev.queryExecution.optimizedPlan.toString.contains("quantile_sketch"))
+      val str = ext.sql("SELECT percentile_disc(0.5) WITHIN GROUP " +
+        "(ORDER BY o_orderstatus) FROM orders")
+      assert(!str.queryExecution.optimizedPlan.toString.contains("quantile_sketch"))
+      // and at the default k (compaction active on these group sizes), the
+      // estimate stays within the theorem's rank bound of the exact answer
+      ext.conf.set("spark.graft.approxQuantile.k", "512")
+      val n = Tables.orders(ext, TestSpark.sfDir).count()
+      ext.sql(sql).collect().foreach { r =>
+        val v = r.getDouble(1)
+        val (lo, hi) = (exactRows.values.min, exactRows.values.max)
+        assert(v >= lo * 0.5 && v <= hi * 1.5,
+          s"k=512 estimate $v wildly off exact range [$lo, $hi] (n=$n)")
+      }
+      ext.conf.set("spark.graft.approxQuantile", "false")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("ApproxDistinctRewrite: opt-in HLL rewrite of count(DISTINCT x)") {
     import org.apache.spark.sql.SparkSession
     val orig = spark
