@@ -161,7 +161,10 @@ object Etl {
         $"o_orderkey".as("k"),
         round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_cents"),
         substring($"o_orderpriority", 1, 1).as("p"))
-      base.write.partitionBy("p").mode("overwrite").parquet(dir)
+      // coalesce(4): 32 write tasks × 5 partition dirs would mean 160 tiny
+      // files; 4×5=20 keeps the fixture write (the query's dominant cost)
+      // and the merge's pruned re-read cheap at every SF
+      base.coalesce(4).write.partitionBy("p").mode("overwrite").parquet(dir)
       val ch = base.filter($"p".isin("1", "3"))
       val changes = ch.filter($"k" % 7 === 0)
           .select($"k", lit(0L).as("price_cents"), $"p",
