@@ -40,6 +40,42 @@ object Etl {
         .orderBy("o_orderkey", "flight_date")
     }),
 
+    // Connection building — the reference domain's NETWORK operator (FLIRT
+    // simulates spread over flight connections, not single legs): join
+    // arriving legs to departing legs at the same hub within a
+    // [45, 240]-minute layover window. Legs are synthesized
+    // deterministically from orders (same convention as
+    // etl_schedule_expand): 40 airports, times in minutes. Scale shape:
+    // ONE equi-join keyed on the hub airport with the layover band as a
+    // residual filter — no BNLJ (plan-asserted); fan-out per hub is
+    // bounded by schedule density in the window. At 100 TB: bucket both
+    // sides by airport (exchange-free join), AQE skew-split absorbs
+    // mega-hubs.
+    "etl_flight_connections" -> ((s, d) => {
+      import s.implicits._
+      val legs = Tables.orders(s, d)
+        .filter($"o_orderkey" < 20000)
+        .select($"o_orderkey".as("leg"),
+          ($"o_custkey" % 40).as("dep_ap"),
+          (($"o_custkey" * 7 + $"o_orderkey") % 39 + 1).as("arr_off"),
+          (($"o_orderkey" * 37) % 1440).as("dep_min"),
+          ($"o_orderkey" % 600 + 60).as("dur"))
+        .select($"leg", $"dep_ap",
+          (($"dep_ap" + $"arr_off") % 40).as("arr_ap"),
+          $"dep_min", ($"dep_min" + $"dur").as("arr_min"))
+      val in = legs.select($"leg".as("in_leg"), $"arr_ap".as("hub"), $"arr_min")
+      val out = legs.select($"leg".as("out_leg"), $"dep_ap".as("hub"), $"dep_min")
+      in.join(out, Seq("hub"))
+        .filter($"dep_min" - $"arr_min" >= 45 &&
+          $"dep_min" - $"arr_min" <= 240 && $"in_leg" =!= $"out_leg")
+        .groupBy($"hub")
+        .agg(count(lit(1)).as("n_connections"),
+          min($"dep_min" - $"arr_min").as("min_layover"),
+          max($"dep_min" - $"arr_min").as("max_layover"),
+          sum($"in_leg" + $"out_leg").as("pair_checksum"))
+        .orderBy("hub")
+    }),
+
     // G2: upsert semantics — keep the latest record per natural key
     // (shared-µs time domain; event_id breaks exact-µs ties identically
     // on both engines).
@@ -472,6 +508,21 @@ object Etl {
         |  FROM orders) t
         |WHERE ((day_mask >> ((dayofweek(CAST(dt AS DATE)) + 6) % 7)) & 1) = 1
         |ORDER BY o_orderkey, flight_date""".stripMargin,
+    "etl_flight_connections" ->
+      """WITH legs AS (
+        |  SELECT o_orderkey AS leg,
+        |    o_custkey % 40 AS dep_ap,
+        |    (o_custkey % 40 + (o_custkey * 7 + o_orderkey) % 39 + 1) % 40 AS arr_ap,
+        |    (o_orderkey * 37) % 1440 AS dep_min,
+        |    (o_orderkey * 37) % 1440 + o_orderkey % 600 + 60 AS arr_min
+        |  FROM orders WHERE o_orderkey < 20000)
+        |SELECT a.arr_ap AS hub, count(*) AS n_connections,
+        |  CAST(min(b.dep_min - a.arr_min) AS BIGINT) AS min_layover,
+        |  CAST(max(b.dep_min - a.arr_min) AS BIGINT) AS max_layover,
+        |  CAST(sum(a.leg + b.leg) AS BIGINT) AS pair_checksum
+        |FROM legs a JOIN legs b ON a.arr_ap = b.dep_ap
+        |WHERE b.dep_min - a.arr_min BETWEEN 45 AND 240 AND a.leg <> b.leg
+        |GROUP BY a.arr_ap ORDER BY hub""".stripMargin,
     "etl_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, ts_us FROM (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

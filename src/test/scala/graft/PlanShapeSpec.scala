@@ -65,6 +65,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("text"), "text column must be pruned from the scan")
   }
 
+  test("flight connections join on the hub key, never nested-loop") {
+    val p = plan("etl_flight_connections")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"hub equi-join expected:\n${p.take(500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the layover band must stay a residual on the equi-join, not drive a BNLJ")
+  }
+
   test("weighted sample pushes the rank limit below the shuffle (WindowGroupLimit)") {
     val p = plan("pipe_weighted_sample")
     assert(p.contains("WindowGroupLimit"),
