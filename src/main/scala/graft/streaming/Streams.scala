@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -240,6 +241,58 @@ object Streams {
       }
     }),
 
+    // 10th streaming oracle: streaming CDC apply — foreachBatch feeding the
+    // partition-COW MERGE sink, the standard production pattern for
+    // maintaining a queryable partitioned table from a change stream
+    // (micro-batch granularity, each batch one atomic-per-partition merge).
+    // Base table: per-user state from "historical" events (event_id%3=0),
+    // partitioned by p = user_id % 8. The stream carries the rest; each
+    // microbatch reduces to one change row per user — the LATEST event (by
+    // µs time, event_id tiebreak) wins, deleted if its cents divide by 7 —
+    // and foreachBatch merges it. AvailableNow over the static dir ⇒ one
+    // batch ⇒ the oracle replicates the same reduction relationally and
+    // the final on-disk table is hash-compared through a re-read. Scale:
+    // stream work per batch is one hash-agg; merge work scales with the
+    // affected partitions, not the table.
+    "stream_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_fixtures/stream_cdc"
+      Tables.enableNanos(s)
+      val hist = s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_us", Tables.tsUs)
+        .filter($"event_id" % 3 === 0)
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+      hist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id".as("k"),
+          round(Tables.dec($"value") * 100).cast("long").as("cents"),
+          ($"user_id" % 8).cast("string").as("p"))
+        .coalesce(2).write.partitionBy("p").mode("overwrite").parquet(dir)
+      val stream = readEvents(s, d).filter($"event_id" % 3 =!= 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bw = Window.partitionBy(col("user_id"))
+            .orderBy(Tables.tsUs.desc, col("event_id").desc)
+          val changes = batch
+            .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
+            .select(col("user_id").as("k"),
+              round(Tables.dec(col("value")) * 100).cast("long").as("cents"),
+              (col("user_id") % 8).cast("string").as("p"))
+            .withColumn("op",
+              when(col("cents") % 7 === 0, lit("D")).otherwise(lit("U")))
+            .withColumn("seq", lit(1L))
+          graft.sources.MergeSink.mergeInto(
+            batch.sparkSession, dir, changes, Seq("k"), "p")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(dir)
+        .groupBy($"p".cast("string").as("p"))
+        .agg(count(lit(1)).as("n_users"), sum($"cents").as("sum_cents"))
+        .orderBy("p")
+    }),
+
     // 9th streaming oracle: ONLINE near-duplicate detection — the form a
     // live ingest pipeline needs (catch a near-dup the moment it lands,
     // not in the nightly batch). Each incoming doc gets its 60-bit
@@ -324,6 +377,44 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Batch dual of the streaming CDC apply: AvailableNow ⇒ one microbatch
+    // ⇒ the per-batch "latest event per user" reduction is global, and the
+    // merge is last-wins over (key, partition).
+    "stream_cdc_apply" ->
+      """WITH hist AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE event_id % 3 = 0),
+        |base AS (
+        |  SELECT user_id AS k,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
+        |    user_id % 8 AS p
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM hist)
+        |  WHERE rn = 1),
+        |str AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE event_id % 3 <> 0),
+        |chg AS (
+        |  SELECT user_id AS k,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
+        |    user_id % 8 AS p
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM str)
+        |  WHERE rn = 1),
+        |chg2 AS (
+        |  SELECT k, cents, p,
+        |    CASE WHEN cents % 7 = 0 THEN 'D' ELSE 'U' END AS op FROM chg),
+        |merged AS (
+        |  SELECT k, cents, p, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k, p ORDER BY src DESC) AS rn2
+        |    FROM (
+        |      SELECT k, cents, p, NULL AS op, 0 AS src FROM base
+        |      UNION ALL
+        |      SELECT k, cents, p, op, 1 AS src FROM chg2))
+        |  WHERE rn2 = 1 AND (op IS NULL OR op <> 'D'))
+        |SELECT CAST(p AS VARCHAR) AS p, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY p ORDER BY p""".stripMargin,
     // Batch dual of the online near-dup: same md5-derived signature
     // replication as dedup_simhash_pairs, then dup_of = least earlier doc
     // sharing a band with hamming <= 12 — "earlier" in one AvailableNow
