@@ -111,8 +111,13 @@ object MergeSink {
         val conf = spark.sparkContext.hadoopConfiguration
         val root = new org.apache.hadoop.fs.Path(tablePath)
         val fs = root.getFileSystem(conf)
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         emptied.foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v"), true)
+          // directory names use Spark's partition-path escaping (space →
+          // %20 etc.) on column and value separately — a raw value here
+          // would miss the real directory
+          val dirName = esc.escapePathName(partitionCol) + "=" + esc.escapePathName(v)
+          fs.delete(new org.apache.hadoop.fs.Path(root, dirName), true)
         }
       }
       MergeStats(affected.map(String.valueOf), rows)

@@ -170,6 +170,26 @@ class MergeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("emptied-dir cleanup handles escaped partition values (: = % etc.)") {
+    // Spark escapes reserved chars in partition dir names ('a:b' →
+    // 'a%3Ab'); cleanup by raw value would miss the directory and
+    // resurrect the deleted rows on the next read.
+    val dir = writeBase()
+    MergeSink.mergeInto(spark, dir,
+      Seq((9000L, 1L, "a:b=c", "U", 1L))
+        .toDF("k", "price_cents", "prio", "op", "seq"),
+      Seq("k"), "prio")
+    val escaped = new java.io.File(dir, "prio=a%3Ab%3Dc")
+    assert(escaped.exists(), s"escaped partition dir written: " +
+      new java.io.File(dir).listFiles().map(_.getName).mkString(","))
+    MergeSink.mergeInto(spark, dir,
+      Seq((9000L, 0L, "a:b=c", "D", 1L))
+        .toDF("k", "price_cents", "prio", "op", "seq"),
+      Seq("k"), "prio")
+    assert(!escaped.exists(), "escaped partition dir removed after full delete")
+    assert(readState(dir).size == 200)
+  }
+
   test("empty change batch is a no-op") {
     val dir = writeBase()
     val before = (1 to 5).map(p => p.toString -> stamps(dir, p.toString)).toMap
