@@ -685,8 +685,121 @@ object TextOps {
           expr("(n_agree * 1000000) div 16").as("est_jac_e6"))
         .orderBy($"est_jac_e6".desc, $"d1".asc, $"d2".asc)
         .limit(100)
+    }),
+
+    // Winnowing document fingerprinting (Schleimer/Wilkerson/Aiken, MOSS):
+    // hash every 8-char k-gram, then in each window of 4 consecutive
+    // hashes keep the minimum (ties → rightmost). Winnowing guarantees any
+    // shared substring of length ≥ k + w - 1 = 11 chars yields a shared
+    // fingerprint, while keeping ~2/(w+1) of positions — a LOCAL sampling
+    // rule, so unlike MinHash it localizes WHERE the overlap is and
+    // catches partial containment (plagiarism / quote detection) that
+    // whole-document sketches dilute. The min-with-rightmost-tie-break is
+    // encoded arithmetically so both engines run one bigint window MIN:
+    // key = h40 * 2^20 + (2^20-1-pos); min key ⇔ (min h, then max pos).
+    // pos < 2^20 assumed (1 MB docs) — chunk longer docs upstream.
+    // At 100 TB: per-doc scan-shaped signature extraction (narrow window,
+    // no shuffle until the fingerprint groupBy), then the same bounded
+    // posting-list pair-count shape as dedup_ngram_jaccard — the DF≤20
+    // guard caps fan-out so candidate generation is a plain shuffle.
+    "dedup_winnow_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      winnowFingerprints(Tables.documents(s, d).filter($"doc_id" < 150))
+        .groupBy($"h")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") <= 20)
+        .select(expr(
+          """explode(flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |            y -> struct(x AS d1, y AS d2))))) AS p""".stripMargin))
+        .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy($"shared".desc, $"d1".asc, $"d2".asc)
+        .limit(100)
+    }),
+
+    // Prefix-filtered set-similarity join (Chaudhuri/Bayardo AllPairs,
+    // PPJoin): for Jaccard ≥ t, order each document's distinct tokens by
+    // global rarity (df, then token — a total order) and probe only the
+    // first |d| - ceil(t·|d|) + 1 of them (t = 0.5 ⇒ n div 2 + 1). The
+    // prefix-filtering principle makes this LOSSLESS: J(x,y) ≥ t forces
+    // the two prefixes to share a token, so the candidate equi-join on
+    // prefix tokens finds every qualifying pair; exact Jaccard over the
+    // full sets then verifies candidates. The DuckDB oracle runs the
+    // NAIVE all-pairs posting join with no prefix — the hash match is an
+    // empirical proof of losslessness (same cross-algorithm pattern as
+    // join_range_auto). At 100 TB this is THE set-join shape: candidate
+    // volume scales with prefix postings (rare tokens ⇒ short lists),
+    // not full postings, and the rarity ordering concentrates the join
+    // on exactly the low-fan-out keys.
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      import s.implicits._
+      jaccardPrefixPairs(Tables.documents(s, d).filter($"doc_id" < 150))
+        .orderBy($"d1", $"d2")
     })
   )
+
+  /** Winnowing fingerprint extraction: distinct (doc_id, h) where h is a
+    * 40-bit md5 k-gram hash selected by the w=4 window-minimum rule
+    * (ties → rightmost, encoded as min over h*2^20 + (2^20-1-pos)).
+    * Scan-shaped per document; the window is narrow (4 rows) and
+    * partitioned by doc. Shared by the dedup_winnow_fingerprint query and
+    * WinnowPrefixSpec's guarantee test. */
+  private[graft] def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    docs
+      .select(col("doc_id"), col("text"),
+        expr("""explode(CASE WHEN length(text) >= 8
+               |THEN sequence(1, length(text) - 7) ELSE array() END)"""
+          .stripMargin).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (length(col("text")) - 7).as("n_pos"),
+        (conv(substring(md5(expr("substring(text, pos, 8)")
+            .cast("binary")), 1, 10), 16, 10).cast("long") * 1048576L +
+          (lit(1048575L) - col("pos"))).as("key"))
+      .withColumn("wkey", min(col("key")).over(byDoc))
+      .filter(col("pos") <= col("n_pos") - 3)
+      .select(col("doc_id"), expr("wkey div 1048576").as("h"))
+      .distinct()
+  }
+
+  /** Prefix-filtered exact-Jaccard ≥ 0.5 pair join over `docs(doc_id,
+    * text)`: rarity-ordered prefixes (n div 2 + 1 tokens) generate
+    * candidates, full sets verify. Lossless by the prefix-filtering
+    * principle; WinnowPrefixSpec proves it against the naive all-pairs
+    * join on seeded random corpora, and the DuckDB oracle re-proves it on
+    * the testdata. */
+  private[graft] def jaccardPrefixPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val prefix = toks
+      .withColumn("df", count(lit(1)).over(W.partitionBy(col("tok"))))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("doc_id"))))
+      .withColumn("r", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(expr("r <= n div 2 + 1"))
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(toks.as("ta"), col("d1") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("d2") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        expr("(inter * 1000000) div (n1 + n2 - inter)").as("jac_e6"))
+      .filter(col("jac_e6") >= 500000)
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Mirrors LangId.langId: marker-token counts per candidate language,
@@ -1101,6 +1214,57 @@ object TextOps {
         |SELECT d1, d2, n_bands,
         |  (n_agree * 1000000) // 16 AS est_jac_e6
         |FROM cand
-        |ORDER BY est_jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin
+        |ORDER BY est_jac_e6 DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+
+    // Same winnowing selection rule, spelled with DuckDB's range() (end
+    // exclusive: range(1, len-6) = 1..len-7) and the identical
+    // key = h40*2^20 + (2^20-1-pos) arithmetic tie-break.
+    "dedup_winnow_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |pos AS (
+        |  SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
+        |  FROM docs WHERE len(text) >= 8),
+        |keys AS (
+        |  SELECT doc_id, pos, len(text) - 7 AS n_pos,
+        |    CAST(('0x' || substring(md5(substring(text, pos, 8)), 1, 10))
+        |      AS BIGINT) * 1048576 + (1048575 - pos) AS key
+        |  FROM pos),
+        |wins AS (
+        |  SELECT doc_id, pos, n_pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+        |  FROM keys),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, wkey // 1048576 AS h
+        |  FROM wins WHERE pos <= n_pos - 3),
+        |kept AS (
+        |  SELECT fps.* FROM fps
+        |  JOIN (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 20) g
+        |    USING (h))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY shared DESC, d1 ASC, d2 ASC LIMIT 100""".stripMargin,
+
+    // The NAIVE all-pairs set-similarity join — no prefix filter. The
+    // Spark side probes only rarity-ordered prefixes; hash equality
+    // against this plan is the losslessness proof.
+    "dedup_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 150),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  (inter * 1000000) // (s1.n + s2.n - inter) AS jac_e6
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE (inter * 1000000) // (s1.n + s2.n - inter) >= 500000
+        |ORDER BY d1 ASC, d2 ASC""".stripMargin
   )
 }
