@@ -192,7 +192,7 @@ object Etl {
     // file level.
     "etl_merge_cow" -> ((s, d) => {
       import s.implicits._
-      val dir = "/tmp/graft_fixtures/merge_cow"
+      val dir = s"${graft.fixtureRoot}/merge_cow"
       val base = Tables.orders(s, d).select(
         $"o_orderkey".as("k"),
         round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_cents"),

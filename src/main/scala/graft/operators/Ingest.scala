@@ -19,8 +19,8 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  private val csvFixture  = "/tmp/graft_fixtures/csv_nation"
-  private val jsonFixture = "/tmp/graft_fixtures/json_nation"
+  private val csvFixture  = s"${graft.fixtureRoot}/csv_nation"
+  private val jsonFixture = s"${graft.fixtureRoot}/json_nation"
 
   private val csvSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -76,17 +76,17 @@ object Ingest {
 
   val oracleSql: Map[String, String] = Map(
     "ingest_csv_roundtrip" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, note,
-        |       CAST(d AS VARCHAR) AS d_s, opt
-        |FROM read_csv('/tmp/graft_fixtures/csv_nation/*.csv', header=true,
-        |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','note':'VARCHAR','d':'DATE','opt':'BIGINT'})
-        |ORDER BY n_nationkey""".stripMargin,
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, note,
+         |       CAST(d AS VARCHAR) AS d_s, opt
+         |FROM read_csv('$csvFixture/*.csv', header=true,
+         |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','note':'VARCHAR','d':'DATE','opt':'BIGINT'})
+         |ORDER BY n_nationkey""".stripMargin,
     "ingest_json_roundtrip" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |       geo.rk AS geo_rk, geo.nm AS geo_nm,
-        |       array_to_string(arr, ',') AS arr_s, opt_s
-        |FROM read_json('/tmp/graft_fixtures/json_nation/*.json', format='newline_delimited',
-        |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','geo':'STRUCT(rk BIGINT, nm VARCHAR)','arr':'BIGINT[]','opt_s':'VARCHAR'})
-        |ORDER BY n_nationkey""".stripMargin
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         |       geo.rk AS geo_rk, geo.nm AS geo_nm,
+         |       array_to_string(arr, ',') AS arr_s, opt_s
+         |FROM read_json('$jsonFixture/*.json', format='newline_delimited',
+         |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','geo':'STRUCT(rk BIGINT, nm VARCHAR)','arr':'BIGINT[]','opt_s':'VARCHAR'})
+         |ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -7,4 +7,12 @@
 package object graft {
   /** A registered query: (session, scale-factor dir) => result. */
   type Q = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** Per-process root for fixture-writing queries (ingest round-trips,
+    * COW-merge sinks). PID-scoped so a concurrent test suite and Verify
+    * run can't clobber each other's fixtures mid-read; oracle SQL strings
+    * that reference these paths are built in the same JVM, so query and
+    * oracle always agree. */
+  val fixtureRoot: String =
+    s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}"
 }

@@ -256,7 +256,7 @@ object Streams {
     // affected partitions, not the table.
     "stream_cdc_apply" -> ((s, d) => {
       import s.implicits._
-      val dir = "/tmp/graft_fixtures/stream_cdc"
+      val dir = s"${graft.fixtureRoot}/stream_cdc"
       Tables.enableNanos(s)
       val hist = s.read.parquet(s"$d/events.parquet")
         .withColumn("ts_us", Tables.tsUs)
