@@ -208,4 +208,17 @@ object QuantileSketchAgg {
   def quantileSketch(c: Column, k: Int, qs: Seq[Double]): Column =
     ColumnShim.column(
       QuantileSketchAgg(ColumnShim.expression(c), k, qs).toAggregateExpression())
+
+  /** SQL text for "did the rank-error theorem hold": given exact interval
+    * ranks `rLt` = count(< v̂), `rLe` = count(≤ v̂) and a target rank
+    * expression over a group-size column `n`, emits 1 iff the target lies
+    * inside [rLt − slack, rLe + slack] where slack is the worst-case KLL
+    * bound H·n/(2k) + 2^(H−1), doubled for merge-order slack (same
+    * formula agg_quantile_sketch_rank grades with; H recomputed from n).
+    */
+  def rankOkSql(k: Int, rLt: String, rLe: String, target: String): String = {
+    val h = s"greatest(floor(log2(greatest(n div $k, 1))) + 2, 1)"
+    val slack = s"(2 * ($h * n div ${2 * k}) + cast(pow(2, $h) as bigint))"
+    s"CASE WHEN $rLt - $slack <= $target AND $target <= $rLe + $slack THEN 1 ELSE 0 END"
+  }
 }

@@ -346,6 +346,48 @@ object Streams {
         .groupBy($"doc_id")
         .agg(min($"dup_of").as("dup_of"))
         .orderBy("doc_id")
+    }),
+
+    // 11th streaming oracle: streaming quantile estimation — the KLL
+    // sketch as a STREAMING aggregation. The state store carries one
+    // serialized ~k·H-item sketch per event_type between microbatches
+    // (TypedImperativeAggregate partials merge exactly like map-side
+    // partials do in batch — mergeability is what makes the sketch a
+    // streaming-native operator; exact per-group quantiles would need
+    // every value in state). Graded like agg_quantile_sketch_rank: the
+    // streamed estimates are then ranked against the STATIC table and
+    // the emitted flags assert the worst-case rank bound held; the
+    // oracle pins flags = 1 plus exact group sizes. Cross-microbatch
+    // merging is spec'd via MemoryStream (QuantileSketchSpec).
+    "stream_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      import graft.plans.QuantileSketchAgg.{quantileSketch, rankOkSql}
+      val agg = readEvents(s, d)
+        .select($"event_type",
+          round(Tables.dec($"value") * 100).cast("long").as("x"))
+        .groupBy($"event_type")
+        .agg(quantileSketch($"x", 512, Seq(0.5, 0.99)).as("qs"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"n",
+          element_at($"qs", 1).as("p50"), element_at($"qs", 2).as("p99"))
+      val sk = runToMemory(s, agg, "graft_stream_qsketch", "complete")
+      Tables.enableNanos(s)
+      val base = s.read.parquet(s"$d/events.parquet")
+        .select($"event_type",
+          round(Tables.dec($"value") * 100).cast("long").as("x"))
+      base.join(broadcast(sk), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          sum(when($"x" < $"p50", 1L).otherwise(0L)).as("r50_lt"),
+          sum(when($"x" <= $"p50", 1L).otherwise(0L)).as("r50_le"),
+          sum(when($"x" < $"p99", 1L).otherwise(0L)).as("r99_lt"),
+          sum(when($"x" <= $"p99", 1L).otherwise(0L)).as("r99_le"))
+        .select($"event_type", $"n",
+          expr(rankOkSql(512, "r50_lt", "r50_le", "(n + 1) div 2"))
+            .cast("long").as("p50_ok"),
+          expr(rankOkSql(512, "r99_lt", "r99_le", "(99 * n + 99) div 100"))
+            .cast("long").as("p99_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -464,6 +506,13 @@ object Streams {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.user_id % 2 = 0
-        |ORDER BY p_id, c_id""".stripMargin
+        |ORDER BY p_id, c_id""".stripMargin,
+    // The estimates are ε-approximate (not hashable); the PROOF OBLIGATION
+    // is: the oracle pins the theorem flags to 1 and the exact group
+    // sizes (same grading pattern as agg_quantile_sketch_rank).
+    "stream_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -224,4 +224,36 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(out("a") == Seq(1L), "nulls must not count toward ranks")
     assert(out("b") == null, "all-NULL group evaluates to NULL")
   }
+
+  test("streaming: sketch state merges across 3 microbatches within the rank bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    val batches = Array.fill(3)(Array.fill(40000)(rnd.nextLong() % 1000000L))
+    val k = 256
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF()
+      .select(lit("g").as("g"), $"value".as("x"))
+      .groupBy($"g")
+      .agg(quantileSketch($"x", k, Seq(0.5)).as("qs"), count(lit(1)).as("n"))
+      .select(element_at($"qs", 1).as("p50"), $"n")
+    val q = agg.writeStream.format("memory").queryName("graft_qsk_multi")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val Array((p50, n)) =
+        spark.table("graft_qsk_multi").as[(Long, Long)].collect()
+      val all = batches.flatten.sorted
+      assert(n == all.length, "state must accumulate across batches")
+      val r = rankOf(all, p50)
+      // per-batch partials merge through the state store between
+      // microbatches, so the bound must hold over the UNION of batches;
+      // H from total n, doubled for merge-order slack like the query
+      val h = math.max(
+        (math.log(math.max(n / k, 1).toDouble) / math.log(2)).floor.toLong + 2, 1L)
+      val slack = 2 * (h * n / (2 * k)) + (1L << (h - 1))
+      assert(math.abs(r - n / 2) <= slack,
+        s"rank(p50)=$r target=${n / 2} slack=$slack across-batch merge broke the bound")
+    } finally q.stop()
+  }
 }
