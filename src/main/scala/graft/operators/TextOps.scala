@@ -784,10 +784,23 @@ object TextOps {
         W.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(expr("r <= n div 2 + 1"))
       .select(col("doc_id"), col("tok"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Candidates via grouped posting lists rather than a prefix self-join:
+    // a self-join would recompute the whole df/rank window tower on both
+    // sides (Spark does not dedupe the common subtree), where grouping by
+    // token computes it ONCE and expands the i<j pairs map-side. Fan-out
+    // is bounded by the corpus's prefix-DF distribution — prefixes hold
+    // each doc's RAREST tokens, so hot tokens are systematically absent;
+    // a pathological all-identical corpus degrades to the same pair
+    // volume the lossless guarantee requires anyway (no cap is admissible
+    // here — the oracle is the uncapped naive join).
+    val cand = prefix.groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(expr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS d1, y AS d2))))) AS p""".stripMargin))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     cand
       .join(toks.as("ta"), col("d1") === col("ta.doc_id"))
