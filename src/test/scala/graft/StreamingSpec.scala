@@ -94,4 +94,38 @@ class StreamingSpec extends AnyFunSuite {
         s"cross-batch duplicate must be suppressed: $rows")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: dups inside the delay dropped, state evicted after") {
+    // The bounded-state production dedup: plain dropDuplicates (I4) keeps
+    // every key forever; WithinWatermark holds a key only until the
+    // watermark passes its event time + delay, so state is O(keys per
+    // delay window) — the only admissible form on an unbounded 100 TB/day
+    // stream where at-least-once delivery duplicates cluster in time.
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val dd = mem.toDF().toDF("k", "sec")
+      .select($"k", timestamp_seconds($"sec").as("t"))
+      .withWatermark("t", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select($"k", unix_timestamp($"t").as("sec"))
+    val q = dd.writeStream.format("memory").queryName("graft_ddww")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 0L), (1L, 5L), (2L, 3L)); q.processAllAvailable()
+      mem.addData((3L, 100L)); q.processAllAvailable() // watermark → 90
+      // key 1's state (expiry 0+10 ≤ 90) is evicted → re-admitted at 95;
+      // key 3's state (expiry 110) is live → dup at 98 dropped
+      mem.addData((1L, 95L), (3L, 98L)); q.processAllAvailable()
+      val rows = spark.table("graft_ddww").as[(Long, Long)].collect().toSeq
+      // which of the two intra-delay rows (t=0 / t=5) represents key 1 is
+      // an implementation detail (the operator tracks the MAX event time
+      // to extend expiry); the guarantee is ONE row then re-admission
+      val k1 = rows.filter(_._1 == 1L).map(_._2).sorted
+      assert(k1.length == 2 && Set(0L, 5L).contains(k1.head) && k1.last == 95L,
+        s"key 1 must appear once pre-eviction and once after: $rows")
+      assert(rows.count(_._1 == 2L) == 1, s"$rows")
+      assert(rows.count(_._1 == 3L) == 1,
+        s"dup of key 3 within the delay must be dropped: $rows")
+    } finally q.stop()
+  }
 }
