@@ -21,6 +21,7 @@ object Ingest {
 
   private val csvFixture  = s"${graft.fixtureRoot}/csv_nation"
   private val jsonFixture = s"${graft.fixtureRoot}/json_nation"
+  private val partFixture = s"${graft.fixtureRoot}/part_nation"
 
   private val csvSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -71,6 +72,26 @@ object Ingest {
           $"geo.rk".as("geo_rk"), $"geo.nm".as("geo_nm"),
           array_join($"arr", ",").as("arr_s"), $"opt_s")
         .orderBy("n_nationkey")
+    }),
+
+    // A4: the partitioned parquet sink, graded through the LAYOUT itself —
+    // the oracle re-reads the directory tree with DuckDB's
+    // hive_partitioning, so the check covers the partition-directory
+    // encoding (key=value dirs, partition column reconstructed from the
+    // path, data files carrying only the non-partition columns), not just
+    // the row payload. This layout is what makes partition pruning work
+    // at 100 TB: a region-filtered read lists one directory.
+    "ingest_partitioned_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      Sources.writePartitioned(
+        Tables.nation(s, d).join(Tables.region(s, d),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey".cast("long").as("n_nationkey"),
+            $"n_name", $"r_name"),
+        partFixture, Seq("r_name"))
+      s.read.parquet(partFixture)
+        .select($"n_nationkey", $"n_name", $"r_name".cast("string").as("r_name"))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -87,6 +108,13 @@ object Ingest {
          |       array_to_string(arr, ',') AS arr_s, opt_s
          |FROM read_json('$jsonFixture/*.json', format='newline_delimited',
          |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','geo':'STRUCT(rk BIGINT, nm VARCHAR)','arr':'BIGINT[]','opt_s':'VARCHAR'})
+         |ORDER BY n_nationkey""".stripMargin,
+    // Re-reads the engine-written key=value directory tree; the partition
+    // column comes back from the PATH, proving the layout encoding.
+    "ingest_partitioned_roundtrip" ->
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         |       CAST(r_name AS VARCHAR) AS r_name
+         |FROM read_parquet('$partFixture/*/*.parquet', hive_partitioning=true)
          |ORDER BY n_nationkey""".stripMargin
   )
 }
