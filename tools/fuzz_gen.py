@@ -56,7 +56,31 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(15)
+    kind = rnd.randrange(16)
+    if kind == 15:  # winnowing-style window-min fingerprint selection
+        # (dedup_winnow_fingerprint's shape): multiplicative hash, key =
+        # h * 2^21 + (2^21-1-pos) so min-key encodes (min hash, rightmost
+        # pos), ROWS frame MIN, full-window validity filter. 2^21 is a
+        # power of two so FLOOR(x / 2097152.0) is exact in both engines.
+        a = rnd.choice([48271, 69621, 16807, 1103515245 % 65521])
+        c = rnd.randrange(0, 1000)
+        m = rnd.choice([999983, 1000003, 262139])
+        wlen = rnd.randrange(2, 7)
+        k = rnd.randrange(5, 40)
+        return (f"WITH h AS (SELECT o_custkey % {k} AS g, o_orderkey AS pos, "
+                f"((o_orderkey * {a} + {c}) % {m}) * 2097152 "
+                f"+ (2097151 - o_orderkey % 2097152) AS key "
+                f"FROM orders WHERE {where}), "
+                f"r AS (SELECT g, pos, key, "
+                f"row_number() OVER (PARTITION BY g ORDER BY pos ASC) AS rn, "
+                f"COUNT(*) OVER (PARTITION BY g) AS n FROM h), "
+                f"w AS (SELECT g, rn, n, "
+                f"MIN(key) OVER (PARTITION BY g ORDER BY pos ASC "
+                f"ROWS BETWEEN CURRENT ROW AND {wlen - 1} FOLLOWING) AS wkey "
+                f"FROM r) "
+                f"SELECT DISTINCT g, CAST(FLOOR(wkey / 2097152.0) AS BIGINT) AS fp "
+                f"FROM w WHERE rn <= n - {wlen - 1} "
+                f"ORDER BY g, fp")
     if kind == 14:  # keyless point-in-interval join: exercises the
         # variable-width path of RangeJoinRewrite (interval side
         # replicates to its spanning cells) against DuckDB's IEJoin
