@@ -350,6 +350,52 @@ object Pipeline {
           (sum($"n_docs") - sum($"n_uniq")).as("n_exact_dup"))
         .withColumn("mean_tok_e2", expr("n_tokens * 100 div n_docs"))
         .orderBy("source")
+    }),
+
+    // KenLM-style language-model quality filtering as relational algebra:
+    // train a bigram LM on the corpus (MLE counts), then score every
+    // document by how surprising its bigrams are under that LM — the
+    // two-pass train-then-score shape every production quality filter
+    // (CCNet and descendants) runs at scale. The surprise surrogate is
+    // integer-exact: mean over the doc's bigrams of the inverse
+    // conditional probability c(w1)·1e6 div c(w1,w2) (≥ 1e6; a doc full
+    // of corpus-typical transitions scores low, boilerplate/garble high)
+    // — rank-equivalent to a perplexity cut without logs, so both
+    // engines hash-match. Emits the 100 most surprising docs (the drop
+    // candidates). At 100 TB: the LM tables are vocab-bounded (≪ corpus,
+    // pruned LMs broadcast), the score join is linear in corpus bigrams,
+    // and a production run materializes the exploded bigram set once for
+    // the three uses instead of recomputing the explode per agg.
+    "pipe_lm_score_filter" -> ((s, d) => {
+      import s.implicits._
+      // c(w1) is a rollup of c(w1,w2) over the vocab-sized LM table (one
+      // corpus-wide agg, never a second corpus pass), and the two LM
+      // tables join each other BEFORE touching the corpus. The combined
+      // LM is broadcast EXPLICITLY: it is vocab²-bounded (pruned LMs ship
+      // as broadcast artifacts in production) — left to stats, Spark
+      // broadcast the CORPUS side here (explode output has no stats),
+      // which is a driver-side collect of the whole bigram set and the
+      // exact anti-pattern at 100 TB. Scoring therefore shuffles nothing:
+      // scan → explode → broadcast-probe → per-doc agg.
+      val bg = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", posexplode(expr(
+          """CASE WHEN size(t) >= 2
+            |THEN transform(sequence(1, size(t) - 1),
+            |  i -> struct(t[i - 1] AS w1, t[i] AS w2))
+            |ELSE array() END""".stripMargin)).as(Seq("pos", "p")))
+        .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      val lm = c12.join(c1, Seq("w1"))
+      bg.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("c1 * 1000000 div c12")).as("surprise"))
+        .select($"doc_id", $"n_bigrams",
+          expr("surprise div n_bigrams").as("ppl_e6"))
+        .orderBy($"ppl_e6".desc, $"doc_id".asc)
+        .limit(100)
     })
   )
 
@@ -552,6 +598,22 @@ object Pipeline {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         |  CAST(SUM(n_docs) - SUM(n_uniq) AS BIGINT) AS n_exact_dup,
         |  CAST(SUM(n_tokens) * 100 // SUM(n_docs) AS BIGINT) AS mean_tok_e2
-        |FROM r GROUP BY source ORDER BY source""".stripMargin
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // Same MLE bigram LM + inverse-probability scoring; SUM cast before
+    // the integer divide (R9b).
+    "pipe_lm_score_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM t) x
+        |  WHERE i <= len(t) - 1),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(c1.c1 * 1000000 // c12.c12) AS BIGINT) // COUNT(*) AS ppl_e6
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY ppl_e6 DESC, doc_id ASC LIMIT 100""".stripMargin
   )
 }
