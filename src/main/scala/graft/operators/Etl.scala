@@ -23,6 +23,24 @@ object Etl {
   private val T0 = 1704844800000000000L
   private val T1 = 1705708800000000000L
 
+  /** Synthetic flight legs derived deterministically from orders (40
+    * airports, minute-grain day clock) — shared by the connection-building
+    * and reachability queries so both engines derive the identical
+    * network. */
+  private def flightLegs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderkey" < 20000)
+      .select($"o_orderkey".as("leg"),
+        ($"o_custkey" % 40).as("dep_ap"),
+        (($"o_custkey" * 7 + $"o_orderkey") % 39 + 1).as("arr_off"),
+        (($"o_orderkey" * 37) % 1440).as("dep_min"),
+        ($"o_orderkey" % 600 + 60).as("dur"))
+      .select($"leg", $"dep_ap",
+        (($"dep_ap" + $"arr_off") % 40).as("arr_ap"),
+        $"dep_min", ($"dep_min" + $"dur").as("arr_min"))
+  }
+
   val queries: Map[String, Q] = Map(
     // G1: schedule expansion — each order expands over [o_orderdate, +13d],
     // keeping dates whose Monday=0 weekday bit is set in (o_orderkey%127)+1.
@@ -53,16 +71,7 @@ object Etl {
     // mega-hubs.
     "etl_flight_connections" -> ((s, d) => {
       import s.implicits._
-      val legs = Tables.orders(s, d)
-        .filter($"o_orderkey" < 20000)
-        .select($"o_orderkey".as("leg"),
-          ($"o_custkey" % 40).as("dep_ap"),
-          (($"o_custkey" * 7 + $"o_orderkey") % 39 + 1).as("arr_off"),
-          (($"o_orderkey" * 37) % 1440).as("dep_min"),
-          ($"o_orderkey" % 600 + 60).as("dur"))
-        .select($"leg", $"dep_ap",
-          (($"dep_ap" + $"arr_off") % 40).as("arr_ap"),
-          $"dep_min", ($"dep_min" + $"dur").as("arr_min"))
+      val legs = flightLegs(s, d)
       val in = legs.select($"leg".as("in_leg"), $"arr_ap".as("hub"), $"arr_min")
       val out = legs.select($"leg".as("out_leg"), $"dep_ap".as("hub"), $"dep_min")
       in.join(out, Seq("hub"))
@@ -74,6 +83,37 @@ object Etl {
           max($"dep_min" - $"arr_min").as("max_layover"),
           sum($"in_leg" + $"out_leg").as("pair_checksum"))
         .orderBy("hub")
+    }),
+
+    // The transport kernel the reference's spread model runs on: for each
+    // origin→destination airport pair, how many itineraries with ≤ 1
+    // connection exist, the earliest arrival, and the minimum hop count.
+    // Direct legs union with hub-joined one-stops (layover ∈ [45, 240],
+    // no round trips); itineraries then aggregate per (src, dst) — the
+    // risk-flow matrix a disease-spread model multiplies against. Scale:
+    // the one-stop join is hub-keyed exactly like connection building
+    // (one shuffle on the hub id), and the output is bounded by
+    // |airports|², independent of leg volume.
+    "etl_flight_reachability" -> ((s, d) => {
+      import s.implicits._
+      val legs = flightLegs(s, d)
+      val direct = legs.select($"dep_ap".as("src"), $"arr_ap".as("dst"),
+        $"arr_min", lit(1L).as("hops"))
+      val a = legs.select($"leg".as("l1"), $"dep_ap".as("src"),
+        $"arr_ap".as("hub"), $"arr_min".as("mid_arr"))
+      val b = legs.select($"leg".as("l2"), $"dep_ap".as("hub"),
+        $"arr_ap".as("dst"), $"dep_min".as("mid_dep"), $"arr_min")
+      val onestop = a.join(b, Seq("hub"))
+        .filter($"mid_dep" - $"mid_arr" >= 45 &&
+          $"mid_dep" - $"mid_arr" <= 240 &&
+          $"l1" =!= $"l2" && $"src" =!= $"dst")
+        .select($"src", $"dst", $"arr_min", lit(2L).as("hops"))
+      direct.filter($"src" =!= $"dst").unionAll(onestop)
+        .groupBy($"src", $"dst")
+        .agg(count(lit(1)).as("n_routes"),
+          min($"arr_min").as("best_arr"),
+          min($"hops").as("min_hops"))
+        .orderBy("src", "dst")
     }),
 
     // G2: upsert semantics — keep the latest record per natural key
@@ -523,6 +563,28 @@ object Etl {
         |FROM legs a JOIN legs b ON a.arr_ap = b.dep_ap
         |WHERE b.dep_min - a.arr_min BETWEEN 45 AND 240 AND a.leg <> b.leg
         |GROUP BY a.arr_ap ORDER BY hub""".stripMargin,
+    // Same leg derivation; direct ∪ hub-joined one-stop itineraries,
+    // aggregated into the (src, dst) risk-flow matrix.
+    "etl_flight_reachability" ->
+      """WITH legs AS (
+        |  SELECT o_orderkey AS leg,
+        |    o_custkey % 40 AS dep_ap,
+        |    (o_custkey % 40 + (o_custkey * 7 + o_orderkey) % 39 + 1) % 40 AS arr_ap,
+        |    (o_orderkey * 37) % 1440 AS dep_min,
+        |    (o_orderkey * 37) % 1440 + o_orderkey % 600 + 60 AS arr_min
+        |  FROM orders WHERE o_orderkey < 20000),
+        |it AS (
+        |  SELECT dep_ap AS src, arr_ap AS dst, arr_min, 1 AS hops
+        |  FROM legs WHERE dep_ap <> arr_ap
+        |  UNION ALL
+        |  SELECT a.dep_ap AS src, b.arr_ap AS dst, b.arr_min, 2 AS hops
+        |  FROM legs a JOIN legs b ON a.arr_ap = b.dep_ap
+        |  WHERE b.dep_min - a.arr_min BETWEEN 45 AND 240
+        |    AND a.leg <> b.leg AND a.dep_ap <> b.arr_ap)
+        |SELECT src, dst, count(*) AS n_routes,
+        |  CAST(min(arr_min) AS BIGINT) AS best_arr,
+        |  CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM it GROUP BY src, dst ORDER BY src, dst""".stripMargin,
     "etl_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, ts_us FROM (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
