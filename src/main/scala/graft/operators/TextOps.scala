@@ -742,10 +742,23 @@ object TextOps {
   /** Winnowing fingerprint extraction: distinct (doc_id, h) where h is a
     * 40-bit md5 k-gram hash selected by the w=4 window-minimum rule
     * (ties → rightmost, encoded as min over h*2^20 + (2^20-1-pos)).
-    * Scan-shaped per document; the window is narrow (4 rows) and
-    * partitioned by doc. Shared by the dedup_winnow_fingerprint query and
-    * WinnowPrefixSpec's guarantee test. */
+    * Computed by the [[graft.plans.WinnowFp]] codegen expression — one
+    * scalar pass per document, no explode and no window shuffle (the
+    * relational formulation below explodes one row per character position
+    * through two window functions; the DuckDB oracle still runs that
+    * form, so the driver hash match doubles as a cross-implementation
+    * proof, and WinnowPrefixSpec asserts expression ≡ relational).
+    * Shared by the dedup_winnow_fingerprint query and the spec's
+    * guarantee tests. */
   private[graft] def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.plans.WinnowFp.winnowFp(col("text"))).as("h"))
+
+  /** The pre-expression relational winnowing (explode positions → two
+    * doc-partitioned windows → distinct) — kept as the reference
+    * implementation the spec checks the expression against. */
+  private[graft] def winnowFingerprintsRelational(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)

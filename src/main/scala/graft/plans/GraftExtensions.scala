@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
       GraftFunctions.quantileSketchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      GraftFunctions.winnowBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite /
     // ApproxQuantileRewrite): inert unless spark.graft.approxCountDistinct /
     // spark.graft.approxQuantile is true, so injecting costs nothing.

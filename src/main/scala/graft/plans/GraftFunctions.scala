@@ -71,6 +71,9 @@ object GraftFunctions {
   private[plans] val simhashBuilder: Seq[Expression] => Expression =
     exprs => SimHash60(exprs.head)
 
+  private[plans] val winnowBuilder: Seq[Expression] => Expression =
+    exprs => WinnowFp(exprs.head)
+
   private[plans] val quantileSketchBuilder: Seq[Expression] => Expression =
     exprs => {
       def bad(detail: String) = new AnalysisException(
@@ -106,5 +109,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("morton", mortonBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("simhash60", simhashBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("quantile_sketch", quantileSketchBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("winnow_fp", winnowBuilder, "scala_udf")
   }
 }

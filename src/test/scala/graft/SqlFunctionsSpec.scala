@@ -225,4 +225,23 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaFn == viaMd5)
   }
+
+  test("winnow_fp is callable from SQL; short docs yield an empty set") {
+    GraftFunctions.register(spark)
+    // an 11-char doc has exactly one full window (4 positions) → exactly
+    // one fingerprint, the min-keyed k-gram's 40-bit md5-prefix hash
+    val one = spark.sql("SELECT winnow_fp('abcdefghijk') AS f").head()
+      .getSeq[Long](0)
+    assert(one.length == 1, s"one full window must yield one fingerprint: $one")
+    val hashes = spark.sql(
+      """SELECT collect_list(CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 10), 16, 10) AS BIGINT))
+        |FROM (SELECT explode(transform(sequence(1, 4),
+        |  i -> substring('abcdefghijk', i, 8))) AS g)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(one.head == hashes.min, "the selected fingerprint is the window min")
+    val short = spark.sql("SELECT winnow_fp('abcdefghij') AS f").head()
+      .getSeq[Long](0)
+    assert(short.isEmpty, "10 chars → no full window → empty fingerprint set")
+    assert(spark.sql("SELECT winnow_fp(CAST(NULL AS STRING)) AS f").head().isNullAt(0))
+  }
 }

@@ -44,6 +44,18 @@ class WinnowPrefixSpec extends AnyFunSuite {
       s"all 40 planted pairs must share a fingerprint, got $sharedCount")
   }
 
+  test("winnowing: codegen expression ≡ relational form on the testdata") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .filter($"doc_id" < 120).select($"doc_id", $"text")
+    val exprFp = operators.TextOps.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().toSet
+    val relFp = operators.TextOps.winnowFingerprintsRelational(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(exprFp == relFp,
+      s"missing=${(relFp -- exprFp).take(5)} extra=${(exprFp -- relFp).take(5)}")
+    assert(exprFp.nonEmpty)
+  }
+
   test("winnowing: density is ~2/(w+1) of k-gram positions, never zero on real docs") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
       .filter($"doc_id" < 50).select($"doc_id", $"text")
