@@ -116,6 +116,32 @@ object Etl {
         .orderBy("src", "dst")
     }),
 
+    // One step of the reference's spread model: seed airports carry
+    // infection mass 1e6; mass propagates along DIRECT legs proportional
+    // to route frequency (mass·n(src,dst) div out(src)) — a sparse
+    // matrix–vector multiply expressed as broadcast-join + agg, which is
+    // how an epidemic simulation runs on a cluster (the route matrix is
+    // |airports|²-bounded and broadcasts; iterating the step is a loop of
+    // these joins with the mass vector re-broadcast each round).
+    // Integer division at the END (sum of exact products, one div per
+    // (src,dst) term) keeps both engines bit-identical.
+    "etl_spread_step" -> ((s, d) => {
+      import s.implicits._
+      val routes = flightLegs(s, d)
+        .filter($"dep_ap" =!= $"arr_ap")
+        .groupBy($"dep_ap".as("src"), $"arr_ap".as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val out = routes.groupBy($"src").agg(sum($"n").as("out_n"))
+      routes.join(out, Seq("src"))
+        .filter($"src" < 5) // seed set: airports 0-4, mass 1e6 each
+        .select($"src", $"dst", expr("1000000 * n div out_n").as("mass"))
+        .groupBy($"dst")
+        .agg(sum($"mass").as("exposure"),
+          count(lit(1)).as("n_sources"),
+          max($"mass").as("max_single"))
+        .orderBy("dst")
+    }),
+
     // G2: upsert semantics — keep the latest record per natural key
     // (shared-µs time domain; event_id breaks exact-µs ties identically
     // on both engines).
@@ -585,6 +611,24 @@ object Etl {
         |  CAST(min(arr_min) AS BIGINT) AS best_arr,
         |  CAST(min(hops) AS BIGINT) AS min_hops
         |FROM it GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    // One spread step over the same leg derivation; SUMs cast (R9b).
+    "etl_spread_step" ->
+      """WITH legs AS (
+        |  SELECT o_orderkey AS leg,
+        |    o_custkey % 40 AS dep_ap,
+        |    (o_custkey % 40 + (o_custkey * 7 + o_orderkey) % 39 + 1) % 40 AS arr_ap
+        |  FROM orders WHERE o_orderkey < 20000),
+        |routes AS (
+        |  SELECT dep_ap AS src, arr_ap AS dst, COUNT(*) AS n
+        |  FROM legs WHERE dep_ap <> arr_ap GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n
+        |      FROM routes GROUP BY src),
+        |m AS (
+        |  SELECT r.src, r.dst, 1000000 * r.n // o.out_n AS mass
+        |  FROM routes r JOIN o USING (src) WHERE r.src < 5)
+        |SELECT dst, CAST(SUM(mass) AS BIGINT) AS exposure,
+        |  COUNT(*) AS n_sources, CAST(MAX(mass) AS BIGINT) AS max_single
+        |FROM m GROUP BY dst ORDER BY dst""".stripMargin,
     "etl_dedup_lastwins" ->
       """SELECT user_id, event_type, event_id, ts_us FROM (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
