@@ -179,4 +179,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashShuffles == 0, s"signature dump must not shuffle:\n${p.take(800)}")
   }
+
+  test("winnowing fingerprints come from the one-pass expression (no window sorts)") {
+    val p = plan("dedup_winnow_fingerprint")
+    assert(p.contains("winnowfp") || p.contains("WinnowFp"),
+      s"expected the WinnowFp expression:\n${p.take(600)}")
+    assert(!p.contains("Window"), "the relational form's window sorts must be gone")
+  }
+
+  test("prefix-filter join computes its window tower once (no self-join recompute)") {
+    // df + doc-size + rank = exactly 3 Window ops; the old prefix
+    // self-join shape duplicated the whole tower (6)
+    val p = plan("dedup_jaccard_prefix")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 3, s"expected one 3-window tower, got $windows:\n${p.take(800)}")
+  }
+
+  test("LM score filter broadcasts the LM, never the corpus") {
+    // every BroadcastExchange subtree must be aggregate-derived (the
+    // vocab-bounded LM); a raw Generate/scan under a broadcast means the
+    // planner collected the corpus bigrams to the driver again
+    val p = plan("pipe_lm_score_filter")
+    val be = p.split("BroadcastExchange").drop(1)
+    assert(be.nonEmpty, "expected a broadcast LM join")
+    be.foreach { sub =>
+      val head = sub.takeWhile(_ != '\n')
+      assert(!head.contains("Generate"),
+        s"corpus side must not broadcast:\n${sub.take(300)}")
+    }
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "LM aggs + per-doc agg expected")
+  }
 }
