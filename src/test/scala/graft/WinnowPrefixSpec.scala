@@ -56,6 +56,24 @@ class WinnowPrefixSpec extends AnyFunSuite {
     assert(exprFp.nonEmpty)
   }
 
+  test("winnowing: expression ≡ relational on random unicode (char-based substring semantics)") {
+    // the expression k-grams via UTF8String.substringSQL, the relational
+    // form via Spark substring() — both must slice by CHARACTER; mixing
+    // multi-byte code points into random docs catches any byte/char
+    // confusion the ASCII testdata cannot
+    val rnd = new scala.util.Random(424242L)
+    val alphabet = "ab φψ界漢🚀é1".toCharArray.filterNot(_.isSurrogate) :+ 'z'
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val e = operators.TextOps.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().toSet
+    val r = operators.TextOps.winnowFingerprintsRelational(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(e == r, s"missing=${(r -- e).take(5)} extra=${(e -- r).take(5)}")
+  }
+
   test("winnowing: density is ~2/(w+1) of k-gram positions, never zero on real docs") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
       .filter($"doc_id" < 50).select($"doc_id", $"text")
