@@ -388,6 +388,79 @@ object Streams {
           expr(rankOkSql(512, "r99_lt", "r99_le", "(99 * n + 99) div 100"))
             .cast("long").as("p99_ok"))
         .orderBy("event_type")
+    }),
+
+    // 12th streaming oracle: heavy hitters over the stream — the
+    // Misra–Gries sketch (SpaceSavingAgg, k=8) as a streaming
+    // aggregation, the trending-keys use case every event firehose runs.
+    // Counter VALUES are encounter-order-dependent (batch policy: spec-
+    // gated, not hashed), so the query emits the sketch's PROOF
+    // OBLIGATIONS computed against the static table: every key with true
+    // frequency > n/(k+1) is reported (MG presence theorem), and every
+    // reported counter lies in [true − n/(k+1), true] (never
+    // overestimates, bounded underestimate — preserved across both
+    // map-side partials and cross-microbatch state-store merges by the
+    // Agarwal et al. mergeability result). Oracle pins both flags to 1
+    // plus exact group sizes.
+    "stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      // Skewed key mix so the theorems BITE: two thirds of rows land on
+      // 4 hot keys (~17% each > n/(k+1) = 11% ⇒ all four MUST be
+      // reported), one third churns a 200-key tail that pressures the
+      // k=8 buffer into real decrements (so the bounds check sees
+      // genuine underestimates, not exact counts).
+      val keyExpr = expr(
+        "CASE WHEN user_id % 3 = 0 THEN 100 + user_id % 200 ELSE user_id % 4 END")
+      val agg = readEvents(s, d)
+        .select($"event_type", keyExpr.as("key"))
+        .groupBy($"event_type")
+        .agg(graft.plans.SpaceSavingAgg.heavyHitters($"key", 8).as("hh"),
+          count(lit(1)).as("n"))
+      val sk = runToMemory(s, agg, "graft_stream_hh", "complete")
+      // The sketch is ≤ k entries per group BY CONSTRUCTION (5 groups ×
+      // 8 keys here), so a driver-side snapshot is bounded — and gives
+      // the three verification branches independent lineages (the memory
+      // sink's view cannot be self-joined against its own derivatives).
+      // Same bounded-driver policy as the merge sink's partition list.
+      val skRows = sk.select($"event_type", $"n", $"hh").collect()
+      val nDf = skRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("event_type", "n")
+      val estDf = skRows.flatMap { r =>
+        r.getSeq[org.apache.spark.sql.Row](2).map(e =>
+          (r.getString(0), r.getLong(1), e.getLong(0), e.getLong(1)))
+      }.toSeq.toDF("event_type", "n", "key", "est")
+      Tables.enableNanos(s)
+      val truth = s.read.parquet(s"$d/events.parquet")
+        .select($"event_type", expr(
+          "CASE WHEN user_id % 3 = 0 THEN 100 + user_id % 200 ELSE user_id % 4 END")
+          .as("key"))
+        .groupBy($"event_type", $"key").agg(count(lit(1)).as("tc"))
+      // A near-uniform key distribution is MG's degenerate case: the
+      // merge's (k+1)-largest subtraction can legitimately empty a
+      // group's sketch (no key exceeds n/(k+1), so both theorems hold
+      // VACUOUSLY) — groups therefore come from the sketch table and an
+      // absent flag coalesces to 1, not from the per-entry join.
+      val bounds = estDf.join(truth, Seq("event_type", "key"), "left")
+        .groupBy($"event_type")
+        .agg(min(expr(
+          """CASE WHEN est <= coalesce(tc, 0)
+            | AND est >= coalesce(tc, 0) - n div 9 THEN 1 ELSE 0 END"""
+            .stripMargin.replaceAll("\n", " "))).as("bounds_ok"))
+      val missing = truth
+        .join(broadcast(nDf), "event_type")
+        .filter(expr("tc > n div 9"))
+        .join(estDf.select($"event_type", $"key".as("rep_key")),
+          col("key") === col("rep_key") &&
+            estDf("event_type") === truth("event_type"), "left_anti")
+        .groupBy($"event_type").agg(count(lit(1)).as("n_missing"))
+      nDf
+        .join(bounds, Seq("event_type"), "left")
+        .join(missing, Seq("event_type"), "left")
+        .select($"event_type", $"n",
+          coalesce($"bounds_ok", lit(1L)).cast("long").as("bounds_ok"),
+          when(coalesce($"n_missing", lit(0L)) === 0L, 1L).otherwise(0L)
+            .as("all_present"))
+        .orderBy("event_type")
     })
   )
 
@@ -513,6 +586,12 @@ object Streams {
     "stream_quantile_sketch" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // MG counters are order-dependent; the PROOF OBLIGATIONS (presence
+    // of all true heavy keys, counter bounds) are pinned instead.
+    "stream_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS all_present
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
