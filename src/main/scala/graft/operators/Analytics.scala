@@ -339,6 +339,40 @@ object Analytics {
         .orderBy("o_orderpriority")
     }),
 
+    // Count-Min point-frequency sketch: ONE pass folds the whole fact
+    // table into a 4×256 counter matrix (the cms_sketch
+    // TypedImperativeAggregate — 8 KB of state per partition through the
+    // shuffle, regardless of key cardinality), then the 20 heaviest keys
+    // are probed: est = MIN over the 4 cells the key hashes to. Hashes
+    // are 4 disjoint 32-bit slices of one codegen'd md5, so the DuckDB
+    // oracle rebuilds the identical matrix cell-for-cell and the
+    // "approximate" estimate has an EXACT oracle (same policy as
+    // sketch_bottomk_distinct: deterministic sketch, honest error shown
+    // by carrying n_exact alongside). Merge is elementwise addition —
+    // any partition layout yields the bit-identical matrix. At 100 TB
+    // this is the per-shard frequency-serving / join-skew-detection
+    // form: the exact groupBy shuffles the full key domain; CMS ships
+    // one tiny matrix per group/window.
+    "sketch_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      def hex(k: org.apache.spark.sql.Column) =
+        md5(concat(lit("cms:"), k.cast("string")).cast("binary"))
+      val sk = Tables.lineitem(s, d)
+        .agg(graft.plans.CountMinAgg.cmsSketch(hex($"l_partkey"), 4, 256).as("sk"))
+      val probes = Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"l_partkey".asc).limit(20)
+      val withHex = probes.crossJoin(broadcast(sk))
+        .withColumn("hx", hex($"l_partkey"))
+      val ests = (0 until 4).map { j =>
+        element_at($"sk",
+          (conv(substring($"hx", 1 + 8 * j, 8), 16, 10).cast("long") % 256
+            + lit(j * 256) + 1).cast("int"))
+      }
+      withHex.select($"l_partkey", $"n_exact", least(ests: _*).as("n_cms"))
+        .orderBy($"n_exact".desc, $"l_partkey".asc)
+    }),
+
     // KLL quantile sketch, driver-graded through its guarantee: the
     // estimates themselves are ε-approximate (not oracle-hashable, same
     // policy as HLL), but the worst-case rank bound |rank(v̂_q) − q·n| ≤
@@ -633,6 +667,32 @@ object Analytics {
         |  CASE WHEN n_exact >= 8 AND h8 > 0 THEN 7 * 1152921504606846976 // h8
         |       ELSE n_exact END AS est_distinct
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+    // Rebuilds the 4×256 CMS relationally: per-key counts once, then the
+    // 4 hash rows are the 4 disjoint 8-hex-char slices of the SAME md5
+    // the Spark aggregate slices; cell mass = SUM of key counts landing
+    // in the cell (R9b: SUM → CAST BIGINT). est = MIN over the key's 4
+    // cells — identical matrix, identical estimates.
+    "sketch_cms_freq" ->
+      """WITH keys AS (
+        |  SELECT l_partkey, md5('cms:' || CAST(l_partkey AS VARCHAR)) AS hx,
+        |    COUNT(*) AS n_exact
+        |  FROM lineitem GROUP BY 1),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    CAST(('0x' || substring(hx, 1 + 8*j, 8)) AS BIGINT) % 256 AS cell,
+        |    CAST(SUM(n_exact) AS BIGINT) AS cnt
+        |  FROM keys, js GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT l_partkey, hx, n_exact FROM keys
+        |  ORDER BY n_exact DESC, l_partkey LIMIT 20)
+        |SELECT p.l_partkey, p.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS n_cms
+        |FROM probes p, js, cells c
+        |WHERE c.j = js.j
+        |  AND c.cell =
+        |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
+        |GROUP BY 1, 2
+        |ORDER BY n_exact DESC, l_partkey""".stripMargin,
     "graph_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 500),

@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       GraftFunctions.winnowBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+      GraftFunctions.cmsBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite /
     // ApproxQuantileRewrite): inert unless spark.graft.approxCountDistinct /
     // spark.graft.approxQuantile is true, so injecting costs nothing.

@@ -102,6 +102,26 @@ object GraftFunctions {
       QuantileSketchAgg(exprs.head, k, qs).toAggregateExpression()
     }
 
+  private[plans] val cmsBuilder: Seq[Expression] => Expression =
+    exprs => {
+      def bad(detail: String) = new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" -> s"cms_sketch: $detail"))
+      def intLit(e: Expression, name: String): Int = {
+        if (!e.foldable) throw bad(s"$name must be an integer literal, got ${e.sql}")
+        e.eval() match {
+          case i: Int   => i
+          case l: Long  => l.toInt
+          case s: Short => s.toInt
+          case b: Byte  => b.toInt
+          case other => throw bad(s"$name must be an integer literal, got ${e.sql}" +
+            (if (other == null) " (NULL)" else ""))
+        }
+      }
+      CountMinAgg(exprs.head, intLit(exprs(1), "d"), intLit(exprs(2), "w"))
+        .toAggregateExpression()
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
@@ -110,5 +130,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("simhash60", simhashBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("quantile_sketch", quantileSketchBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("winnow_fp", winnowBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("cms_sketch", cmsBuilder, "scala_udf")
   }
 }
