@@ -373,6 +373,40 @@ object Analytics {
         .orderBy($"n_exact".desc, $"l_partkey".asc)
     }),
 
+    // Distributed sparse matrix–matrix multiply (SpGEMM) as relational
+    // algebra: A[supp, part] = supplied centi-qty, B[part, cust] =
+    // ordered centi-qty, C = A·B scores supplier→customer flow through
+    // shared parts. The triple-join form IS the scalable SpGEMM: shuffle
+    // both matrices on the contraction index k (partkey), multiply
+    // co-located cell pairs, then shuffle the products on (i, j) with
+    // map-side partial sums — the same two-shuffle dataflow a 1000-
+    // executor SUMMA/CombBLAS run uses (block-partitioned there only to
+    // amortize per-cell overhead; the key structure is identical).
+    // Completes the linear-algebra pair with etl_spread_step's matvec.
+    // Output bounded per supplier by the top-5 tail (row_number, ties by
+    // cust asc), suppliers < 30 — integer-exact centi²-unit masses.
+    "la_spgemm" -> ((s, d) => {
+      import s.implicits._
+      val qtyC = round(Tables.dec($"l_quantity") * 100).cast("long")
+      val a = Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_partkey", qtyC.as("q"))
+        .groupBy($"l_suppkey", $"l_partkey").agg(sum($"q").as("a"))
+      val b = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey", qtyC.as("q"))
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_partkey".as("p"), $"o_custkey").agg(sum($"q").as("b"))
+      val c = a.filter($"l_suppkey" < 30)
+        .join(b, a("l_partkey") === b("p"))
+        .groupBy($"l_suppkey", $"o_custkey")
+        .agg(sum($"a" * $"b").as("mass"))
+      val byS = Window.partitionBy($"l_suppkey")
+        .orderBy($"mass".desc, $"o_custkey".asc)
+      c.withColumn("rn", row_number().over(byS)).filter($"rn" <= 5)
+        .select($"l_suppkey", $"rn".cast("long").as("rn"), $"o_custkey", $"mass")
+        .orderBy("l_suppkey", "rn")
+    }),
+
     // KLL quantile sketch, driver-graded through its guarantee: the
     // estimates themselves are ε-approximate (not oracle-hashable, same
     // policy as HLL), but the worst-case rank bound |rank(v̂_q) − q·n| ≤
@@ -693,6 +727,28 @@ object Analytics {
         |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
         |GROUP BY 1, 2
         |ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    "la_spgemm" ->
+      """WITH a AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT)) AS a
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l_partkey AS p, o_custkey,
+        |    SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT)) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT a.l_suppkey, b.o_custkey, CAST(SUM(a.a * b.b) AS BIGINT) AS mass
+        |  FROM a JOIN b ON a.l_partkey = b.p
+        |  WHERE a.l_suppkey < 30
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_suppkey, o_custkey, mass, row_number() OVER (
+        |    PARTITION BY l_suppkey ORDER BY mass DESC, o_custkey ASC) AS rn
+        |  FROM c)
+        |SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, o_custkey, mass
+        |FROM r WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "graph_triangle_count" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 500),

@@ -196,6 +196,34 @@ object Etl {
         .orderBy("bucket_us", "event_type")
     }),
 
+    // Sweep-line peak concurrency: how many intervals overlap at the
+    // busiest instant, per event type. Each event becomes an interval
+    // [ts, ts + 1min..1h) (duration derived from event_id — integer-exact
+    // on both engines), each interval becomes two endpoint rows (+1 at
+    // start, −1 at end), and ONE ordered window per type turns the
+    // endpoint stream into a running concurrency count; ends sort before
+    // starts at the same instant (delta ascending), giving half-open
+    // semantics, and the default RANGE frame includes peers so ties are
+    // deterministic. This is the scale-correct interval-algebra shape:
+    // 2n rows and one sort-shuffle per type, where the naive
+    // "count overlaps by self-join" is O(n²) and unshippable at 100 TB.
+    "etl_max_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val iv = Tables.events(s, d)
+        .withColumn("ts_us", Tables.tsUs)
+        .select($"event_type", $"ts_us".as("start_us"),
+          ($"ts_us" + ($"event_id" % 3600 + 60) * 1000000L).as("end_us"))
+      val pts = iv.select($"event_type", $"start_us".as("t"), lit(1L).as("delta"))
+        .unionByName(iv.select($"event_type", $"end_us".as("t"), lit(-1L).as("delta")))
+      val sweep = Window.partitionBy($"event_type").orderBy($"t", $"delta")
+      val run = pts.withColumn("conc", sum($"delta").over(sweep))
+        .withColumn("peak", max($"conc").over(Window.partitionBy($"event_type")))
+      run.filter($"conc" === $"peak")
+        .groupBy($"event_type")
+        .agg(max($"peak").as("peak"), min($"t").as("first_peak_us"))
+        .orderBy("event_type")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) build: per-user 'view'
     // history becomes validity intervals [valid_from, valid_to) via lead();
     // the open current row has NULL valid_to. One shuffle on the key.
@@ -666,6 +694,31 @@ object Etl {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN actual a ON a.bucket_us = s.bucket_us AND a.event_type = t.event_type
         |ORDER BY s.bucket_us, t.event_type""".stripMargin,
+    // Sweep-line twin: same endpoint decomposition, same (t, delta)
+    // order (ends before starts at an instant = half-open intervals),
+    // default peer-inclusive RANGE frame in both engines. SUM(delta)
+    // OVER () is HUGEINT in DuckDB → peak CAST to BIGINT (R9b).
+    "etl_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS end_us
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, start_us AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, end_us AS t, -1 AS delta FROM iv),
+        |run AS (
+        |  SELECT event_type, t,
+        |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+        |  FROM pts),
+        |pk AS (
+        |  SELECT event_type, t, conc,
+        |    MAX(conc) OVER (PARTITION BY event_type) AS peak
+        |  FROM run)
+        |SELECT event_type, CAST(MAX(peak) AS BIGINT) AS peak,
+        |  MIN(t) AS first_peak_us
+        |FROM pk WHERE conc = peak
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_scd2_intervals" ->
       """SELECT user_id, event_id, valid_from, valid_to, v_e6 FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from,
