@@ -461,6 +461,43 @@ object Streams {
           when(coalesce($"n_missing", lit(0L)) === 0L, 1L).otherwise(0L)
             .as("all_present"))
         .orderBy("event_type")
+    }),
+
+    // Streaming Count-Min frequency state, per event type. Unlike the KLL
+    // and Misra–Gries streaming sketches (order-dependent ⇒ graded via
+    // proof flags), CMS merge is elementwise ADDITION — commutative and
+    // associative — so the state after any microbatch sequence is
+    // bit-identical to the batch matrix, and the streaming estimates get
+    // a FULL relational DuckDB oracle (the 13th streaming oracle, and
+    // the strongest grading a streaming sketch admits). The per-type
+    // matrix is the production shape for online per-key frequency
+    // serving: fixed 4×128 state per group in the state store, point
+    // estimates answerable mid-stream without a key-domain shuffle.
+    "stream_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      def hex(k: org.apache.spark.sql.Column) =
+        md5(concat(lit("cms:"), k.cast("string")).cast("binary"))
+      val agg = readEvents(s, d)
+        .select($"event_type", $"user_id")
+        .groupBy($"event_type")
+        .agg(graft.plans.CountMinAgg.cmsSketch(hex($"user_id"), 4, 128).as("sk"))
+      val sk = runToMemory(s, agg, "graft_stream_cms", "complete")
+      Tables.enableNanos(s)
+      val probes = s.read.parquet(s"$d/events.parquet")
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n_exact"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"n_exact".desc, $"user_id".asc)))
+        .filter($"rn" <= 3)
+      val withHex = probes.join(broadcast(sk), "event_type")
+        .withColumn("hx", hex($"user_id"))
+      val ests = (0 until 4).map { j =>
+        element_at($"sk",
+          (conv(substring($"hx", 1 + 8 * j, 8), 16, 10).cast("long") % 128
+            + lit(j * 128) + 1).cast("int"))
+      }
+      withHex.select($"event_type", $"user_id", $"n_exact",
+          least(ests: _*).as("n_cms"))
+        .orderBy($"event_type", $"n_exact".desc, $"user_id")
     })
   )
 
@@ -592,6 +629,34 @@ object Streams {
     "stream_heavy_hitters" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS all_present
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CMS merge is elementwise addition ⇒ streaming state ≡ batch matrix
+    // bit-for-bit, so the relational CMS rebuild grades the stream
+    // EXACTLY (cf. sketch_cms_freq; R9b casts on the SUMs).
+    "stream_cms_freq" ->
+      """WITH keys AS (
+        |  SELECT event_type, user_id,
+        |    md5('cms:' || CAST(user_id AS VARCHAR)) AS hx, COUNT(*) AS n_exact
+        |  FROM events GROUP BY 1, 2),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |cells AS (
+        |  SELECT event_type, j,
+        |    CAST(('0x' || substring(hx, 1 + 8*j, 8)) AS BIGINT) % 128 AS cell,
+        |    CAST(SUM(n_exact) AS BIGINT) AS cnt
+        |  FROM keys, js GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, user_id, hx, n_exact, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY n_exact DESC, user_id) AS rn
+        |    FROM keys)
+        |  WHERE rn <= 3)
+        |SELECT p.event_type, p.user_id, p.n_exact,
+        |  CAST(MIN(c.cnt) AS BIGINT) AS n_cms
+        |FROM p, js, cells c
+        |WHERE c.event_type = p.event_type AND c.j = js.j
+        |  AND c.cell =
+        |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 128
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 3 DESC, 2""".stripMargin
   )
 }
