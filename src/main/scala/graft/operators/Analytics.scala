@@ -373,6 +373,65 @@ object Analytics {
         .orderBy($"n_exact".desc, $"l_partkey".asc)
     }),
 
+    // KMV (bottom-k) sketch SET ALGEBRA: distinct-count of a UNION and an
+    // INTERSECTION estimated from two mergeable 16-hash sketches — the
+    // composition sketch_bottomk_distinct only hints at. Union sketch =
+    // 16 smallest of the two sketches' union (KMV merge = min-k of
+    // concatenation, associative, one tiny state per set through any
+    // shuffle topology); est|A∪B| = 15·2^56 div h16; ρ = fraction of
+    // union-sketch hashes present in BOTH input sketches (membership is
+    // EXACT for union-sketch elements: x ≤ h16(U) ≤ h16(A) ⟹ x ∈ A's
+    // sketch); est|A∩B| = ρ·est|A∪B| div 16. 56-bit hashes (not 60) so
+    // 15·2^56 stays inside BIGINT on both engines. Exact counts ride
+    // along; the whole estimator is deterministic → exact DuckDB oracle.
+    // The global windows order ≤32 sketch rows — constant-size state,
+    // not a data-scale sort. At 100 TB: per-segment KMV sketches make
+    // any distinct-count OVER set expressions (union/intersection of
+    // segments) a constant-size merge instead of a re-shuffle of keys.
+    "sketch_bottomk_intersect" -> ((s, d) => {
+      import s.implicits._
+      val h = conv(substring(md5($"o_custkey".cast("string").cast("binary")),
+        1, 14), 16, 10).cast("long")
+      val ab = Tables.orders(s, d)
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select(when($"o_orderpriority" === "1-URGENT", "a").otherwise("b")
+          .as("grp"), h.as("h"))
+        .distinct()
+      val byGrp = Window.partitionBy($"grp").orderBy($"h".asc)
+      val sk = ab.withColumn("rn", row_number().over(byGrp)).filter($"rn" <= 16)
+      val u = sk.select($"h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy($"h".asc)))
+        .filter($"rn" <= 16)
+      val stats = u
+        .join(sk.filter($"grp" === "a").select($"h".as("ha")),
+          $"h" === $"ha", "left")
+        .join(sk.filter($"grp" === "b").select($"h".as("hb")),
+          $"h" === $"hb", "left")
+        .agg(count(lit(1)).as("k_u"), max($"h").as("hk"),
+          sum(when($"ha".isNotNull && $"hb".isNotNull, 1L).otherwise(0L))
+            .as("rho"))
+      val ex = Tables.orders(s, d)
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .groupBy($"o_custkey")
+        .agg(max(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+          .as("ia"),
+          max(when($"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+            .as("ib"))
+        .agg(count(lit(1)).as("n_union_exact"),
+          sum(when($"ia" === 1L && $"ib" === 1L, 1L).otherwise(0L))
+            .as("n_intersect_exact"))
+      ex.crossJoin(broadcast(stats)).select(
+        $"n_union_exact", $"n_intersect_exact",
+        expr("""CASE WHEN k_u >= 16 AND hk > 0
+               |THEN 15 * 72057594037927936 div hk
+               |ELSE n_union_exact END""".stripMargin.replaceAll("\n", " "))
+          .as("est_union"),
+        expr("""CASE WHEN k_u >= 16 AND hk > 0
+               |THEN rho * (15 * 72057594037927936 div hk) div 16
+               |ELSE n_intersect_exact END""".stripMargin.replaceAll("\n", " "))
+          .as("est_intersect"))
+    }),
+
     // Distributed sparse matrix–matrix multiply (SpGEMM) as relational
     // algebra: A[supp, part] = supplied centi-qty, B[part, cust] =
     // ordered centi-qty, C = A·B scores supplier→customer flow through
@@ -727,6 +786,49 @@ object Analytics {
         |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
         |GROUP BY 1, 2
         |ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    "sketch_bottomk_intersect" ->
+      """WITH ab AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS grp,
+        |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS h
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |sk AS (
+        |  SELECT grp, h FROM (
+        |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |    FROM ab)
+        |  WHERE rn <= 16),
+        |u AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM sk))
+        |  WHERE rn <= 16),
+        |stats AS (
+        |  SELECT COUNT(*) AS k_u, MAX(u.h) AS hk,
+        |    CAST(SUM(CASE WHEN a.ha IS NOT NULL AND b.hb IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |  FROM u
+        |  LEFT JOIN (SELECT h AS ha FROM sk WHERE grp = 'a') a ON u.h = a.ha
+        |  LEFT JOIN (SELECT h AS hb FROM sk WHERE grp = 'b') b ON u.h = b.hb),
+        |flags AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS ib
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT COUNT(*) AS n_union_exact,
+        |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_intersect_exact
+        |  FROM flags)
+        |SELECT n_union_exact, n_intersect_exact,
+        |  CAST(CASE WHEN k_u >= 16 AND hk > 0
+        |       THEN 15 * 72057594037927936 // hk
+        |       ELSE n_union_exact END AS BIGINT) AS est_union,
+        |  CAST(CASE WHEN k_u >= 16 AND hk > 0
+        |       THEN rho * (15 * 72057594037927936 // hk) // 16
+        |       ELSE n_intersect_exact END AS BIGINT) AS est_intersect
+        |FROM ex, stats""".stripMargin,
     "la_spgemm" ->
       """WITH a AS (
         |  SELECT l_suppkey, l_partkey,
