@@ -94,6 +94,37 @@ class CmsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("streaming state across microbatches is bit-identical to the batch matrix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    // 3 microbatches, 2 groups, skewed keys — additivity must make the
+    // final streaming state EQUAL (not just ε-close to) the batch
+    // sketch over the union, regardless of batch boundaries.
+    val batches = Array.fill(3)(Array.fill(20000)(
+      (rnd.nextInt(2).toLong, math.abs(rnd.nextLong()) % 500L)))
+    val mem = MemoryStream[(Long, Long)]
+    val agg = mem.toDF()
+      .select($"_1".as("g"), $"_2".as("key"))
+      .groupBy($"g")
+      .agg(cmsSketch(hexCol($"key"), D, W).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("graft_cms_multi")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("graft_cms_multi")
+        .as[(Long, Array[Long])].collect().toMap
+      val batch = batches.flatten.toSeq.toDF("g", "key")
+        .groupBy($"g").agg(cmsSketch(hexCol($"key"), D, W).as("sk"))
+        .as[(Long, Array[Long])].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (g, cells) =>
+        assert(cells.sameElements(batch(g)),
+          s"group $g: streaming matrix diverged from batch matrix")
+      }
+    } finally q.stop()
+  }
+
   test("state serialization round-trips") {
     val st = new CmsState(D, W)
     Seq("a", "b", "a", "c").foreach(k => st.insert(hexOf(k)))
