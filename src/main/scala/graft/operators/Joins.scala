@@ -135,6 +135,43 @@ object Joins {
         .orderBy("c_mktsegment")
     }),
 
+    // Bloom-prefiltered join, oracle-proven equivalent to the plain
+    // join: Spark's own codegen'd runtime-filter pair (BloomFilterAggregate
+    // / BloomFilterMightContain — what InjectRuntimeFilter plants under
+    // shuffle joins) surfaced to SQL as bloom_agg / bloom_might_contain
+    // and staged EXPLICITLY: build the filter over the selective dim
+    // slice, prefilter the fact scan through the scalar subquery, exact
+    // join removes the false positives. No-false-negative ⇒ result ≡
+    // the plain join, which is what the oracle (a plain join) proves.
+    // At 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling only rows that can possibly match — the same
+    // economics as the salted rewrite above, aimed at selectivity
+    // instead of skew; staging it explicitly keeps the filter when the
+    // dim side is an opaque subquery the optimizer can't see through.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      Tables.customer(s, d).createOrReplaceTempView("graft_bloom_cust")
+      Tables.orders(s, d).createOrReplaceTempView("graft_bloom_ord")
+      s.sql(
+        """WITH dim AS (
+          |  SELECT c_custkey, c_nationkey FROM graft_bloom_cust
+          |  WHERE c_mktsegment = 'BUILDING'),
+          |bf AS (
+          |  SELECT bloom_agg(xxhash64(c_custkey), 8192L, 65536L) AS bf
+          |  FROM dim),
+          |pre AS (
+          |  SELECT o_custkey,
+          |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          |      AS cents
+          |  FROM graft_bloom_ord
+          |  WHERE bloom_might_contain((SELECT bf FROM bf),
+          |                            xxhash64(o_custkey)))
+          |SELECT c_nationkey, COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+          |FROM pre JOIN dim ON o_custkey = c_custkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
     // C10: theta/band self-join — same brand, strictly increasing size.
     // Equi prefix on p_brand keeps this a hash/sort-merge join with a
     // residual `<` predicate, NOT a BNLJ — essential at scale.
@@ -315,6 +352,15 @@ object Joins {
         |    AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Equivalence proof: the PLAIN join, no bloom — false positives are
+    // removed by the exact join, false negatives cannot exist.
+    "join_bloom_prefilter" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "join_theta_band" ->
       """SELECT p.p_brand, COUNT(*) AS n_pairs
         |FROM part p JOIN part q

@@ -45,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
       GraftFunctions.cmsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      GraftFunctions.bloomMightContainBuilder))
     // Opt-in approximate-query-processing mode (see ApproxDistinctRewrite /
     // ApproxQuantileRewrite): inert unless spark.graft.approxCountDistinct /
     // spark.graft.approxQuantile is true, so injecting costs nothing.

