@@ -373,6 +373,36 @@ object Analytics {
         .orderBy($"n_exact".desc, $"l_partkey".asc)
     }),
 
+    // Event-path analysis (the attribution/journey primitive): each
+    // user's first-8-step event-type sequence as one '>'-joined string,
+    // plus whether a purchase occurs within those steps. The ordered
+    // concatenation is built WITHOUT a window sort: collect_list of
+    // (ts_us, event_id, event_type) structs per user, array_sort (struct
+    // field order = sort key; event_id is the unique tie-break), then
+    // transform + slice — one hash-agg shuffle keyed by user, the
+    // per-user sort bounded by that user's events. The oracle builds the
+    // same path with string_agg ORDER BY (ts_us, event_id) over a
+    // rank-filtered set. At 100 TB: per-key ordered-sequence assembly
+    // via sorted-struct aggregation beats a global window sort — the
+    // shuffle is the groupBy's, and skew tools (salting) apply directly.
+    "agg_event_paths" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"user_id" < 300)
+        .select($"user_id", Tables.tsUs.as("ts_us"), $"event_id",
+          $"event_type")
+      ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("""slice(transform(array_sort(
+                 |collect_list(struct(ts_us, event_id, event_type))),
+                 |x -> x.event_type), 1, 8)"""
+            .stripMargin.replaceAll("\n", " ")).as("p8"))
+        .select($"user_id", $"n_events",
+          concat_ws(">", $"p8").as("path8"),
+          array_contains($"p8", "purchase").cast("long")
+            .as("early_purchase"))
+        .orderBy("user_id")
+    }),
+
     // KMV (bottom-k) sketch SET ALGEBRA: distinct-count of a UNION and an
     // INTERSECTION estimated from two mergeable 16-hash sketches — the
     // composition sketch_bottomk_distinct only hints at. Union sketch =
@@ -786,6 +816,18 @@ object Analytics {
         |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
         |GROUP BY 1, 2
         |ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    "agg_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE user_id < 300)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(CASE WHEN rn <= 8 THEN event_type END, '>'
+        |    ORDER BY ts_us, event_id) AS path8,
+        |  CAST(MAX(CASE WHEN rn <= 8 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS early_purchase
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sketch_bottomk_intersect" ->
       """WITH ab AS (
         |  SELECT DISTINCT
