@@ -403,6 +403,32 @@ object Analytics {
         .orderBy("user_id")
     }),
 
+    // Markov transition matrix over per-user event sequences — the
+    // estimation step a journey/attribution model runs after
+    // agg_event_paths' assembly: lag() pairs each event with its
+    // predecessor (unique (ts_us, event_id) order), transitions are
+    // counted per (prev, next), and the conditional probability is
+    // integer-scaled against the prev-state row total (R2': ×1e6,
+    // truncating div — exact on both engines). ONE window shuffle keyed
+    // by user (the same partitioning every other per-user op reuses);
+    // the |types|² matrix that follows is constant-size at any corpus.
+    "agg_event_transitions" -> ((s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", Tables.tsUs.as("ts_us"), $"event_id",
+          $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_e6",
+          expr("n * 1000000 div sum(n) over (partition by prev_type)"))
+        .select($"prev_type", $"next_type", $"n", $"p_e6")
+        .orderBy("prev_type", "next_type")
+    }),
+
     // KMV (bottom-k) sketch SET ALGEBRA: distinct-count of a UNION and an
     // INTERSECTION estimated from two mergeable 16-hash sketches — the
     // composition sketch_bottomk_distinct only hints at. Union sketch =
@@ -816,6 +842,20 @@ object Analytics {
         |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
         |GROUP BY 1, 2
         |ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    // R9b: the window SUM is HUGEINT in DuckDB — CAST before output.
+    "agg_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS p_e6
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "agg_event_paths" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
