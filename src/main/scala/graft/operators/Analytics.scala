@@ -373,6 +373,44 @@ object Analytics {
         .orderBy($"n_exact".desc, $"l_partkey".asc)
     }),
 
+    // Chi-square contingency test (segment × order-priority
+    // independence): observed cell counts, expected counts under
+    // independence (r·c/N), per-cell χ² contributions, and the statistic
+    // — all integer-exact. Per-cell term = (o·N − r·c)²·1e6 div (r·c)
+    // div N: every division truncating, in a fixed order, computed in
+    // DECIMAL(38,0) ↔ HUGEINT ((o·N − r·c)² ~ 4e20 overflows BIGINT at
+    // sf0.1 — the agg_corr_r2 / agg_moment_sketch wide-integer
+    // discipline). One broadcast join + one count shuffle; the windows
+    // that add margins run over the |segments|×|priorities| cell table
+    // (25 rows) — constant at any corpus size.
+    "agg_chi2_contingency" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("pri"))
+        .agg(count(lit(1)).as("o"))
+      val t = cells
+        .withColumn("r", sum($"o").over(Window.partitionBy($"seg")))
+        .withColumn("c", sum($"o").over(Window.partitionBy($"pri")))
+        .withColumn("n", sum($"o").over(Window.partitionBy()))
+      val terms = t.select($"seg", $"pri", $"o",
+        expr("cast(cast(r as decimal(38,0)) * c * 1000000 div n as bigint)")
+          .as("exp_e6"),
+        expr("""cast(
+               |cast(cast(o as decimal(38,0)) * n -
+               |     cast(r as decimal(38,0)) * c as decimal(38,0)) *
+               |cast(cast(o as decimal(38,0)) * n -
+               |     cast(r as decimal(38,0)) * c as decimal(38,0)) *
+               |1000000 div (cast(r as decimal(38,0)) * c) div n
+               |""".stripMargin.replaceAll("\n", " ") + " as bigint)")
+          .as("term_e6"))
+      terms
+        .withColumn("chi2_e6", sum($"term_e6").over(Window.partitionBy()))
+        .orderBy("seg", "pri")
+    }),
+
     // Event-path analysis (the attribution/journey primitive): each
     // user's first-8-step event-type sequence as one '>'-joined string,
     // plus whether a purchase occurs within those steps. The ordered
@@ -842,6 +880,28 @@ object Analytics {
         |    CAST(('0x' || substring(p.hx, 1 + 8*js.j, 8)) AS BIGINT) % 256
         |GROUP BY 1, 2
         |ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    // Same stepwise HUGEINT arithmetic, same division order; margins via
+    // window sums over the 25-cell table. R9b casts at every output.
+    "agg_chi2_contingency" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY 1, 2),
+        |t AS (
+        |  SELECT seg, pri, o,
+        |    CAST(SUM(o) OVER (PARTITION BY seg) AS HUGEINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY pri) AS HUGEINT) AS c,
+        |    CAST(SUM(o) OVER () AS HUGEINT) AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT seg, pri, o,
+        |    CAST(r * c * 1000000 // n AS BIGINT) AS exp_e6,
+        |    CAST((o*n - r*c) * (o*n - r*c) * 1000000 // (r*c) // n
+        |      AS BIGINT) AS term_e6
+        |  FROM t)
+        |SELECT seg, pri, o, exp_e6, term_e6,
+        |  CAST(SUM(term_e6) OVER () AS BIGINT) AS chi2_e6
+        |FROM terms ORDER BY seg, pri""".stripMargin,
     // R9b: the window SUM is HUGEINT in DuckDB — CAST before output.
     "agg_event_transitions" ->
       """WITH e AS (
