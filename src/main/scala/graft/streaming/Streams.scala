@@ -43,6 +43,56 @@ class TwsRunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** CEP funnel processor behind stream_cep_funnel: counts per-user
+  * completed click → view → purchase sequences (strict event order,
+  * purchase within 6h of the click). The imperative DP mirrors the
+  * oracle's two-window relational DP exactly:
+  *   cLast  = latest click strictly before the current row;
+  *   vcLast = max over strictly-preceding views of THAT view's cLast
+  *            (monotone: the latest eligible view carries the latest
+  *            usable click, so one running max suffices);
+  *   a purchase completes iff vcLast exists and ts − vcLast ≤ 6h.
+  * Rows are sorted (ts, event_id) inside the batch — the same unique
+  * order the oracle's ROWS frame uses; state carries the DP registers
+  * so sequences SPANNING microbatches complete (spec'd via
+  * MemoryStream). Top-level so the closure stays serializable. */
+class CepFunnel extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long, String), (Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+
+  private val None_ = Long.MinValue
+  @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long)]("cep",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (cLast, vcLast, nPurch, nFun) =
+      if (st.exists()) st.get() else (None_, None_, 0L, 0L)
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    sorted.foreach { case (_, ts, _, tpe) =>
+      tpe match {
+        case "purchase" =>
+          nPurch += 1
+          if (vcLast != None_ && ts - vcLast <= 21600000000L) nFun += 1
+        case "view" =>
+          if (cLast != None_ && cLast > vcLast) vcLast = cLast
+        case "click" =>
+          if (ts > cLast || cLast == None_) cLast = ts
+        case _ => ()
+      }
+    }
+    st.update((cLast, vcLast, nPurch, nFun))
+    Iterator.single((key, nPurch, nFun))
+  }
+}
+
 object Streams {
 
   /** events schema as the streaming source sees it (ts already BIGINT ns
@@ -463,6 +513,43 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // Complex-event-processing funnel (click → view → purchase within
+    // 6h, strict order) via transformWithState — the arbitrary-state API
+    // doing what windowed aggregation cannot: pattern detection with a
+    // per-key DP register set (two running maxes + two counters) instead
+    // of buffered events. State per user is CONSTANT (4 longs) no matter
+    // how long the stream — the property that makes CEP viable at
+    // firehose scale; sequences spanning microbatches complete because
+    // the registers persist (MemoryStream-spec'd). Oracle: the identical
+    // DP as two ROWS-frame window maxes in DuckDB.
+    "stream_cep_funnel" -> ((s, d) => {
+      import s.implicits._
+      val prior = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val funnels = readEvents(s, d)
+          .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id",
+            $"event_type")
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new CepFunnel(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "n_purchases", "n_funnels")
+        runToMemory(s, funnels, "graft_stream_cep", "update")
+          .filter($"n_purchases" > 0)
+          .select($"user_id", $"n_purchases", $"n_funnels")
+          .orderBy("user_id")
+      } finally prior match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // Streaming Count-Min frequency state, per event type. Unlike the KLL
     // and Misra–Gries streaming sketches (order-dependent ⇒ graded via
     // proof flags), CMS merge is elementwise ADDITION — commutative and
@@ -630,6 +717,33 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS all_present
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The CEP DP in relational form: c_last / vc_last as ROWS-frame
+    // running maxes in the same unique (t, event_id) order the processor
+    // sorts by; a purchase completes iff vc_last exists within 6h.
+    "stream_cep_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'click' THEN t END) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_last
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' AND c_last IS NOT NULL
+        |                     THEN c_last END) OVER (
+        |      PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vc_last
+        |  FROM w1)
+        |SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS n_purchases,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' AND vc_last IS NOT NULL
+        |             AND t - vc_last <= 21600000000 THEN 1 END) AS BIGINT)
+        |    AS n_funnels
+        |FROM w2 GROUP BY user_id
+        |HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        |ORDER BY user_id""".stripMargin,
     // CMS merge is elementwise addition ⇒ streaming state ≡ batch matrix
     // bit-for-bit, so the relational CMS rebuild grades the stream
     // EXACTLY (cf. sketch_cms_freq; R9b casts on the SUMs).

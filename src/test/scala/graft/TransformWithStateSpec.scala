@@ -68,4 +68,48 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CEP funnel completes across microbatches; window and order enforced") {
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600000000L // 1h in µs
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val out = in.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.CepFunnel(),
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n_purchases", "n_funnels")
+        .writeStream.format("memory").queryName("graft_cep_multi")
+        .outputMode("update").start()
+      try {
+        // user 1: click / view / purchase arrive in THREE different
+        // batches, within 6h — must complete via persisted DP registers.
+        // user 2: purchase 10h after the click — window must reject it.
+        // user 3: view BEFORE click, then purchase — order must reject.
+        in.addData((1L, 0L, 1L, "click"), (2L, 0L, 2L, "click"),
+          (3L, 0L, 3L, "view"))
+        q.processAllAvailable()
+        in.addData((1L, H, 4L, "view"), (2L, H, 5L, "view"),
+          (3L, H, 6L, "click"))
+        q.processAllAvailable()
+        in.addData((1L, 2 * H, 7L, "purchase"), (2L, 10 * H, 8L, "purchase"),
+          (3L, 2 * H, 9L, "purchase"))
+        q.processAllAvailable()
+        val last = spark.table("graft_cep_multi")
+          .as[(Long, Long, Long)].collect()
+          .groupBy(_._1).map { case (k, vs) => k -> vs.last }
+        assert(last(1L) == ((1L, 1L, 1L)), s"cross-batch funnel: ${last(1L)}")
+        assert(last(2L) == ((2L, 1L, 0L)), s"6h window: ${last(2L)}")
+        assert(last(3L) == ((3L, 1L, 0L)), s"strict order: ${last(3L)}")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
