@@ -125,6 +125,18 @@ class CmsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NULL keys are skipped, not counted") {
+    val df = Seq(Some(1L), None, Some(1L), None, Some(2L)).toDF("k")
+    val cells = df.agg(cmsSketch(
+      when($"k".isNotNull, hexCol($"k")).otherwise(lit(null)), D, W))
+      .as[Array[Long]].head()
+    (0 until D).foreach { j =>
+      assert(cells.slice(j * W, (j + 1) * W).sum == 3L,
+        s"row $j must hold only the 3 non-null rows")
+    }
+    assert(estimateFrom(cells, "1") >= 2)
+  }
+
   test("state serialization round-trips") {
     val st = new CmsState(D, W)
     Seq("a", "b", "a", "c").foreach(k => st.insert(hexOf(k)))
