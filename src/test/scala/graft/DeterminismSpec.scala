@@ -41,7 +41,13 @@ class DeterminismSpec extends AnyFunSuite {
     "tpch_q2_min_cost", "tpch_q8_market_share", "tpch_q9_profit",
     "tpch_q11_important_stock", "tpch_q13_custdist",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_stock", "tpch_q21_waiting")
+    "tpch_q20_excess_stock", "tpch_q21_waiting",
+    // round-3 continuation block: the new hash-candidate / rank-tail /
+    // wide-integer queries — all deterministic by construction, pinned
+    // here so a future change can't silently reintroduce tie wobble
+    "sketch_cms_freq", "sketch_bottomk_intersect", "la_spgemm",
+    "etl_max_concurrency", "join_bloom_prefilter", "agg_event_paths",
+    "agg_event_transitions", "agg_chi2_contingency")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
