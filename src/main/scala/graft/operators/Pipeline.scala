@@ -396,10 +396,173 @@ object Pipeline {
           expr("surprise div n_bigrams").as("ppl_e6"))
         .orderBy($"ppl_e6".desc, $"doc_id".asc)
         .limit(100)
+    }),
+
+    // BPE tokenizer TRAINING, iterated — the real merge loop, not just
+    // pair statistics (pipe_bpe_pair_counts is the one-shot profile).
+    // Words become per-occurrence character sequences; each round counts
+    // adjacent symbol pairs, picks the argmax (count desc, pair asc —
+    // the deterministic tie-break), and APPLIES the merge before the
+    // next round recounts. Greedy-leftmost overlap semantics (the x=y
+    // case, e.g. merging 'ee' inside 'eee') are handled exactly: islands
+    // of consecutive candidate positions keep only even offsets from the
+    // island start — for x≠y candidates can't be adjacent, so the same
+    // rule degrades to "keep all". Two rounds are unrolled (the pagerank
+    // pattern: localCheckpoint between rounds truncates lineage) and a
+    // third argmax PROVES the post-merge state — its pair can only exist
+    // if both merges were applied correctly. At corpus scale each round
+    // is two hash-shuffles (pair count keyed by symbol pair, candidate
+    // windows keyed by word) — the documented distributed-BPE dataflow;
+    // vocabulary-bounded docs<50 keeps the graded fixture constant-size.
+    "pipe_bpe_train_rounds" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byWid = Window.partitionBy($"wid").orderBy($"pos")
+      val base = Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", posexplode(split($"text", " "))
+          .as(Seq("wpos", "word")))
+        .filter(length($"word") >= 1)
+        .select(concat($"doc_id", lit("_"), $"wpos").as("wid"), $"word")
+        .select($"wid", explode(expr("sequence(1, length(word))")).as("pos"),
+          $"word")
+        .select($"wid", $"pos", expr("substring(word, pos, 1)").as("sym"))
+        .localCheckpoint()
+
+      def round(toks: DataFrame): (DataFrame, DataFrame) = {
+        val nxt = toks.select($"wid".as("wid2"), ($"pos" - 1).as("pos2"),
+          $"sym".as("nxt"))
+        val adj = toks.join(nxt,
+          $"wid" === $"wid2" && $"pos" === $"pos2")
+        val best = adj.groupBy($"sym", $"nxt")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"sym".asc, $"nxt".asc).limit(1)
+          .select($"sym".as("x"), $"nxt".as("y"), $"n")
+        val cand = adj.crossJoin(broadcast(best))
+          .filter($"sym" === $"x" && $"nxt" === $"y")
+          .select($"wid", $"pos")
+        val kept = cand
+          .withColumn("grp", $"pos" - row_number().over(byWid))
+          .withColumn("start",
+            min($"pos").over(Window.partitionBy($"wid", $"grp")))
+          .filter((($"pos" - $"start") % 2) === 0)
+          .select($"wid".as("kwid"), $"pos".as("kpos"))
+        val merged = toks
+          .join(nxt, $"wid" === $"wid2" && $"pos" === $"pos2", "left")
+          .join(kept, $"wid" === $"kwid" && $"pos" === $"kpos", "left")
+          .join(kept.select($"kwid".as("dwid"), ($"kpos" + 1).as("dpos")),
+            $"wid" === $"dwid" && $"pos" === $"dpos", "left_anti")
+          .select($"wid", $"pos",
+            when($"kpos".isNotNull, concat($"sym", $"nxt"))
+              .otherwise($"sym").as("sym"))
+          .withColumn("pos", row_number().over(byWid))
+          .select($"wid", $"pos", $"sym")
+          .localCheckpoint()
+        (merged, best)
+      }
+
+      val (t1, best1) = round(base)
+      val (t2, best2) = round(t1)
+      val best3 = t2
+        .join(t2.select($"wid".as("wid2"), ($"pos" - 1).as("pos2"),
+          $"sym".as("nxt")), $"wid" === $"wid2" && $"pos" === $"pos2")
+        .groupBy($"sym", $"nxt").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"sym".asc, $"nxt".asc).limit(1)
+        .select($"sym".as("x"), $"nxt".as("y"), $"n")
+      best1.withColumn("round", lit(1L))
+        .unionByName(best2.withColumn("round", lit(2L)))
+        .unionByName(best3.withColumn("round", lit(3L)))
+        .select($"round", $"x".as("tok_x"), $"y".as("tok_y"),
+          $"n".as("n_pairs"))
+        .orderBy("round")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The identical two applied merge rounds + proving third argmax; the
+    // greedy-leftmost island rule is the same even-offset filter. Word
+    // keys are engine-local (never output) — only the per-word symbol
+    // sequences must agree.
+    "pipe_bpe_train_rounds" ->
+      """WITH words AS (
+        |  SELECT doc_id, sp, unnest(range(0, len(sp))) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        |        FROM documents WHERE doc_id < 50)),
+        |wrd AS (
+        |  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(w AS VARCHAR) AS wid,
+        |         sp[CAST(w + 1 AS INT)] AS word
+        |  FROM words WHERE len(sp[CAST(w + 1 AS INT)]) >= 1),
+        |t0a AS (
+        |  SELECT wid, word, unnest(range(1, len(word) + 1)) AS pos FROM wrd),
+        |t0 AS (
+        |  SELECT wid, pos, substr(word, CAST(pos AS INT), 1) AS sym FROM t0a),
+        |adj1 AS (
+        |  SELECT t.wid, t.pos, t.sym, u.sym AS nxt
+        |  FROM t0 t JOIN t0 u ON u.wid = t.wid AND u.pos = t.pos + 1),
+        |best1 AS (
+        |  SELECT sym AS x, nxt AS y, COUNT(*) AS n FROM adj1 GROUP BY 1, 2
+        |  ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+        |cand1 AS (
+        |  SELECT a.wid, a.pos FROM adj1 a, best1 b
+        |  WHERE a.sym = b.x AND a.nxt = b.y),
+        |kept1 AS (
+        |  SELECT wid, pos FROM (
+        |    SELECT wid, pos, MIN(pos) OVER (PARTITION BY wid, grp) AS start
+        |    FROM (SELECT wid, pos,
+        |            pos - row_number() OVER (PARTITION BY wid ORDER BY pos)
+        |              AS grp
+        |          FROM cand1))
+        |  WHERE (pos - start) % 2 = 0),
+        |t1 AS (
+        |  SELECT wid, row_number() OVER (PARTITION BY wid ORDER BY pos)
+        |    AS pos, sym
+        |  FROM (
+        |    SELECT t.wid, t.pos,
+        |      CASE WHEN k.pos IS NOT NULL THEN t.sym || n.sym
+        |           ELSE t.sym END AS sym
+        |    FROM t0 t
+        |    LEFT JOIN kept1 k ON k.wid = t.wid AND k.pos = t.pos
+        |    LEFT JOIN t0 n ON n.wid = t.wid AND n.pos = t.pos + 1
+        |    WHERE NOT EXISTS (SELECT 1 FROM kept1 d
+        |                      WHERE d.wid = t.wid AND d.pos = t.pos - 1))),
+        |adj2 AS (
+        |  SELECT t.wid, t.pos, t.sym, u.sym AS nxt
+        |  FROM t1 t JOIN t1 u ON u.wid = t.wid AND u.pos = t.pos + 1),
+        |best2 AS (
+        |  SELECT sym AS x, nxt AS y, COUNT(*) AS n FROM adj2 GROUP BY 1, 2
+        |  ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+        |cand2 AS (
+        |  SELECT a.wid, a.pos FROM adj2 a, best2 b
+        |  WHERE a.sym = b.x AND a.nxt = b.y),
+        |kept2 AS (
+        |  SELECT wid, pos FROM (
+        |    SELECT wid, pos, MIN(pos) OVER (PARTITION BY wid, grp) AS start
+        |    FROM (SELECT wid, pos,
+        |            pos - row_number() OVER (PARTITION BY wid ORDER BY pos)
+        |              AS grp
+        |          FROM cand2))
+        |  WHERE (pos - start) % 2 = 0),
+        |t2 AS (
+        |  SELECT wid, row_number() OVER (PARTITION BY wid ORDER BY pos)
+        |    AS pos, sym
+        |  FROM (
+        |    SELECT t.wid, t.pos,
+        |      CASE WHEN k.pos IS NOT NULL THEN t.sym || n.sym
+        |           ELSE t.sym END AS sym
+        |    FROM t1 t
+        |    LEFT JOIN kept2 k ON k.wid = t.wid AND k.pos = t.pos
+        |    LEFT JOIN t1 n ON n.wid = t.wid AND n.pos = t.pos + 1
+        |    WHERE NOT EXISTS (SELECT 1 FROM kept2 d
+        |                      WHERE d.wid = t.wid AND d.pos = t.pos - 1))),
+        |best3 AS (
+        |  SELECT sym AS x, nxt AS y, COUNT(*) AS n
+        |  FROM (SELECT t.wid, t.pos, t.sym, u.sym AS nxt
+        |        FROM t2 t JOIN t2 u ON u.wid = t.wid AND u.pos = t.pos + 1)
+        |  GROUP BY 1, 2 ORDER BY n DESC, x ASC, y ASC LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, x AS tok_x, y AS tok_y,
+        |       CAST(n AS BIGINT) AS n_pairs FROM best1
+        |UNION ALL SELECT CAST(2 AS BIGINT), x, y, CAST(n AS BIGINT) FROM best2
+        |UNION ALL SELECT CAST(3 AS BIGINT), x, y, CAST(n AS BIGINT) FROM best3
+        |ORDER BY round""".stripMargin,
     "pipe_curation_e2e" ->
       """WITH docs AS (
         |  SELECT doc_id, source, lang, text,
