@@ -47,7 +47,8 @@ class DeterminismSpec extends AnyFunSuite {
     // here so a future change can't silently reintroduce tie wobble
     "sketch_cms_freq", "sketch_bottomk_intersect", "la_spgemm",
     "etl_max_concurrency", "join_bloom_prefilter", "agg_event_paths",
-    "agg_event_transitions", "agg_chi2_contingency")
+    "agg_event_transitions", "agg_chi2_contingency",
+    "pipe_bpe_train_rounds")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
