@@ -56,7 +56,21 @@ def gen_query(rnd, i):
     preds = [gen_pred(rnd) for _ in range(rnd.randrange(1, 4))]
     glue = " AND " if rnd.random() < 0.7 else " OR "
     where = glue.join(f"({p})" for p in preds)
-    kind = rnd.randrange(16)
+    kind = rnd.randrange(17)
+    if kind == 16:  # lag-pair transition + window-SUM margins (the R9b
+        # class agg_event_transitions hit: DuckDB window SUM is HUGEINT,
+        # Spark's is BIGINT — the shared CAST must reconcile them; lag
+        # over a unique (key) order keeps pairs deterministic)
+        k = rnd.randrange(3, 20)
+        return (f"WITH e AS (SELECT o_custkey % {k} AS u, o_orderkey AS t, "
+                f"o_orderstatus AS s FROM orders WHERE {where}), "
+                f"l AS (SELECT u, s, lag(s) OVER (PARTITION BY u "
+                f"ORDER BY t) AS prev FROM e), "
+                f"c AS (SELECT prev, s, COUNT(*) AS n FROM l "
+                f"WHERE prev IS NOT NULL GROUP BY prev, s) "
+                f"SELECT prev, s, n, "
+                f"CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS tot "
+                f"FROM c ORDER BY prev, s")
     if kind == 15:  # winnowing-style window-min fingerprint selection
         # (dedup_winnow_fingerprint's shape): multiplicative hash, key =
         # h * 2^21 + (2^21-1-pos) so min-key encodes (min hash, rightmost
