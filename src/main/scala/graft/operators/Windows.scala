@@ -175,6 +175,32 @@ object Windows {
         .select($"user_id", $"ts_us", $"event_id",
           expr("num div 255").as("ema_cents"))
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Sliding-window MEDIAN (trailing 15 rows) — the robust rolling
+    // statistic a mean-based monitor can't give (one outlier wrecks a
+    // rolling mean; the median shrugs). The ROWS frame is BOUNDED, so
+    // collect_list over the frame is a ≤15-element state per row (legal
+    // and cheap — this is NOT the unbounded collect anti-pattern);
+    // sort_array + element_at((n+1) div 2) picks the discrete lower
+    // median, deterministic because equal ranks hold equal values. The
+    // oracle can't sort an array per frame, so it rebuilds each frame as
+    // a bounded self-join (rn BETWEEN rn-14 AND rn) and rank-selects the
+    // same position — a cross-FORM equivalence proof, not just a port.
+    // One user-keyed sort shuffle; frame work is O(15 log 15) per row.
+    "win_median_sliding" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(-14, 0)
+      Tables.events(s, d).filter($"user_id" < 100)
+        .select($"user_id", Tables.tsUs.as("ts_us"), $"event_id",
+          round(Tables.dec($"value") * 100).cast("long").as("cents"))
+        .withColumn("arr", sort_array(collect_list($"cents").over(w)))
+        .select($"user_id", $"event_id",
+          expr("element_at(arr, cast((size(arr) + 1) div 2 as int))")
+            .as("med_lo_c"),
+          size($"arr").cast("long").as("n_win"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -273,6 +299,30 @@ object Windows {
         |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
         |SELECT user_id, ts_us, event_id, num // 255 AS ema_cents
-        |FROM o WHERE rn >= 8 ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM o WHERE rn >= 8 ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // Frame rebuilt as a bounded self-join; the rank-selected value at
+    // position (cnt+1)//2 equals the sorted array's lower median —
+    // deterministic under ties because equal ranks hold equal values.
+    "win_median_sliding" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE user_id < 100),
+        |f AS (
+        |  SELECT a.user_id, a.event_id, a.rn, b.cents AS v
+        |  FROM e a JOIN e b
+        |    ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 14 AND a.rn),
+        |r AS (
+        |  SELECT user_id, event_id, rn, v,
+        |    row_number() OVER (PARTITION BY user_id, rn ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY user_id, rn) AS cnt
+        |  FROM f)
+        |SELECT user_id, event_id,
+        |  MAX(CASE WHEN vr = (cnt + 1) // 2 THEN v END) AS med_lo_c,
+        |  CAST(MAX(cnt) AS BIGINT) AS n_win
+        |FROM r GROUP BY user_id, event_id, rn
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -48,7 +48,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sketch_cms_freq", "sketch_bottomk_intersect", "la_spgemm",
     "etl_max_concurrency", "join_bloom_prefilter", "agg_event_paths",
     "agg_event_transitions", "agg_chi2_contingency",
-    "pipe_bpe_train_rounds")
+    "pipe_bpe_train_rounds", "win_median_sliding")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
