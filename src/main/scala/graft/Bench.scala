@@ -28,10 +28,23 @@ object Bench {
     // Sorted name order: hash-map iteration order shifts whenever the
     // registry grows, which silently reshuffles which query absorbs each
     // first-action codegen cost and breaks round-over-round comparison.
+    // Each query reports min-of-REPS executions (default 2): per-query
+    // codegen compilation lands on the first execution only, so the min is
+    // the steady-state figure — round-over-round diffs then reflect plan
+    // changes, not which query happened to pay a warmup. Repeat execution
+    // is safe: DeterminismSpec pins every registry query as
+    // repeat-idempotent (fixture writers overwrite their own dirs).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = (1 to reps).foldLeft(Double.MaxValue) { (acc, _) =>
+        if (acc < 0) acc else math.min(acc, once()) // a failure short-circuits
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

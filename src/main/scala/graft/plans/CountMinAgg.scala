@@ -44,6 +44,11 @@ final class CmsState(val d: Int, val w: Int) extends Serializable {
     (java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16) % w).toInt
 
   def insert(hex: String): Unit = {
+    // The d row hashes slice disjoint 8-hex-char windows out of the digest;
+    // a short input means the caller passed a raw key instead of its md5 hex.
+    require(hex.length >= 8 * d,
+      s"cms_sketch: key must be a hex digest of >= ${8 * d} chars " +
+        s"(pass md5(key), not the raw key); got length ${hex.length}")
     var j = 0
     while (j < d) { cells(j * w + cellOf(hex, j)) += 1; j += 1 }
     count += 1
@@ -81,6 +86,17 @@ case class CountMinAgg(child: Expression, d: Int, w: Int,
 
   require(d >= 1 && d <= 4, s"cms_sketch: d must be in 1..4, got $d")
   require(w >= 2 && w <= (1 << 20), s"cms_sketch: w must be in 2..2^20, got $w")
+
+  // Analysis-time child-type gate: the child is the md5 HEX STRING of the
+  // key — a non-string child must fail analysis, not mid-query.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch requires a STRING md5-hex child (pass md5(key)), " +
+        s"got ${child.dataType.simpleString}")
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

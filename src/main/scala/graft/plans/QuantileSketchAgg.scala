@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * enter at level 0; when a level reaches `k` items it is sorted and
   * every other item (starting at a deterministically chosen offset) is
   * promoted to level `h+1` with doubled weight — halving the level and
-  * charging at most `2^(h-1)` rank error per compaction. Summing over
-  * the ~`n/(k·2^h)` compactions a level sees gives the classic
-  * worst-case rank-error bound
+  * charging at most `2^h` rank error per compaction in the worst case
+  * (the straddling pair's kept end can go the wrong way by the full
+  * level weight; the alternating offset halves this in EXPECTATION but
+  * not provably). Summing over the ~`n/(k·2^h)` compactions a level sees
+  * gives the provable worst-case rank-error bound
   *
-  *   |rank_est − rank_true| ≤ H·n/(2k),  H = number of levels ≈ log2(n/k),
+  *   |rank_est − rank_true| ≤ H·n/k,  H = number of levels ≈ log2(n/k),
   *
   * independent of input order. The offset bit comes from a fixed-seed
   * hash of a compaction counter (no RNG state, no `Math.random`), so a
@@ -126,10 +128,15 @@ final class KllState(val k: Int) extends Serializable {
     }
   }
 
-  /** Worst-case rank-error bound in rows: H·n/(2k) plus one top-level
-    * item weight for discretization. */
+  /** Worst-case rank-error bound in rows: H·n/k plus one top-level item
+    * weight 2^H for discretization. A single level-h compaction can shift
+    * a rank by the FULL level weight 2^h (when the straddling pair's kept
+    * end goes the wrong way), not 2^(h-1) — the alternating-offset scheme
+    * halves this in expectation but not in the worst case, so the provable
+    * per-level term is n/k, giving H·n/k over H levels. This matches the
+    * slack `rankOkSql` grades with. */
   def rankErrorBound: Long =
-    (levels.length.toLong * count) / (2L * k) + (1L << (levels.length - 1))
+    (levels.length.toLong * count) / k + (1L << levels.length)
 }
 
 /** `quantile_sketch(x, k, array(q1, q2, ...))` — one-pass mergeable
@@ -143,6 +150,17 @@ case class QuantileSketchAgg(child: Expression, k: Int, qs: Seq[Double],
   require(k >= 8, s"quantile_sketch: k must be >= 8, got $k")
   require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
     s"quantile_sketch: quantiles must be in (0, 1], got $qs")
+
+  // Analysis-time child-type gate: update() casts to Long, so a non-BIGINT
+  // child must fail analysis, not ClassCastException mid-execution.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantile_sketch requires a BIGINT child (cast explicitly), " +
+        s"got ${child.dataType.simpleString}")
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -212,9 +230,10 @@ object QuantileSketchAgg {
   /** SQL text for "did the rank-error theorem hold": given exact interval
     * ranks `rLt` = count(< v̂), `rLe` = count(≤ v̂) and a target rank
     * expression over a group-size column `n`, emits 1 iff the target lies
-    * inside [rLt − slack, rLe + slack] where slack is the worst-case KLL
-    * bound H·n/(2k) + 2^(H−1), doubled for merge-order slack (same
-    * formula agg_quantile_sketch_rank grades with; H recomputed from n).
+    * inside [rLt − slack, rLe + slack] where slack is the provable
+    * worst-case KLL bound H·n/k + 2^H (each compaction can shift a rank by
+    * the full level weight; see KllState.rankErrorBound — same figure, H
+    * recomputed from n; same formula agg_quantile_sketch_rank grades with).
     */
   def rankOkSql(k: Int, rLt: String, rLe: String, target: String): String = {
     val h = s"greatest(floor(log2(greatest(n div $k, 1))) + 2, 1)"

@@ -54,13 +54,29 @@ object MergeSink {
   /** Partition values rewritten and rows written, for observability. */
   final case class MergeStats(partitionsRewritten: Seq[String], rowsWritten: Long)
 
+  /** @param targetSeqCol when set, names a PAYLOAD column of the target
+    *   that stores each row's version/event time: the merge becomes
+    *   CONDITIONAL ("apply only if newer") — ordering flips to
+    *   (`__seq` desc, `__src` desc), so a change row older than the stored
+    *   row loses, and batches can be applied in ANY order with the same
+    *   final table (out-of-order microbatch safety; the exception is a
+    *   delete, whose tombstone is not retained — the standard plain-COW
+    *   caveat). When None (default), last-writer-wins: changes always beat
+    *   the target, higher `seqCol` wins within a batch. */
   def mergeInto(spark: SparkSession, tablePath: String, changes: DataFrame,
                 keyCols: Seq[String], partitionCol: String,
-                opCol: String = "op", seqCol: String = "seq"): MergeStats = {
+                opCol: String = "op", seqCol: String = "seq",
+                targetSeqCol: Option[String] = None): MergeStats = {
     require(keyCols.nonEmpty, "mergeInto: at least one key column")
 
     val affected = changes.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // Null partitions are not addressable by partition-COW: isin(null) never
+    // matches under three-valued logic and the emptied-dir cleanup would have
+    // to reason about __HIVE_DEFAULT_PARTITION__ — reject up front instead of
+    // silently dropping the change rows (documented contract).
+    require(!affected.exists(_ == null),
+      s"mergeInto: changes.$partitionCol must be non-null")
     if (affected.isEmpty) return MergeStats(Nil, 0L)
 
     // Align the partition column's dtype with the change batch: directory
@@ -76,13 +92,18 @@ object MergeSink {
     val payloadCols = target.columns.filterNot(c =>
       keyCols.contains(c) || c == partitionCol).toSeq
 
-    // src=0 base, src=1 changes; within changes, higher seq wins; exactly
-    // one survivor per key; 'D' survivors drop out.
+    // src=0 base, src=1 changes; exactly one survivor per key; 'D'
+    // survivors drop out. Unconditional mode: changes trump the target,
+    // higher seq wins within the batch. Conditional mode (targetSeqCol):
+    // the globally newest version wins, change beats target only on a tie.
     val ordered = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
-      .orderBy(col("__src").desc, col("__seq").desc)
+      .orderBy(
+        (if (targetSeqCol.isDefined) Seq(col("__seq").desc, col("__src").desc)
+         else Seq(col("__src").desc, col("__seq").desc)): _*)
     val merged = target
       .withColumn("__op", lit(null: String)).withColumn("__src", lit(0))
-      .withColumn("__seq", lit(0L))
+      .withColumn("__seq",
+        targetSeqCol.map(c => col(c).cast("long")).getOrElse(lit(0L)))
       .unionByName(changes
         .withColumnRenamed(opCol, "__op").withColumn("__src", lit(1))
         .withColumn("__seq", col(seqCol).cast("long")).drop(seqCol))
@@ -93,13 +114,10 @@ object MergeSink {
 
     try {
       val rows = merged.count()
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // Per-write option, not session conf: a concurrent overwrite in the
+      // same session must keep its own semantics during this write.
+      merged.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
 
       // Dynamic overwrite only replaces directories PRESENT in the output:
       // an affected partition whose every row was deleted produces no output
@@ -121,7 +139,16 @@ object MergeSink {
         }
       }
       MergeStats(affected.map(String.valueOf), rows)
-    } finally merged.unpersist() // release the checkpoint blocks: a long
-    // CDC session applies many batches and the slices would accumulate
+    } finally {
+      // Dataset.unpersist does NOT drop localCheckpoint blocks (they are
+      // cached partitions of the checkpointed RDD, not a cached query) —
+      // unpersist the backing RDD itself so a long CDC session applying
+      // many batches doesn't accumulate checkpoint storage.
+      merged.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => merged.unpersist()
+      }
+    }
   }
 }

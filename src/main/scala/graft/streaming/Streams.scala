@@ -296,14 +296,17 @@ object Streams {
     // maintaining a queryable partitioned table from a change stream
     // (micro-batch granularity, each batch one atomic-per-partition merge).
     // Base table: per-user state from "historical" events (event_id%3=0),
-    // partitioned by p = user_id % 8. The stream carries the rest; each
-    // microbatch reduces to one change row per user — the LATEST event (by
-    // µs time, event_id tiebreak) wins, deleted if its cents divide by 7 —
-    // and foreachBatch merges it. AvailableNow over the static dir ⇒ one
-    // batch ⇒ the oracle replicates the same reduction relationally and
-    // the final on-disk table is hash-compared through a re-read. Scale:
-    // stream work per batch is one hash-agg; merge work scales with the
-    // affected partitions, not the table.
+    // partitioned by p = user_id % 8, with the deciding event time STORED
+    // (ev_ts). The stream carries the rest; each microbatch reduces to one
+    // change row per user — the LATEST event (by µs time, event_id
+    // tiebreak) wins, deleted if its cents divide by 7 — and foreachBatch
+    // merges it CONDITIONALLY (targetSeqCol = ev_ts): the globally latest
+    // event wins whether it arrived as history or stream, in ANY microbatch
+    // order, so the semantics don't depend on AvailableNow yielding one
+    // batch. The oracle replicates the same global reduction relationally
+    // and the final on-disk table is hash-compared through a re-read.
+    // Scale: stream work per batch is one hash-agg; merge work scales with
+    // the affected partitions, not the table.
     "stream_cdc_apply" -> ((s, d) => {
       import s.implicits._
       val dir = s"${graft.fixtureRoot}/stream_cdc"
@@ -316,6 +319,9 @@ object Streams {
       hist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"user_id".as("k"),
           round(Tables.dec($"value") * 100).cast("long").as("cents"),
+          // the deciding event time is STORED in the table so the merge can
+          // be conditional ("apply only if newer") — microbatch-order-safe
+          $"ts_us".as("ev_ts"),
           ($"user_id" % 8).cast("string").as("p"))
         .coalesce(2).write.partitionBy("p").mode("overwrite").parquet(dir)
       val stream = readEvents(s, d).filter($"event_id" % 3 =!= 0)
@@ -327,12 +333,19 @@ object Streams {
             .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
             .select(col("user_id").as("k"),
               round(Tables.dec(col("value")) * 100).cast("long").as("cents"),
-              (col("user_id") % 8).cast("string").as("p"))
+              Tables.tsUs.as("ev_ts"),
+              (col("user_id") % 8).cast("string").as("p"),
+              // seq = the event's µs time, NOT a per-batch constant, and the
+              // merge is CONDITIONAL on the stored ev_ts: if the source ever
+              // splits into >1 microbatch (maxFilesPerTrigger, larger SF),
+              // the globally latest event still wins in ANY batch order —
+              // matching the oracle's global reduction.
+              Tables.tsUs.as("seq"))
             .withColumn("op",
               when(col("cents") % 7 === 0, lit("D")).otherwise(lit("U")))
-            .withColumn("seq", lit(1L))
           graft.sources.MergeSink.mergeInto(
-            batch.sparkSession, dir, changes, Seq("k"), "p")
+            batch.sparkSession, dir, changes, Seq("k"), "p",
+            targetSeqCol = Some("ev_ts"))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -616,9 +629,10 @@ object Streams {
     "stream_stateful_count" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // Batch dual of the streaming CDC apply: AvailableNow ⇒ one microbatch
-    // ⇒ the per-batch "latest event per user" reduction is global, and the
-    // merge is last-wins over (key, partition).
+    // Batch dual of the streaming CDC apply: the merge is CONDITIONAL on
+    // the stored event time (targetSeqCol) — the globally latest event per
+    // (key, partition) wins whether it arrived as history or as a change,
+    // in any microbatch order; stream side (src=1) breaks exact-time ties.
     "stream_cdc_apply" ->
       """WITH hist AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
@@ -626,7 +640,7 @@ object Streams {
         |base AS (
         |  SELECT user_id AS k,
         |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
-        |    user_id % 8 AS p
+        |    ts_us, user_id % 8 AS p
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM hist)
         |  WHERE rn = 1),
@@ -636,20 +650,21 @@ object Streams {
         |chg AS (
         |  SELECT user_id AS k,
         |    CAST(round(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
-        |    user_id % 8 AS p
+        |    ts_us, user_id % 8 AS p
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM str)
         |  WHERE rn = 1),
         |chg2 AS (
-        |  SELECT k, cents, p,
+        |  SELECT k, cents, ts_us, p,
         |    CASE WHEN cents % 7 = 0 THEN 'D' ELSE 'U' END AS op FROM chg),
         |merged AS (
         |  SELECT k, cents, p, op FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY k, p ORDER BY src DESC) AS rn2
+        |    SELECT *, row_number() OVER (PARTITION BY k, p
+        |      ORDER BY ts_us DESC, src DESC) AS rn2
         |    FROM (
-        |      SELECT k, cents, p, NULL AS op, 0 AS src FROM base
+        |      SELECT k, cents, ts_us, p, NULL AS op, 0 AS src FROM base
         |      UNION ALL
-        |      SELECT k, cents, p, op, 1 AS src FROM chg2))
+        |      SELECT k, cents, ts_us, p, op, 1 AS src FROM chg2))
         |  WHERE rn2 = 1 AND (op IS NULL OR op <> 'D'))
         |SELECT CAST(p AS VARCHAR) AS p, count(*) AS n_users,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents

@@ -190,6 +190,59 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(readState(dir).size == 200)
   }
 
+  test("null partition value in changes is rejected up front") {
+    val dir = writeBase()
+    val err = intercept[IllegalArgumentException] {
+      MergeSink.mergeInto(spark, dir,
+        Seq((1L, 5L, null: String, "U", 1L))
+          .toDF("k", "price_cents", "prio", "op", "seq"),
+        Seq("k"), "prio")
+    }
+    assert(err.getMessage.contains("non-null"), err.getMessage)
+  }
+
+  test("targetSeqCol: conditional merge is microbatch-order independent") {
+    // version column `ver` stored as payload; two single-row batches for the
+    // same key applied NEWEST-FIRST must leave the newest value in place —
+    // the shape a file-source CDC stream hits when microbatch boundaries
+    // don't respect event order.
+    def freshDir(): String = {
+      val dir = Files.createTempDirectory("graft_merge_seq").toString + "/t"
+      Seq((1L, 10L, 100L, "1"), (2L, 20L, 100L, "1"))
+        .toDF("k", "cents", "ver", "prio")
+        .write.partitionBy("prio").mode("overwrite").parquet(dir)
+      dir
+    }
+    def batch(cents: Long, ver: Long) =
+      Seq((1L, cents, ver, "1", "U", ver))
+        .toDF("k", "cents", "ver", "prio", "op", "seq")
+    def state(dir: String): Map[Long, (Long, Long)] =
+      spark.read.parquet(dir).select($"k", $"cents", $"ver").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // order A: old then new
+    val dirA = freshDir()
+    MergeSink.mergeInto(spark, dirA, batch(111L, 200L), Seq("k"), "prio",
+      targetSeqCol = Some("ver"))
+    MergeSink.mergeInto(spark, dirA, batch(222L, 300L), Seq("k"), "prio",
+      targetSeqCol = Some("ver"))
+    // order B: new then old — the old batch must NOT overwrite
+    val dirB = freshDir()
+    MergeSink.mergeInto(spark, dirB, batch(222L, 300L), Seq("k"), "prio",
+      targetSeqCol = Some("ver"))
+    MergeSink.mergeInto(spark, dirB, batch(111L, 200L), Seq("k"), "prio",
+      targetSeqCol = Some("ver"))
+
+    assert(state(dirA) == state(dirB))
+    assert(state(dirA)(1L) == ((222L, 300L)))
+    assert(state(dirA)(2L) == ((20L, 100L)))
+    // default (unconditional) mode keeps last-writer-wins semantics
+    val dirC = freshDir()
+    MergeSink.mergeInto(spark, dirC, batch(222L, 300L), Seq("k"), "prio")
+    MergeSink.mergeInto(spark, dirC, batch(111L, 200L), Seq("k"), "prio")
+    assert(state(dirC)(1L) == ((111L, 200L)))
+  }
+
   test("empty change batch is a no-op") {
     val dir = writeBase()
     val before = (1 to 5).map(p => p.toString -> stamps(dir, p.toString)).toMap

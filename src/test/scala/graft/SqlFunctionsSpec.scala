@@ -244,4 +244,29 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty, "10 chars → no full window → empty fingerprint set")
     assert(spark.sql("SELECT winnow_fp(CAST(NULL AS STRING)) AS f").head().isNullAt(0))
   }
+
+  test("sketch aggregates reject wrong child types at analysis time") {
+    GraftFunctions.register(spark)
+    // quantile_sketch executes update() on a Long child — a STRING child
+    // must fail analysis, not ClassCastException mid-execution
+    val qErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantile_sketch(s, 512, array(0.5D)) " +
+        "FROM (VALUES ('a'), ('b')) t(s)").collect()
+    }
+    assert(qErr.getMessage.toLowerCase.contains("bigint"), qErr.getMessage)
+    // cms_sketch's child is the md5 HEX STRING — a BIGINT child must fail
+    // analysis too
+    val cErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_sketch(x, 4, 64) " +
+        "FROM (VALUES (CAST(1 AS BIGINT))) t(x)").collect()
+    }
+    assert(cErr.getMessage.toLowerCase.contains("string"), cErr.getMessage)
+    // ...and a string that is NOT a >=8d-hex digest fails loudly at runtime
+    // with guidance, instead of StringIndexOutOfBounds mid-query
+    val rErr = intercept[Exception] {
+      spark.sql("SELECT cms_sketch(s, 4, 64) FROM (VALUES ('abc')) t(s)")
+        .collect()
+    }
+    assert(rErr.getMessage.contains("md5"), rErr.getMessage)
+  }
 }
