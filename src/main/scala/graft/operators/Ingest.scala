@@ -22,6 +22,7 @@ object Ingest {
   private val csvFixture  = s"${graft.fixtureRoot}/csv_nation"
   private val jsonFixture = s"${graft.fixtureRoot}/json_nation"
   private val partFixture = s"${graft.fixtureRoot}/part_nation"
+  private val streamRoot  = s"${graft.fixtureRoot}/stream_landing"
 
   private val csvSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -92,6 +93,53 @@ object Ingest {
       s.read.parquet(partFixture)
         .select($"n_nationkey", $"n_name", $"r_name".cast("string").as("r_name"))
         .orderBy("n_nationkey")
+    }),
+
+    // A5 promoted to an oracle row (round-3 verdict item 4): the streaming
+    // file source end-to-end — a landing directory receives TWO file drops
+    // (as a real landing zone does), the stream consumes them with
+    // maxFilesPerTrigger=1 so AvailableNow provably processes MULTIPLE
+    // microbatches (pinned in StreamingIngestSpec), a stateless transform
+    // runs per batch, and the exactly-once parquet file sink commits via
+    // its _spark_metadata log. The engine result re-reads the SINK (so the
+    // commit-log read path is covered); the oracle re-derives the expected
+    // rows from the LANDING files relationally — proving streaming
+    // consumption ≡ batch semantics over the same inputs. Scale: the file
+    // source lists and checkpoints file names only; per-batch work is a
+    // stateless projection — the standard 100 TB landing-zone ingest shape.
+    "ingest_stream_landing" -> ((s, d) => {
+      import s.implicits._
+      val landing = s"$streamRoot/landing"
+      val sink = s"$streamRoot/sink"
+      // file-source + sink state is keyed by file paths: stale state from a
+      // prior run (different random part-file names) must be removed for a
+      // deterministic rebuild
+      val fs = new org.apache.hadoop.fs.Path(streamRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(streamRoot), true)
+      val orders = Tables.orders(s, d).select(
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        year($"o_orderdate").cast("long").as("o_year"))
+      orders.filter($"o_orderkey" % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      orders.filter($"o_orderkey" % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(landing)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_year", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .filter($"o_orderstatus" =!= "P")
+        .select($"o_orderkey", $"o_orderstatus",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"),
+          $"o_year")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", s"$streamRoot/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy("o_orderkey")
     })
   )
 
@@ -115,6 +163,16 @@ object Ingest {
       s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
          |       CAST(r_name AS VARCHAR) AS r_name
          |FROM read_parquet('$partFixture/*/*.parquet', hive_partitioning=true)
-         |ORDER BY n_nationkey""".stripMargin
+         |ORDER BY n_nationkey""".stripMargin,
+    // Re-derives the expected sink contents from the LANDING files: the
+    // streaming consumption (2 microbatches + exactly-once file sink) must
+    // equal the batch semantics of the same transform.
+    "ingest_stream_landing" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+         |  CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
+         |  o_year
+         |FROM read_parquet('$streamRoot/landing/*.parquet')
+         |WHERE o_orderstatus <> 'P'
+         |ORDER BY o_orderkey""".stripMargin
   )
 }
