@@ -59,6 +59,43 @@ object SkewBench {
     println(s"""{"metric":"skew_join","unit":"sec","naive":$tNaive,""" +
       s""""salted":$tSalted,"aqe":$tAqe,"warmup":$warm,""" +
       s""""salted_speedup":${tNaive / tSalted},"rows":$nProbe,"checksum_equal":$check}""")
+
+    // The GRADED shape (join_skewed_hotkey), scaled: sf0.1 lineitem
+    // replicated 100x to ~64M rows, same 90%-one-key derivation, same
+    // 100-row dim. The replication multiplies cents by a row-unique offset
+    // so the checksum is layout-sensitive, then the three variants run the
+    // exact graded dataflow.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // repartition BEFORE the 100x explode: a real cluster's fact scan has
+    // many tasks; without this the join shuffle has 1-2 map tasks, which
+    // both bottlenecks the pipeline and makes skewed partitions
+    // unsplittable (AQE splits by map-output ranges — same lesson as the
+    // PlanShapeSpec AQE pin).
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(cpus.toInt)
+    val gFact = li.select(
+        when($"l_orderkey" % 10 < 9, 0L)
+          .otherwise($"l_partkey" % 100).as("hk"),
+        round($"l_extendedprice".cast("decimal(18,6)") * 100).cast("long").as("cents"))
+      .withColumn("r", explode(array((0 until 100).map(lit): _*)))
+      .select($"hk", ($"cents" + $"r").as("v"))
+    val gDim = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .groupBy(($"s_suppkey" % 100).as("dk"))
+      .agg(min($"s_nationkey".cast("long")).as("w"))
+      .localCheckpoint()
+    def gNaive(): Long = gFact.hint("merge").join(gDim, $"hk" === $"dk")
+      .agg(sum($"v" * $"w")).as[Long].head()
+    def gSalted(): Long = operators.Scale
+      .saltedJoin(gFact.hint("merge"), gDim, "hk", "dk", 32)
+      .agg(sum($"v" * $"w")).as[Long].head()
+    val gRows = gFact.count()
+    val gw = time(aqe = false)(gNaive())
+    val gtNaive = time(aqe = false)(gNaive())
+    val gtSalted = time(aqe = false)(gSalted())
+    val gtAqe = time(aqe = true)(gNaive())
+    val gCheck = gNaive() == gSalted()
+    println(s"""{"metric":"skew_join_graded_shape","unit":"sec","naive":$gtNaive,""" +
+      s""""salted":$gtSalted,"aqe":$gtAqe,"warmup":$gw,""" +
+      s""""salted_speedup":${gtNaive / gtSalted},"rows":$gRows,"checksum_equal":$gCheck}""")
     spark.stop()
   }
 }

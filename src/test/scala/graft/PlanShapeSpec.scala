@@ -224,4 +224,68 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinIdx >= 0, "expected a join in the plan")
     assert(idx > joinIdx, "prefilter must be planned under the join, not above it")
   }
+
+  test("skewed hot-key join: salted plan shuffles on (salt, key), no broadcast") {
+    val p = plan("join_skewed_hotkey")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"skew mitigation needs a real shuffle join:\n${p.take(500)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      "broadcast would make the salt dead weight — hint must hold")
+    assert(p.contains("__salt"),
+      "join keys must include the salt (the skew-spreading column)")
+  }
+
+  test("skewed hot-key join: the UNSALTED form triggers AQE OptimizeSkewedJoin") {
+    // The other half of the either/or contract: on the same 90%-hot-key
+    // data, Spark's own runtime mitigation must fire when the salt is not
+    // applied. Thresholds lowered so the sf0.001 fixture's hot partition
+    // qualifies; the marker is the `skew=true` flag AQE stamps on the
+    // re-planned SortMergeJoin after execution. Two preconditions verified
+    // the hard way: (1) the fact side needs MULTIPLE map tasks — AQE
+    // splits a skewed reduce partition by map-output ranges, so with one
+    // mapper (one small parquet file) nothing is splittable and the rule
+    // reports zero skewed partitions; (2) the dim side must shuffle
+    // PLAINLY into the join (ENSURE_REQUIREMENTS) — an aggregate between
+    // shuffle and join breaks the Sort(ShuffleStage) pattern the rule
+    // matches, hence the localCheckpoint materialization.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = graft.Tables.lineitem(spark, TestSpark.sfDir)
+        .repartition(16) // see (1) above: skew split needs >1 map task
+        .select(
+          when($"l_orderkey" % 10 < 9, 0L)
+            .otherwise($"l_partkey" % 100).as("hk"),
+          round(graft.Tables.dec($"l_extendedprice") * 100).cast("long").as("cents"))
+      val dim = graft.Tables.supplier(spark, TestSpark.sfDir)
+        .groupBy(($"s_suppkey" % 100).as("dk"))
+        .agg(min($"s_nationkey".cast("long")).as("nk"))
+        .localCheckpoint() // see (2) above
+      val joined = fact.join(dim.hint("merge"), $"hk" === $"dk")
+        .groupBy($"nk").agg(sum($"cents").as("sum_cents"))
+      joined.collect() // AQE re-plans at runtime — must execute first
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"OptimizeSkewedJoin must split the hot partition:\n${p.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
