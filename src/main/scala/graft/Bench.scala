@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Opt-in (SPARK_GRAFT_BENCH_SPILL=1) per-query resource accounting for
+    * scale-up runs: accumulates task-level spill bytes and tracks max
+    * per-task peak execution memory via a listener; Bench snapshots the
+    * counters around each query and emits a second JSON line the driver
+    * ignores. */
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,14 +53,27 @@ object Bench {
     // is safe: DeterminismSpec pins every registry query as
     // repeat-idempotent (fixture writers overwrite their own dirs).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val trackSpill = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
+    val listener = new SpillListener
+    if (trackSpill) spark.sparkContext.addSparkListener(listener)
+    val spills = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
+      val s0 = listener.spilled.get()
+      if (trackSpill) listener.peak.set(0L)
       val best = (1 to reps).foldLeft(Double.MaxValue) { (acc, _) =>
         if (acc < 0) acc else math.min(acc, once()) // a failure short-circuits
+      }
+      if (trackSpill) {
+        // listener events are async (listenerBus is private[spark]) — a
+        // short drain pause keeps per-query attribution honest enough for
+        // the scale-up report
+        Thread.sleep(300)
+        spills += ((name, listener.spilled.get() - s0, listener.peak.get()))
       }
       name -> best
     }
@@ -50,6 +81,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (trackSpill) {
+      val sp = spills.map { case (k, s, p) =>
+        s"\"" + k + "\":[" + s + "," + p + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"spill_peak","unit":"bytes","queries":$sp,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

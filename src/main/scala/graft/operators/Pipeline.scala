@@ -474,10 +474,152 @@ object Pipeline {
         .select($"round", $"x".as("tok_x"), $"y".as("tok_y"),
           $"n".as("n_pairs"))
         .orderBy("round")
+    }),
+
+    // Incremental corpus near-dup maintenance (round-3 verdict item 5):
+    // the nightly job a 100 TB pipeline actually runs. Day-0 state = a
+    // partitioned corpus table + its MinHash-LSH band index, both on
+    // disk. A batch arrives (new docs 140..299, updated docs 120..139
+    // with changed text, deletes among the old corpus) and
+    //   1. the batch's signatures probe the MAINTAINED index via a
+    //      (band, bh) equi-join — cost ∝ batch × bucket occupancy, the
+    //      full corpus is never re-signed or re-read;
+    //   2. BOTH tables are merge-updated through the partition-COW sink
+    //      (corpus keyed by doc_id, index keyed by doc_id within its
+    //      band partition — an update's new band hash replaces the old
+    //      row, a delete drops all 4 band rows).
+    // The graded output proves the POST-MERGE INDEX ≡ a from-scratch
+    // rebuild over the post-merge corpus (computed both ways in-engine,
+    // flag pinned by the oracle's independent rebuild) and carries the
+    // probe's candidate-pair count. At 100 TB the index would partition
+    // by (band, bucket-range); candidate rerank fetches signatures for
+    // candidates only.
+    "pipe_incremental_neardup" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${graft.fixtureRoot}/incr_neardup"
+      val corpusDir = s"$root/corpus"
+      val indexDir = s"$root/index"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = Tables.documents(s, d)
+      def bandRows(dd: org.apache.spark.sql.DataFrame) =
+        TextOps.minhashBands(dd).select($"doc_id", $"band", $"bh")
+      // day-0 state
+      val base = docs.filter($"doc_id" < 140).select($"doc_id", $"text")
+      base.withColumn("p", ($"doc_id" % 8).cast("string"))
+        .write.partitionBy("p").mode("overwrite").parquet(corpusDir)
+      bandRows(base).withColumn("band", $"band".cast("string"))
+        .write.partitionBy("band").mode("overwrite").parquet(indexDir)
+      // the nightly batch
+      val upserts = docs.filter($"doc_id" >= 120 && $"doc_id" < 300)
+        .select($"doc_id",
+          when($"doc_id" < 140, concat($"text", lit(" refresh")))
+            .otherwise($"text").as("text"))
+      val deletes = docs.filter($"doc_id" < 120 && $"doc_id" % 37 === 5)
+        .select($"doc_id")
+      // 1. probe the maintained index with BATCH signatures only
+      val newBands = bandRows(upserts).localCheckpoint() // reused 3x below
+      val idx = s.read.parquet(indexDir)
+        .select($"doc_id".as("old_id"), $"band".cast("int").as("band"), $"bh")
+      val nCand = newBands.join(idx, Seq("band", "bh"))
+        .filter($"old_id" =!= $"doc_id")
+        .select($"doc_id", $"old_id").distinct().count()
+      // 2. merge-update corpus and index
+      val corpusChanges = upserts.withColumn("op", lit("U"))
+        .unionByName(deletes
+          .withColumn("text", lit(null).cast("string"))
+          .withColumn("op", lit("D")))
+        .withColumn("p", ($"doc_id" % 8).cast("string"))
+        .withColumn("seq", lit(1L))
+      graft.sources.MergeSink.mergeInto(
+        s, corpusDir, corpusChanges, Seq("doc_id"), "p")
+      val idxChanges = newBands.withColumn("op", lit("U"))
+        .unionByName(deletes
+          .select($"doc_id", explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("bh", lit(null).cast("long"))
+          .withColumn("op", lit("D")))
+        .withColumn("seq", lit(1L))
+      graft.sources.MergeSink.mergeInto(
+        s, indexDir, idxChanges, Seq("doc_id"), "band")
+      // 3. graded output: merged-index summary + rebuild-equality proof
+      val merged = s.read.parquet(indexDir)
+        .select($"doc_id", $"band".cast("long").as("band"), $"bh")
+      val rebuilt = bandRows(
+          s.read.parquet(corpusDir).select($"doc_id", $"text"))
+        .select($"doc_id", $"band".cast("long").as("band"), $"bh")
+      val diff = merged.exceptAll(rebuilt).count() +
+        rebuilt.exceptAll(merged).count()
+      merged.groupBy($"band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"doc_id").as("n_docs"),
+          sum($"bh").as("sum_bh"))
+        .withColumn("match_rebuild", lit(if (diff == 0L) 1L else 0L))
+        .withColumn("n_cand_pairs", lit(nCand))
+        .orderBy("band")
     })
   )
 
+  /** DuckDB text of the MinHash-LSH band pipeline over CTE `src`
+    * (doc_id, text), emitting `${p}bands` (doc_id, band, bh) — the exact
+    * dual of [[TextOps.minhashBands]], replicated per source with prefix
+    * `p` for the incremental-neardup oracle. */
+  private def mhBandsSql(p: String, src: String): String =
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |${p}ti AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM ${p}t),
+       |${p}sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       |  FROM ${p}ti WHERE i <= len(t) - 2),
+       |${p}x AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS x
+       |  FROM ${p}sh),
+       |${p}pos AS (
+       |  SELECT doc_id, j, MIN(((2 * j + 1) * x + 7 * j + 3) % 2147483647) AS mh
+       |  FROM ${p}x, range(0, 16) r(j) GROUP BY doc_id, j),
+       |${p}sigs AS (
+       |  SELECT doc_id, list(mh ORDER BY j) AS sig FROM ${p}pos GROUP BY doc_id),
+       |${p}bands AS (
+       |  SELECT doc_id, b AS band,
+       |    CAST(('0x' || substring(md5(array_to_string(
+       |      list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4),
+       |        v -> CAST(v AS VARCHAR)), ':')), 1, 8)) AS BIGINT) AS bh
+       |  FROM ${p}sigs, range(0, 4) r(b))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Independent from-scratch rebuild: the post-merge corpus is derived
+    // relationally (survivors + refreshed updates + new docs), its band
+    // index recomputed, and the probe replayed against the PRE-merge
+    // index — pinning match_rebuild=1 makes the hash compare prove the
+    // engine's merge-maintained index equals this rebuild exactly.
+    "pipe_incremental_neardup" ->
+      s"""WITH final_corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 120 AND doc_id % 37 <> 5
+         |  UNION ALL
+         |  SELECT doc_id, text || ' refresh' FROM documents
+         |  WHERE doc_id >= 120 AND doc_id < 140
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 140 AND doc_id < 300),
+         |pre_corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 140),
+         |batch AS (
+         |  SELECT doc_id, CASE WHEN doc_id < 140 THEN text || ' refresh'
+         |                      ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 120 AND doc_id < 300),
+         |${mhBandsSql("f", "final_corpus")},
+         |${mhBandsSql("p", "pre_corpus")},
+         |${mhBandsSql("b", "batch")},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id, p.doc_id AS old_id
+         |  FROM bbands b JOIN pbands p
+         |    ON b.band = p.band AND b.bh = p.bh AND p.doc_id <> b.doc_id),
+         |ncand AS (SELECT COUNT(*) AS n FROM cand)
+         |SELECT band, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(bh) AS BIGINT) AS sum_bh,
+         |  CAST(1 AS BIGINT) AS match_rebuild,
+         |  CAST((SELECT n FROM ncand) AS BIGINT) AS n_cand_pairs
+         |FROM fbands GROUP BY band ORDER BY band""".stripMargin,
     // The identical two applied merge rounds + proving third argmax; the
     // greedy-leftmost island rule is the same even-offset filter. Word
     // keys are engine-local (never output) — only the per-word symbol

@@ -25,6 +25,30 @@ object TextOps {
   private def tokInt(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** MinHash-LSH band rows for a (doc_id, text) corpus: 16 minhashes over
+    * 3-token shingles, banded 4×4 → one row per (doc, band) with the band
+    * hash `bh` that serves as the LSH bucket key. Shared by the one-shot
+    * candidate query (dedup_minhash_lsh_bands) and the MAINTAINED index
+    * (pipe_incremental_neardup) so the graded oracle equivalence proven
+    * for the former carries to the latter. `sig` rides along for callers
+    * that rerank candidates by signature agreement. */
+  private[graft] def minhashBands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(shingles3).as("sh"))
+      .select(col("doc_id"), tokInt(col("sh")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.MinHashAgg.minhash(col("x"), 16).as("sig"))
+    sig.select(col("doc_id"), col("sig"), expr(
+      """explode(transform(sequence(0, 3), b -> struct(b AS band,
+        |  cast(conv(substring(md5(cast(concat_ws(':',
+        |    transform(slice(sig, b * 4 + 1, 4), v -> cast(v as string)))
+        |  as binary)), 1, 8), 16, 10) as bigint) AS bh))) AS p""".stripMargin))
+      .select(col("doc_id"), col("sig"),
+        col("p.band").as("band"), col("p.bh").as("bh"))
+  }
+
   /** Distinct 3-token shingles of array column `t`, guarded for docs with
     * fewer than 3 tokens: sequence(0, size-3) on a short doc descends
     * through -1 and slice(t, 0, 3) throws (SQL arrays are 1-based), so
@@ -659,19 +683,8 @@ object TextOps {
     // the partition keys, candidates ≪ pairs, r tunes precision.
     "dedup_minhash_lsh_bands" -> ((s, d) => {
       import s.implicits._
-      val sig = Tables.documents(s, d)
-        .filter($"doc_id" < 200)
-        .select($"doc_id", split($"text", " ").as("t"))
-        .select($"doc_id", explode(shingles3).as("sh"))
-        .select($"doc_id", tokInt($"sh").as("x"))
-        .groupBy($"doc_id")
-        .agg(graft.plans.MinHashAgg.minhash($"x", 16).as("sig"))
-      val bands = sig.select($"doc_id", $"sig", expr(
-        """explode(transform(sequence(0, 3), b -> struct(b AS band,
-          |  cast(conv(substring(md5(cast(concat_ws(':',
-          |    transform(slice(sig, b * 4 + 1, 4), v -> cast(v as string)))
-          |  as binary)), 1, 8), 16, 10) as bigint) AS bh))) AS p""".stripMargin))
-        .select($"doc_id", $"sig", $"p.band".as("band"), $"p.bh".as("bh"))
+      val bands = minhashBands(
+        Tables.documents(s, d).filter($"doc_id" < 200).select($"doc_id", $"text"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
