@@ -57,11 +57,28 @@ object Bench {
     val listener = new SpillListener
     if (trackSpill) spark.sparkContext.addSparkListener(listener)
     val spills = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // Between queries, release session-lifetime residue so a 240-query ×
+    // reps run measures each plan, not the accumulated weight of everything
+    // before it: localCheckpoint'd fixpoint edges (pagerank, cluster_cc)
+    // persist MEMORY_AND_DISK blocks until explicitly unpersisted, and each
+    // streaming query's memory sink pins its full result as a temp view.
+    // Round 4's driver run showed exactly the signature this causes —
+    // monotone slowdown in sorted-name order (late-alphabet tpch_q9 1.4 s →
+    // 31.9 s) as storage memory starved execution memory. Untimed.
+    def releaseResidue(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseResidue()
+        dt
       }
       val s0 = listener.spilled.get()
       if (trackSpill) listener.peak.set(0L)
@@ -77,16 +94,32 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    // Full per-query map: one line the driver's tail window will scroll
+    // past, plus a file for local round-over-round diffing. The driver's
+    // stdout-tail capture is ~2 KB; a 240-entry map (~7 KB) can never reach
+    // its JSON parser, which is why BENCH_r{1..4}.json all carry
+    // "parsed": null. So the LAST line — the one the tail retains — is a
+    // compact contract line whose "queries" map holds only the headline
+    // TPC-H shapes, and the full map travels on this earlier line + file.
+    val fullLine =
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    println(fullLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     if (trackSpill) {
       val sp = spills.map { case (k, s, p) =>
         s"\"" + k + "\":[" + s + "," + p + "]"
       }.mkString("{", ",", "}")
       println(s"""{"metric":"spill_peak","unit":"bytes","queries":$sp,"sf":"$sfDir"}""")
     }
+    val headline = results.filter { case (k, _) => k.startsWith("tpch_q") }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${toJson(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,8 +24,28 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") enableNanos(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Engine-wide contract: `events.ts` is BIGINT epoch-ns. The driver's
+    * generator has shipped the column as both TIMESTAMP(NANOS) (read as
+    * long via nanosAsLong) and TIMESTAMP(MICROS) (surfaces as a real
+    * TimestampType); adapt on the observed schema so every downstream
+    * `ts div 1000` (= epoch-µs, the DuckDB epoch_us(ts) domain) is exact
+    * either way. unix_micros is session-timezone-independent. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ carries no zone: take wall-clock µs since the NTZ epoch
+        // (session-timezone-independent — DuckDB's timestamps are naive
+        // too, so its epoch_us(ts) yields the same raw stored micros).
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

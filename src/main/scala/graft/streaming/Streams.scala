@@ -95,19 +95,23 @@ class CepFunnel extends org.apache.spark.sql.streaming.StatefulProcessor[
 
 object Streams {
 
-  /** events schema as the streaming source sees it (ts already BIGINT ns
-    * via the nanosAsLong conf set in Tables.enableNanos). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private def readEvents(s: SparkSession, d: String): DataFrame = {
     Tables.enableNanos(s)
+    // A streaming file source needs the schema up front; probe the on-disk
+    // ts physical type with a footer-only batch read (the column has
+    // shipped as both TIMESTAMP_NANOS→long and TIMESTAMP_MICROS), then
+    // normalize to the engine-wide BIGINT epoch-ns contract exactly as
+    // Tables.events does for batch.
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val eventsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // The file source wants a directory; select just the events table from
     // the sf dir via a glob filter (landing-directory consumption shape).
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    Tables.normalizeEventTs(
+      s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
@@ -310,8 +314,7 @@ object Streams {
     "stream_cdc_apply" -> ((s, d) => {
       import s.implicits._
       val dir = s"${graft.fixtureRoot}/stream_cdc"
-      Tables.enableNanos(s)
-      val hist = s.read.parquet(s"$d/events.parquet")
+      val hist = Tables.events(s, d)
         .withColumn("ts_us", Tables.tsUs)
         .filter($"event_id" % 3 === 0)
       val w = Window.partitionBy($"user_id")
@@ -434,8 +437,7 @@ object Streams {
         .select($"event_type", $"n",
           element_at($"qs", 1).as("p50"), element_at($"qs", 2).as("p99"))
       val sk = runToMemory(s, agg, "graft_stream_qsketch", "complete")
-      Tables.enableNanos(s)
-      val base = s.read.parquet(s"$d/events.parquet")
+      val base = Tables.events(s, d)
         .select($"event_type",
           round(Tables.dec($"value") * 100).cast("long").as("x"))
       base.join(broadcast(sk), "event_type")
@@ -492,8 +494,7 @@ object Streams {
         r.getSeq[org.apache.spark.sql.Row](2).map(e =>
           (r.getString(0), r.getLong(1), e.getLong(0), e.getLong(1)))
       }.toSeq.toDF("event_type", "n", "key", "est")
-      Tables.enableNanos(s)
-      val truth = s.read.parquet(s"$d/events.parquet")
+      val truth = Tables.events(s, d)
         .select($"event_type", expr(
           "CASE WHEN user_id % 3 = 0 THEN 100 + user_id % 200 ELSE user_id % 4 END")
           .as("key"))
@@ -582,8 +583,7 @@ object Streams {
         .groupBy($"event_type")
         .agg(graft.plans.CountMinAgg.cmsSketch(hex($"user_id"), 4, 128).as("sk"))
       val sk = runToMemory(s, agg, "graft_stream_cms", "complete")
-      Tables.enableNanos(s)
-      val probes = s.read.parquet(s"$d/events.parquet")
+      val probes = Tables.events(s, d)
         .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n_exact"))
         .withColumn("rn", row_number().over(Window.partitionBy($"event_type")
           .orderBy($"n_exact".desc, $"user_id".asc)))
