@@ -121,6 +121,9 @@ object Aggregates {
     // D8: exact variance via integer arithmetic — quantities scaled ×100 to
     // BIGINT, numerator/denominator emitted separately (no float, no
     // division → bit-exact across engines). var = num / (den * 100^2).
+    // The numerator is inherently Θ(n²·var) (~1e20 at sf1's 2M-row groups,
+    // past int64), so the products run in DECIMAL(38,0) ↔ HUGEINT and the
+    // output boundary is the exact digit STRING both engines agree on.
     "agg_variance_manual" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -129,15 +132,17 @@ object Aggregates {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
         .select($"l_returnflag", $"n",
-          ($"n" * $"sxx" - $"sx" * $"sx").as("var_num"),
+          ($"n".cast("decimal(38,0)") * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx")
+            .cast("decimal(38,0)").cast("string").as("var_num"),
           ($"n" * ($"n" - 1)).as("var_den"))
         .orderBy("l_returnflag")
     }),
 
     // Exact covariance via integer sums (the D8 technique on two vars):
     // cov = (n·Σxy − Σx·Σy) / (n·(n−1)) — numerator/denominator emitted
-    // as exact BIGINTs. x = quantity units, y = whole-dollar price
-    // (bounds keep every product inside int64 at bench scale).
+    // exactly. x = quantity units, y = whole-dollar price; n·Σxy only
+    // clears int64 by ~1.7× at sf1, so same DECIMAL(38,0) ↔ HUGEINT
+    // products + digit-string boundary as agg_variance_manual.
     "agg_covar_manual" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -148,7 +153,8 @@ object Aggregates {
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"))
         .select($"l_returnflag", $"n",
-          ($"n" * $"sxy" - $"sx" * $"sy").as("cov_num"),
+          ($"n".cast("decimal(38,0)") * $"sxy" - $"sx".cast("decimal(38,0)") * $"sy")
+            .cast("decimal(38,0)").cast("string").as("cov_num"),
           ($"n" * ($"n" - 1)).as("cov_den"))
         .orderBy("l_returnflag")
     }),
@@ -509,7 +515,8 @@ object Aggregates {
         |  FROM t GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, n,
-        |  n * sxx - sx * sx AS var_num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR)
+        |    AS var_num,
         |  n * (n - 1) AS var_den
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "agg_covar_manual" ->
@@ -524,7 +531,8 @@ object Aggregates {
         |    CAST(SUM(x * y) AS BIGINT) AS sxy
         |  FROM t GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  n * sxy - sx * sy AS cov_num,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR)
+        |    AS cov_num,
         |  n * (n - 1) AS cov_den
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "agg_median_exact" ->

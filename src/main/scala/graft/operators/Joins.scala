@@ -430,15 +430,19 @@ object Joins {
         |FROM a JOIN b USING (bkt)
         |WHERE a_id < b_id AND abs(a_t - b_t) <= 1000000
         |ORDER BY a_id, b_id""".stripMargin,
-    // The oracle is the NAIVE range join — DuckDB's IEJoin handles it;
-    // on the Spark side RangeJoinRewrite turns the same spelling into the
-    // bucketed plan. Answer equality across the two algorithms is the
-    // correctness proof for the rewrite.
+    // The oracle is the NAIVE range join; on the Spark side
+    // RangeJoinRewrite turns the abs() spelling into the bucketed plan.
+    // Answer equality across the two algorithms is the correctness proof
+    // for the rewrite. The band is spelled as two one-sided bounds (each
+    // side referencing one relation) rather than abs(): DuckDB's IEJoin
+    // only matches that form — through abs() it falls back to a blockwise
+    // nested loop, which at sf1 (1M×1M events) is ~1e12 comparisons.
     "join_range_auto" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
         |FROM events a JOIN events b
-        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+        |  ON epoch_us(b.ts) >= epoch_us(a.ts) - 1000000
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1000000
         | AND a.event_id < b.event_id
         |ORDER BY a_id, b_id""".stripMargin,
     "join_interval_auto" ->
