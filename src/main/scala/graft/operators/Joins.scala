@@ -201,15 +201,24 @@ object Joins {
 
     // C10: theta/band self-join — same brand, strictly increasing size.
     // Equi prefix on p_brand keeps this a hash/sort-merge join with a
-    // residual `<` predicate, NOT a BNLJ — essential at scale.
+    // residual `<` predicate, NOT a BNLJ — essential at scale. Because the
+    // query only needs pair COUNTS, both sides pre-aggregate to the
+    // (brand, size) histogram before the band join: operand cardinality is
+    // bounded by the attribute DOMAIN (25 brands × 50 sizes), not the
+    // table, and the pair count is Σ c·c' over qualifying cells. The raw
+    // row-level join materialized group² rows — 1.6B at sf1's 8k-part
+    // brands (measured 174 s); the histogram form is the same join shape
+    // on ≤1 250-row inputs (0.2 s, any sf). The oracle stays the NAIVE
+    // row-level join — the hash match is the cross-algorithm proof.
     "join_theta_band" -> ((s, d) => {
       import s.implicits._
-      val p = Tables.part(s, d).select($"p_brand", $"p_partkey", $"p_size")
-      val q = Tables.part(s, d)
-        .select($"p_brand".as("q_brand"), $"p_partkey".as("q_partkey"), $"p_size".as("q_size"))
-      p.join(q, $"p_brand" === $"q_brand" && $"p_size" < $"q_size")
+      val h = Tables.part(s, d)
+        .groupBy($"p_brand", $"p_size").agg(count(lit(1)).as("c"))
+      val h2 = h.select($"p_brand".as("q_brand"), $"p_size".as("q_size"),
+        $"c".as("qc"))
+      h.join(h2, $"p_brand" === $"q_brand" && $"p_size" < $"q_size")
         .groupBy($"p_brand")
-        .agg(count(lit(1)).as("n_pairs"))
+        .agg(sum($"c" * $"qc").as("n_pairs"))
         .orderBy("p_brand")
     }),
 

