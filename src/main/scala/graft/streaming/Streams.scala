@@ -95,7 +95,7 @@ class CepFunnel extends org.apache.spark.sql.streaming.StatefulProcessor[
 
 object Streams {
 
-  private def readEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def readEvents(s: SparkSession, d: String): DataFrame = {
     Tables.enableNanos(s)
     // A streaming file source needs the schema up front; probe the on-disk
     // ts physical type with a footer-only batch read (the column has
