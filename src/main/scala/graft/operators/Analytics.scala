@@ -143,9 +143,13 @@ object Analytics {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum($"x").as("sx"),
-          sum($"i" * $"x").as("six"))
+          // Σ(i·x) is Θ(n²·mean): each product fits int64 but the SUM
+          // passes 9.2e18 at ~sf2 (surfaced by the sf3 run as an executor
+          // ARITHMETIC_OVERFLOW) — accumulate in DECIMAL(38,0), matching
+          // DuckDB's HUGEINT SUM. Same class as the variance numerator.
+          sum(($"i" * $"x").cast("decimal(38,0)")).as("six"))
         .select($"c_mktsegment", $"n",
-          expr("""cast(cast(2 * six - (n + 1) * sx as decimal(38,0)) * 1000000
+          expr("""cast((2 * six - (cast(n as decimal(38,0)) + 1) * sx) * 1000000
                  |  div (cast(n as decimal(38,0)) * cast(sx as decimal(38,0)))
                  |as bigint)""".stripMargin.replaceAll("\n", " ")).as("gini_e6"))
         .orderBy("c_mktsegment")
