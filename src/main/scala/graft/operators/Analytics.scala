@@ -735,10 +735,10 @@ object Analytics {
         |  FROM j),
         |a AS (
         |  SELECT c_mktsegment, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(i * x) AS BIGINT) AS six
+        |    sum(i * x) AS six
         |  FROM r GROUP BY c_mktsegment)
         |SELECT c_mktsegment, n,
-        |  CAST(CAST(2 * six - (n + 1) * sx AS HUGEINT) * 1000000 //
+        |  CAST((2 * six - (CAST(n AS HUGEINT) + 1) * sx) * 1000000 //
         |       (CAST(n AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS gini_e6
         |FROM a ORDER BY c_mktsegment""".stripMargin,
     "agg_linreg" ->
