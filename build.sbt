@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the one-line JSON bench contract. Without this, sbt's logger prefixes the
+// forked process's stdout with "[info] " and the parse fails (six rounds of
+// BENCH_r*.json "parsed": null). StdoutOutput passes the child's stdout
+// through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
