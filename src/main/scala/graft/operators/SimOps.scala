@@ -79,29 +79,38 @@ object SimOps {
     // ANN scale path — fully oracle-checked: the ±1 hyperplane weights are
     // md5-parity constants (see AnnSearch.planeWeight), so the DuckDB SQL
     // below rebuilds the same buckets, candidate set, and exact rerank.
+    // The hash width is CORPUS-SIZED at plan time (autoBits: integer
+    // thresholds on COUNT(*), ~16 vectors/bucket expected) so candidate
+    // generation stays O(n/2^nBits) per table at any scale — a pinned
+    // width degrades to a full scan once the corpus outgrows its buckets.
+    // The count() is a parquet-metadata read, not a data scan.
     // FunctionsSpec additionally asserts recall against the exact top-k.
     "sim_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
+      val nBits = graft.functions.AnnSearch.autoBits(e.count())
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       graft.functions.AnnSearch
-        .annTopK(e.filter($"vec_id" =!= 0), q, 20, dim = 64, nBits = 5, nTables = 12)
+        .annTopK(e.filter($"vec_id" =!= 0), q, 20, dim = 64, nBits = nBits, nTables = 12)
         .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
-    // IVF scale path — fully oracle-checked: centroids are the 8 lowest-id
-    // vectors (deterministic sample), assignment is the nearest-centroid
-    // argmax with a cid tie-break, the query probes its 2 closest centroid
-    // lists, exact rerank. Both engines compute the identical cosine fold,
-    // so assignment, probe choice, and rerank all agree bit-for-bit.
+    // IVF scale path — fully oracle-checked: centroids are the lowest-id
+    // vectors (deterministic sample; CORPUS-SIZED to ≈ceil(sqrt(n)) lists
+    // via autoCentroids, probing max(2, nC/8) of them), assignment is the
+    // nearest-centroid argmax with a cid tie-break, exact rerank on the
+    // probed lists only. Both engines compute the identical cosine fold
+    // AND the identical integer parameter derivation from COUNT(*), so
+    // assignment, probe choice, and rerank agree bit-for-bit at every sf.
     // FunctionsSpec additionally asserts recall against the exact top-k.
     "sim_ann_ivf" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
+      val nC = graft.functions.AnnSearch.autoCentroids(e.count())
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       graft.functions.AnnSearch
-        .ivfTopK(e, q, 20, nCentroids = 8, nProbe = 2, excludeId = 0L)
+        .ivfTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8), excludeId = 0L)
         .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
@@ -168,20 +177,26 @@ object SimOps {
     // (vector, plane) is >= 0; candidates share any of the 12 bucket ids
     // with the query vector; exact cosine rerank picks top-20 by the RAW
     // double (same fold order both engines), output re-sorted by cos_e6.
+    // The hash width nb replicates AnnSearch.autoBits: 5 + the number of
+    // integer thresholds 16·2^(b-1) the corpus COUNT(*) exceeds — pure
+    // integer comparisons, so both engines derive the same width.
     "sim_ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(5 + COUNT(*) AS INT) AS nb FROM range(6, 17) r(b)
+        |  WHERE (SELECT COUNT(*) FROM embeddings) > 16 * (1 << (b - 1))),
         |w AS (
         |  SELECT t, b, list_transform(range(0, 64), i ->
         |    CASE WHEN CAST(('0x' || substring(md5('42:' || CAST(t AS VARCHAR) || ':'
         |        || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
         |      THEN 1.0 ELSE -1.0 END) AS wv
-        |  FROM range(0, 12) r1(t), range(0, 5) r2(b)),
+        |  FROM range(0, 12) r1(t), range(0, 16) r2(b), p WHERE b < p.nb),
         |bits AS (
         |  SELECT e.vec_id, w.t,
         |    CAST(SUM(CASE WHEN list_reduce(
-        |        list_transform(list_zip(e.v, w.wv), p -> p[1] * p[2]), (x, y) -> x + y) >= 0
+        |        list_transform(list_zip(e.v, w.wv), z -> z[1] * z[2]), (x, y) -> x + y) >= 0
         |      THEN 1 << w.b ELSE 0 END) AS BIGINT) AS bucket
         |  FROM e CROSS JOIN w GROUP BY e.vec_id, w.t),
         |cand AS (
@@ -190,7 +205,7 @@ object SimOps {
         |  WHERE q.vec_id = 0 AND d.vec_id <> 0),
         |rerank AS (
         |  SELECT a.vec_id,
-        |    list_reduce(list_transform(list_zip(a.v, q.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(a.v, q.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |       * sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))) AS c
         |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
@@ -198,37 +213,44 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
-    // Replicates ivfTopK end-to-end: same centroid sample (vec_id < 8),
-    // same row_number nearest-centroid assignment (cid tie-break), same
-    // 2-probe selection, same exact rerank — every comparison is on the
-    // identical left-fold cosine, so the plans agree bit-for-bit.
+    // Replicates ivfTopK end-to-end: same centroid sample (the nc lowest
+    // vec_ids, nc = clamp(ceil(sqrt(COUNT(*))), 8, 256) — the identical
+    // autoCentroids derivation), same row_number nearest-centroid
+    // assignment (cid tie-break), same max(2, nc//8)-probe selection, same
+    // exact rerank — every comparison is on the identical left-fold
+    // cosine, so the plans agree bit-for-bit at every scale factor.
     "sim_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(GREATEST(8, LEAST(256, CEIL(SQRT(COUNT(*))))) AS BIGINT) AS nc,
+        |    GREATEST(2, CAST(GREATEST(8, LEAST(256, CEIL(SQRT(COUNT(*))))) AS BIGINT) // 8) AS np
+        |  FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.nc),
         |asg AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_reduce(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |        list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (x, y) -> x + y)
         |        / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
         |           * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))) DESC,
         |        c.cid ASC) AS rn
         |    FROM e CROSS JOIN cent c) t
         |  WHERE rn = 1),
         |probe AS (
-        |  SELECT cid FROM cent c, q
-        |  ORDER BY
-        |    list_reduce(list_transform(list_zip(c.cv, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) DESC,
-        |    cid ASC
-        |  LIMIT 2),
+        |  SELECT cid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY
+        |      list_reduce(list_transform(list_zip(c.cv, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) DESC,
+        |      c.cid ASC) AS rn
+        |    FROM cent c, q) t, p
+        |  WHERE t.rn <= p.np),
         |rerank AS (
         |  SELECT a.vec_id,
-        |    list_reduce(list_transform(list_zip(a.v, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(a.v, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS c
         |  FROM asg
@@ -245,7 +267,7 @@ object SimOps {
         |half AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
         |    CAST(round(
-        |      list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |         * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
         |      * 1000000) AS BIGINT) AS cos_e6
@@ -266,7 +288,7 @@ object SimOps {
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id,
         |  CAST(round(
-        |    list_reduce(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
         |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)))
         |    * 1000000) AS BIGINT) AS cos_e6
@@ -278,13 +300,13 @@ object SimOps {
         |  FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  CAST(round(
-        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
         |    * 1000000) AS BIGINT) AS cos_e6
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE CAST(round(
-        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
         |    * 1000000) AS BIGINT) >= 250000
