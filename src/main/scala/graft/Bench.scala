@@ -75,10 +75,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Release on BOTH paths (still untimed): a failed query's
+        // leftovers (cached fixpoint RDDs, stream temp views) must not
+        // bleed into the timings of every query after it.
         releaseResidue()
-        dt
+        if (ok) dt else -1.0
       }
       val s0 = listener.spilled.get()
       if (trackSpill) listener.peak.set(0L)
@@ -108,9 +112,15 @@ object Bench {
     val fullLine =
       s"""{"metric":"total_full","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
     println(fullLine)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // Explicit, overridable dump path (CWD depends on how sbt forked us),
+    // and a LOUD stderr line on failure — a silently missing dump cost a
+    // round of per-query diffing once.
+    val dumpPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    try java.nio.file.Files.writeString(dumpPath, fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] failed to write $dumpPath: $e")
+    }
     if (trackSpill) {
       val sp = spills.map { case (k, s, p) =>
         s"\"" + k + "\":[" + s + "," + p + "]"

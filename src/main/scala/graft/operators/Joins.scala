@@ -333,10 +333,74 @@ object Joins {
       AsOfJoin.asOfPriorWithin(p, c, "user_id", "ts_us",
           maxGap = 7200000000L, outCol = "last_click_us")
         .orderBy("event_id")
+    }),
+
+    // Dynamic partition pruning over a REAL partitioned multi-file fact:
+    // orders written once per sfDir as a year-partitioned directory tree,
+    // joined to a parquet year-dim whose selective filter (y_label, not
+    // the year itself) cannot be pruned statically — Spark's
+    // PartitionPruning rule plants a dynamicpruning subquery on the
+    // fact's partition column, reusing the dim's broadcast, so only the
+    // 3 focus-year directories are ever listed/read. At 100 TB this is
+    // THE mechanism that turns "join the fact to a filtered dim" into a
+    // partition-local read; PlanShapeSpec pins the dynamicpruning
+    // expression in the optimized plan. The oracle re-reads the same
+    // key=value layout with hive_partitioning, so the check also covers
+    // the partition encoding end to end.
+    "join_dpp_partitioned" -> ((s, d) => {
+      import s.implicits._
+      writeDppFixture(s, d)
+      val fact = s.read.parquet(dppFactPath)
+      val dim = s.read.parquet(dppDimPath).filter($"y_label" === "focus")
+      fact.join(broadcast(dim), $"o_year" === $"y_year")
+        .groupBy($"o_year")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+        .select($"o_year".cast("long").as("o_year"), $"n_orders", $"sum_cents")
+        .orderBy("o_year")
     })
   )
 
+  private[graft] val dppFactPath = s"${graft.fixtureRoot}/dpp_orders"
+  private[graft] val dppDimPath  = s"${graft.fixtureRoot}/dpp_yeardim"
+  // Fixture guard: rewrite only when the sfDir changes (bench reps and
+  // repeated Verify calls within one JVM reuse the layout — the write
+  // itself is graded separately by ingest_partitioned_roundtrip).
+  private val dppWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private[graft] def writeDppFixture(s: org.apache.spark.sql.SparkSession,
+                                     d: String): Unit =
+    if (dppWrittenFor.getAndSet(d) != d) {
+      import s.implicits._
+      graft.sources.Sources.writePartitioned(
+        Tables.orders(s, d).select(
+          $"o_orderkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"),
+          year($"o_orderdate").as("o_year")),
+        dppFactPath, Seq("o_year"))
+      // Dim derived from the fact's own distinct years (deterministic),
+      // written to parquet so the filter sits on a real scan — DPP needs
+      // a selective predicate over a non-local relation.
+      Tables.orders(s, d)
+        .select(year($"o_orderdate").as("y_year")).distinct()
+        .withColumn("y_label",
+          when($"y_year" % 3 === 0, lit("focus")).otherwise(lit("other")))
+        .coalesce(1).write.mode("overwrite").parquet(dppDimPath)
+    }
+
   val oracleSql: Map[String, String] = Map(
+    // Re-reads the engine-written year-partitioned tree (partition column
+    // reconstructed from the key=value paths) and the parquet dim, then
+    // the same selective join+agg — proving the pruned plan's answer
+    // equals the layout-oblivious relational one.
+    "join_dpp_partitioned" ->
+      s"""SELECT CAST(f.o_year AS BIGINT) AS o_year, COUNT(*) AS n_orders,
+         |  CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+         |FROM read_parquet('$dppFactPath/*/*.parquet', hive_partitioning=true) f
+         |JOIN (SELECT y_year FROM read_parquet('$dppDimPath/*.parquet')
+         |      WHERE y_label = 'focus') dim
+         |  ON CAST(f.o_year AS BIGINT) = CAST(dim.y_year AS BIGINT)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_inner_equi" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_e6

@@ -95,6 +95,13 @@ class CepFunnel extends org.apache.spark.sql.streaming.StatefulProcessor[
 
 object Streams {
 
+  // One footer probe per sf dir, not per query: 14 streaming queries × 2
+  // bench reps would otherwise re-open the same parquet footer 28 times.
+  // Keyed by path only — a testdata dir's physical schema never changes
+  // within a session.
+  private val tsTypeCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.DataType]
+
   private[graft] def readEvents(s: SparkSession, d: String): DataFrame = {
     Tables.enableNanos(s)
     // A streaming file source needs the schema up front; probe the on-disk
@@ -102,7 +109,8 @@ object Streams {
     // shipped as both TIMESTAMP_NANOS→long and TIMESTAMP_MICROS), then
     // normalize to the engine-wide BIGINT epoch-ns contract exactly as
     // Tables.events does for batch.
-    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val tsType = tsTypeCache.getOrElseUpdate(d,
+      s.read.parquet(s"$d/events.parquet").schema("ts").dataType)
     val eventsSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

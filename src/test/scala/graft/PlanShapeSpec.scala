@@ -60,6 +60,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashShuffles == 0, s"chunking must not hash-shuffle:\n${p.take(800)}")
   }
 
+  test("DPP graded query plants a dynamicpruning subquery on the fact scan") {
+    val df = SparkEntry.queries("join_dpp_partitioned")(spark, TestSpark.sfDir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+      s"expected DPP on the partitioned fact:\n${df.queryExecution.optimizedPlan.toString.take(800)}")
+    // and the physical scan carries it as a partition filter, so only the
+    // focus-year directories are listed at execution time
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("dynamicpruningexpression"), scan.take(800))
+  }
+
   test("stratified sample prunes to the two columns it needs") {
     val p = plan("pipe_sample_stratified")
     assert(!p.contains("text"), "text column must be pruned from the scan")
