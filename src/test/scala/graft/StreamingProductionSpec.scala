@@ -80,4 +80,61 @@ class StreamingProductionSpec extends AnyFunSuite {
     assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "v2"),
       s"upserted target: $got")
   }
+
+  test("CDC merge restarts from its checkpoint: interrupted ≡ uninterrupted run") {
+    // The stream_cdc_apply production claim is "maintain a table across
+    // process restarts". Prove the restart semantics: run N microbatches,
+    // STOP the query, restart from the same checkpoint dir, feed the rest
+    // — the merged table must equal a run that never stopped. The source
+    // offsets live in the checkpoint (resume = no reprocessing, no gap)
+    // and the conditional merge (targetSeqCol) is idempotent, which is
+    // what turns foreachBatch's at-least-once into exactly-once output.
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cdc_ckpt").toString
+    def seed(dir: String): Unit =
+      spark.range(10).select($"id".as("k"), ($"id" * 100).as("cents"),
+          lit(0L).as("ev_ts"), ($"id" % 2).cast("string").as("p"))
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val b1 = Seq((0L, 1000L, 10L, "U"), (1L, 1100L, 10L, "U"), (10L, 500L, 10L, "U"))
+    val b2 = Seq((2L, 1200L, 20L, "U"), (1L, 0L, 20L, "D"))
+    val b3 = Seq((3L, 1300L, 30L, "U"), (0L, 999L, 5L, "U")) // stale: loses to ev_ts=10
+    def start(mem: MemoryStream[(Long, Long, Long, String)],
+              dir: String, ckpt: String) =
+      mem.toDF().toDF("k", "cents", "ev_ts", "op")
+        .withColumn("p", ($"k" % 2).cast("string"))
+        .withColumn("seq", $"ev_ts")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          sources.MergeSink.mergeInto(spark, dir, batch, Seq("k"), "p",
+            targetSeqCol = Some("ev_ts"))
+          ()
+        }.start()
+    def snapshot(dir: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(dir).select($"k", $"cents", $"ev_ts")
+        .as[(Long, Long, Long)].collect().toSet
+
+    // interrupted run: b1+b2, stop, RESTART from the checkpoint, b3
+    val t1 = s"$root/t1"; seed(t1)
+    val m1 = MemoryStream[(Long, Long, Long, String)]
+    val q1 = start(m1, t1, s"$root/ckpt")
+    m1.addData(b1: _*); m1.addData(b2: _*)
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    m1.addData(b3: _*) // lands while the query is DOWN
+    val q1b = start(m1, t1, s"$root/ckpt")
+    q1b.processAllAvailable(); q1b.stop(); q1b.awaitTermination()
+
+    // uninterrupted reference run over the same batches
+    val t2 = s"$root/t2"; seed(t2)
+    val m2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = start(m2, t2, s"$root/ckpt2")
+    m2.addData(b1: _*); m2.addData(b2: _*); m2.addData(b3: _*)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+    val (got, want) = (snapshot(t1), snapshot(t2))
+    assert(got == want, s"restarted=$got\nuninterrupted=$want")
+    // spot semantics: delete applied, fresh update applied, stale lost
+    assert(!got.exists(_._1 == 1L), "deleted key must stay deleted across restart")
+    assert(got.contains((0L, 1000L, 10L)), "stale post-restart update must lose")
+    assert(got.contains((3L, 1300L, 30L)), "post-restart batch must apply")
+  }
 }
