@@ -42,6 +42,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(wrong.isEmpty, wrong.mkString(", "))
   }
 
+  test("ANN auto-sizing: width/list-count grow with the corpus and clamp") {
+    // clamp floor at tiny corpora, ceiling at absurd ones, monotone between
+    assert(AnnSearch.autoBits(0) == 5 && AnnSearch.autoBits(500) == 5)
+    assert(AnnSearch.autoBits(2000) == 7)    // ceil(log2(2000/16)) = 7
+    assert(AnnSearch.autoBits(200000) == 14) // the sf10 corpus
+    assert(AnnSearch.autoBits(Long.MaxValue) == 16)
+    val bits = (1L to 60L).map(e => AnnSearch.autoBits(1L << math.min(e, 62L).toInt))
+    assert(bits == bits.sorted, "autoBits must be monotone in n")
+    assert(AnnSearch.autoCentroids(10) == 8 && AnnSearch.autoCentroids(500) == 23)
+    assert(AnnSearch.autoCentroids(1000000) == 256)
+  }
+
   test("ANN LSH top-k achieves good recall vs brute force") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
