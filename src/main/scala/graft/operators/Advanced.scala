@@ -90,15 +90,19 @@ object Advanced {
     // Unpivot/melt: wide seat-class-style columns → long (col, value) rows.
     "fn_unpivot" -> ((s, d) => {
       import s.implicits._
+      // DECIMAL(28,6), not (18,6): only 3 groups (returnflag), so the price
+      // sum crosses 1e12 at sf10 — (28,6) holds to ~sf10^11; the ×1e6 BIGINT
+      // output boundary (~9.2e18) then binds first, at ~sf80.
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          sum(Tables.dec($"l_quantity")).cast("decimal(18,6)").as("qty"),
-          sum(Tables.dec($"l_extendedprice")).cast("decimal(18,6)").as("price"),
-          sum(Tables.dec($"l_tax")).cast("decimal(18,6)").as("tax"))
+          sum(Tables.dec($"l_quantity")).cast("decimal(28,6)").as("qty"),
+          sum(Tables.dec($"l_extendedprice")).cast("decimal(28,6)").as("price"),
+          sum(Tables.dec($"l_tax")).cast("decimal(28,6)").as("tax"))
         .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"tax"),
           "measure", "total")
-        .select($"l_returnflag", $"measure", Tables.e6($"total").as("total_e6"))
+        .select($"l_returnflag", $"measure",
+          ($"total" * 1000000).cast("long").as("total_e6"))
         .orderBy("l_returnflag", "measure")
     }),
 
@@ -392,9 +396,9 @@ object Advanced {
     "fn_unpivot" ->
       """SELECT l_returnflag, measure, CAST(CAST(total AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_e6 FROM (
         |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS price,
-        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS tax
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS price,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS tax
         |  FROM lineitem GROUP BY l_returnflag)
         |UNPIVOT (total FOR measure IN (qty, price, tax))
         |ORDER BY l_returnflag, measure""".stripMargin,
