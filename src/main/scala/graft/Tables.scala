@@ -72,7 +72,12 @@ object Tables {
     * matching `CAST(x * 1000000 AS BIGINT) AS <name>_e6`. Keep DECIMAL math
     * internal (R2 still holds); convert only at the output boundary. */
   def e6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (c.cast("decimal(18,6)") * 1000000).cast("long")
+    // (28,6), not (18,6): DuckDB's SUM(DECIMAL(18,6)) widens to (38,6), so
+    // an 18,6 funnel here caps Spark alone at 1e12 while the oracle keeps
+    // going — fn_unpivot hit exactly that at sf10 (3-group price sum). With
+    // (28,6) the shared ×1e6 BIGINT boundary (~9.2e12 units) binds first on
+    // both engines. (28,6)×DECIMAL(7,0) → (36,6): no precision clipping.
+    (c.cast("decimal(28,6)") * 1000000).cast("long")
 
   /** Shared cross-engine time domain for `events.ts` (rule R3 refined):
     * DuckDB ≤1.0 truncates the Parquet TIMESTAMP(NANOS) column to µs on

@@ -27,12 +27,15 @@ object Aggregates {
           Tables.dec($"l_tax").as("tax"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"qty").cast("decimal(18,6)").as("sum_qty"),
-          sum($"price").cast("decimal(18,6)").as("sum_base_price"),
+          // Post-sum carries are (28,6): ~5 (flag,status) groups over the
+          // whole table put sum_base_price within 2× of the (18,6) cap at
+          // sf10; the oracle's SUM is (38,6) so only Spark would fail.
+          sum($"qty").cast("decimal(28,6)").as("sum_qty"),
+          sum($"price").cast("decimal(28,6)").as("sum_base_price"),
           sum(($"price" * (lit(1) - $"disc")).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_disc_price"),
+            .cast("decimal(28,6)").as("sum_disc_price"),
           sum(($"price" * (lit(1) - $"disc") * (lit(1) + $"tax")).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_charge"),
+            .cast("decimal(28,6)").as("sum_charge"),
           count(lit(1)).as("count_order"))
         // R2': micro-scaled BIGINT at the output boundary, decimal internally.
         .select($"l_returnflag", $"l_linestatus",
