@@ -17,6 +17,11 @@ run / fork := true
 // BENCH_r*.json "parsed": null). StdoutOutput passes the child's stdout
 // through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time" trailer would still land AFTER
+// the contract line, so a strict take-the-last-line parse would read it
+// instead of the JSON. Suppress the trailer; stdout then ends at the
+// contract line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
