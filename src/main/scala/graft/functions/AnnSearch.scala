@@ -66,7 +66,7 @@ object AnnSearch {
     * arithmetic — DuckDB BIGINT ops error on overflow, so a splitmix-style
     * mix can't serve as a cross-engine oracle. Computed driver-side only
     * (nTables×nBits×dim constants), never per row. */
-  private[functions] def planeWeight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
+  private[graft] def planeWeight(seed: Long, table: Int, bit: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$seed:$table:$bit:$dim".getBytes("UTF-8"))
     if ((((h(0) >> 4) & 0xF) & 1) == 0) 1.0 else -1.0
@@ -91,17 +91,19 @@ object AnnSearch {
     * embedding column. */
   def lshBucketed(df: DataFrame, dim: Int, nBits: Int = 8, nTables: Int = 4,
                   seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
-    (0 until nTables).foldLeft(df) { (acc, t) =>
-      val bitCols = (0 until nBits).map { b =>
-        val weights = array((0 until dim).map(i => lit(planeWeight(seed, t, b, i))): _*)
-        // codegen'd DotFold (same left fold order as the HOF chain and the
-        // SQL oracle's list_reduce) — the per-row cost is nTables×nBits
-        // dots, so the 7x faster expression matters here
-        when(dot(col(vecCol), weights) >= 0,
-          lit(1L << b)).otherwise(lit(0L))
-      }
-      acc.withColumn(s"bucket_$t", bitCols.reduce(_ + _))
-    }
+    // One SignBuckets expression for ALL tables' bucket ids, then cheap
+    // element extracts. The per-bit composed form (nTables×nBits DotFold
+    // nodes in one Project) breaches the JIT huge-method limit once
+    // autoBits sizes up — the whole projection then runs interpreted
+    // (measured 169 s vs ~2 s for 200k×64-dim) — while a single compact
+    // expression keeps the signature pass FLOP-bound at any width.
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val allBuckets = ColumnShim.column(graft.plans.SignBuckets(
+      ColumnShim.expression(col(vecCol)), seed, nTables, nBits, dim))
+    val withAll = df.withColumn("_sign_buckets", allBuckets)
+    (0 until nTables).foldLeft(withAll) { (acc, t) =>
+      acc.withColumn(s"bucket_$t", col("_sign_buckets").getItem(t))
+    }.drop("_sign_buckets")
   }
 
   /** ANN top-k: candidates share ≥1 LSH bucket with the query vector, then
