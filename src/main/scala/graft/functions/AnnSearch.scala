@@ -142,14 +142,28 @@ object AnnSearch {
     import org.apache.spark.sql.expressions.Window
     val cent = embeddings.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val wAsg = Window.partitionBy(col(idCol))
-      .orderBy(col("cc").desc, col("cid").asc)
-    val assigned = embeddings.crossJoin(broadcast(cent))
+    // Nearest-centroid argmax as max(struct(cc, -cid)) — the associative
+    // form partial-aggregates MAP-SIDE, so the shuffle carries one row per
+    // vector, not nCentroids rows each hauling the full embedding (the
+    // row_number-window form shuffled 51M wide rows at sf10: 7.6 GB
+    // per-task peak, 7.5 GB spill). Lexicographic struct max = highest cc,
+    // then lowest cid — identical to the window's (cc desc, cid asc) and
+    // to the oracle SQL. first(vec) is deterministic: every pre-agg row of
+    // a key carries the same embedding.
+    // Hoist the norms out of the nCentroids-way fanout: cosine(v, c)
+    // recomputes sqrt(dot(v,v)) and sqrt(dot(c,c)) per PAIR — 2/3 of the
+    // assignment FLOPs at 51M pairs. Computed once per vector (below the
+    // join, so the fanout reuses them), the quotient multiplies/divides
+    // the exact same doubles in the same order — bit-identical cc.
+    val eN = embeddings.withColumn("__vn", sqrt(dot(col(vecCol), col(vecCol))))
+    val centN = cent.withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
+    val assigned = eN.crossJoin(broadcast(centN))
       .select(col(idCol), col(vecCol), col("cid"),
-        cosine(col(vecCol), col("cv")).as("cc"))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+        (dot(col(vecCol), col("cv")) / (col("__vn") * col("__cn"))).as("cc"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("__m"),
+        first(col(vecCol)).as("__vec"))
+      .select(col(idCol), col("__vec").as(vecCol), (-col("__m.ncid")).as("cid"))
     val probes = cent.crossJoin(broadcast(queryDf))
       .select(col("cid"), cosine(col("cv"), col("qv")).as("qc"))
       .orderBy(col("qc").desc, col("cid").asc)
