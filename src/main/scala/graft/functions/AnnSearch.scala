@@ -56,9 +56,26 @@ object AnnSearch {
   /** Corpus-sized IVF list count: clamp(ceil(sqrt(n)), minC, maxC) — the
     * standard sqrt(n) inverted-file sizing (≈sqrt(n) lists of ≈sqrt(n)
     * vectors balances probe cost vs list-scan cost). IEEE sqrt + ceil on a
-    * BIGINT is exactly rounded, so DuckDB's CEIL(SQRT(n)) agrees. */
-  def autoCentroids(n: Long, minC: Int = 8, maxC: Int = 256): Int =
+    * BIGINT is exactly rounded, so DuckDB's CEIL(SQRT(n)) agrees. The cap
+    * is 4096 (not the former 256): two-level assignment (see [[ivfTopK]])
+    * keeps per-vector assignment FLOPs at ~2·sqrt(nC)·dim, so thousands of
+    * lists no longer imply an n·nC fanout. */
+  def autoCentroids(n: Long, minC: Int = 8, maxC: Int = 4096): Int =
     math.min(maxC, math.max(minC, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Coarse-quantizer cell count for two-level IVF assignment:
+    * clamp(ceil(sqrt(nC)), 4, 64) — sqrt(nC) coarse cells of ≈sqrt(nC)
+    * fine lists each minimizes (cells + lists-per-cell) probe work. Same
+    * exactly-rounded CEIL(SQRT(...)) derivation as [[autoCentroids]]. */
+  def autoCoarse(nC: Int, minG: Int = 4, maxG: Int = 64): Int =
+    math.min(maxG, math.max(minG, math.ceil(math.sqrt(nC.toDouble)).toInt))
+
+  /** Lloyd-training sample size: min(n, 32·nC) — the standard
+    * points-per-centroid training budget (k-means quality saturates at a
+    * few dozen samples per centroid; training on the full corpus would put
+    * an n·nC pair join back into the plan, which is exactly what the
+    * two-level assignment removes). Pure integer min — oracle-replicable. */
+  def autoTrainN(n: Long, nC: Int): Long = math.min(n, 32L * nC)
 
   /** Deterministic ±1 weight for (table, bit, dim): parity of the first
     * hex nibble of md5("seed:table:bit:dim"). md5 (not an integer mix)
@@ -123,53 +140,116 @@ object AnnSearch {
       .limit(k)
   }
 
-  /** IVF-style ANN: `nCentroids` sampled centroid vectors (the lowest ids —
-    * a deterministic sample; a production build would k-means-refine them
-    * offline), every vector assigned to its nearest centroid, and a query
-    * probing only its `nProbe` closest centroid lists before the exact
-    * rerank. Returns (idCol, cos) for the top `k`, query row(s) excluded
-    * via `excludeId`.
+  /** IVF ANN with TRAINED centroids and TWO-LEVEL assignment. Returns
+    * (idCol, cos) for the top `k`, query row(s) excluded via `excludeId`.
     *
-    * Scale shape: assignment is one broadcast(centroids) map pass — the
-    * cluster id becomes the partition key of the inverted file, so a probe
-    * reads nProbe/nCentroids of the corpus (partition pruning), never a
-    * full scan. The per-vector argmax here is a row_number window (2 k rows
-    * locally; deterministic cid tie-break); the billion-row variant is the
-    * associative max(struct(cos, cid)) map-side aggregate. */
+    * Index build:
+    *  1. quantize every vector to exact integers (round(x·1e4), held as
+    *     integral DOUBLEs so the codegen [[dot]] applies — every product
+    *     and sum below 2^53 is exact, so all scores are order-independent
+    *     integers and ANY engine reproduces them bit-for-bit);
+    *  2. seed `nCentroids` centroids from the lowest ids, then run ONE
+    *     Lloyd refinement round over the `trainN`-vector prefix (the
+    *     32·nC training budget of [[autoTrainN]]): assign by exact-integer
+    *     L2 argmin, recompute each centroid as the truncating per-dimension
+    *     mean — the [[graft.operators.VectorOps]] ml_kmeans_assign
+    *     machinery wired into the index path;
+    *  3. pick the `nCoarse` lowest-cid trained centroids as a coarse
+    *     quantizer and map every fine centroid to its coarse cell;
+    *  4. assign every corpus vector two-level: nearest coarse cell
+    *     (n·nG pairs), then nearest fine centroid WITHIN that cell
+    *     (n·(nC/nG) avg pairs) — ~2·sqrt(nC)·dim FLOPs per vector instead
+    *     of the flat form's nC·dim, which is what lets autoCentroids grow
+    *     past the former 256-list cap (at 10⁸ vectors: 64+157 pair-dots
+    *     per vector vs 10⁴).
+    * Query: probe the `gProbe` nearest coarse cells, take the `nProbe`
+    * nearest fine lists among them (mirroring the assignment rule, so list
+    * boundaries line up), exact-rerank candidates by raw-double cosine.
+    *
+    * All argmins use the score 2·dot(v,c) − ‖c‖² (argmax ≡ L2 argmin;
+    * ‖v‖² is constant per vector) — one dot per pair, no sqrt/division, and
+    * ties break to the lowest id via max(struct(s, −id)), identical to the
+    * oracle's row_number (ORDER BY s DESC, id ASC). Every per-vector argmax
+    * is the associative max(struct) form, so it partial-aggregates MAP-SIDE
+    * and the shuffle carries one narrow row per vector (the row_number-
+    * window form shuffled 51M wide rows at sf10: 7.6 GB task peak).
+    *
+    * Scale shape: centroids/coarse/f2g are ≤nC rows — always broadcast;
+    * the corpus is touched by two scan-shaped fanout-aggregate passes; the
+    * fine cid becomes the partition key of the inverted file, so a probe
+    * reads nProbe/nC of the corpus (partition pruning), never a full scan. */
   def ivfTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int, excludeId: Long = -1L,
+              nCentroids: Int, nProbe: Int, nCoarse: Int, trainN: Long,
+              gProbe: Int, excludeId: Long = -1L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = embeddings.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // Nearest-centroid argmax as max(struct(cc, -cid)) — the associative
-    // form partial-aggregates MAP-SIDE, so the shuffle carries one row per
-    // vector, not nCentroids rows each hauling the full embedding (the
-    // row_number-window form shuffled 51M wide rows at sf10: 7.6 GB
-    // per-task peak, 7.5 GB spill). Lexicographic struct max = highest cc,
-    // then lowest cid — identical to the window's (cc desc, cid asc) and
-    // to the oracle SQL. first(vec) is deterministic: every pre-agg row of
-    // a key carries the same embedding.
-    // Hoist the norms out of the nCentroids-way fanout: cosine(v, c)
-    // recomputes sqrt(dot(v,v)) and sqrt(dot(c,c)) per PAIR — 2/3 of the
-    // assignment FLOPs at 51M pairs. Computed once per vector (below the
-    // join, so the fanout reuses them), the quotient multiplies/divides
-    // the exact same doubles in the same order — bit-identical cc.
-    val eN = embeddings.withColumn("__vn", sqrt(dot(col(vecCol), col(vecCol))))
-    val centN = cent.withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
-    val assigned = eN.crossJoin(broadcast(centN))
-      .select(col(idCol), col(vecCol), col("cid"),
-        (dot(col(vecCol), col("cv")) / (col("__vn") * col("__cn"))).as("cc"))
+    val e = embeddings.select(col(idCol), col(vecCol),
+      expr(s"transform($vecCol, x -> round(cast(x as double) * 10000))").as("__q"))
+    val seeds = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col("__q").as("cv"))
+      .withColumn("__cn2", dot(col("cv"), col("cv")))
+    // One Lloyd round on the training prefix: integer-L2 assign to the
+    // seeds, then truncating per-dimension mean. floor(sum/count): the sum
+    // is an exact integer in double (integral addends), the IEEE quotient
+    // and floor are then identical on any engine.
+    val ta = e.filter(col(idCol) < trainN)
+      .crossJoin(broadcast(seeds))
+      .select(col(idCol), col("__q"), col("cid"),
+        (lit(2.0) * dot(col("__q"), col("cv")) - col("__cn2")).as("s"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("__m"),
-        first(col(vecCol)).as("__vec"))
-      .select(col(idCol), col("__vec").as(vecCol), (-col("__m.ncid")).as("cid"))
-    val probes = cent.crossJoin(broadcast(queryDf))
-      .select(col("cid"), cosine(col("cv"), col("qv")).as("qc"))
-      .orderBy(col("qc").desc, col("cid").asc)
-      .limit(nProbe)
-      .select("cid")
-    assigned.filter(col(idCol) =!= excludeId)
+      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"),
+        first(col("__q")).as("q"))
+      .select((-col("m.nc")).as("cid"), col("q"))
+    val cent = ta.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("cx"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cv"))
+      .withColumn("__cn2", dot(col("cv"), col("cv")))
+    // Coarse quantizer = the nCoarse lowest surviving cids (a seed whose
+    // train slice all fled to other centroids drops out, so rank by
+    // row_number, not cid < nCoarse). Single-partition window over ≤nC rows.
+    val coarse = cent
+      .withColumn("rn", row_number().over(Window.orderBy(col("cid"))))
+      .filter(col("rn") <= nCoarse)
+      .select(col("cid").as("gid"), col("cv").as("gv"), col("__cn2").as("__gn2"))
+    // fine centroid -> coarse cell (nC × nG pairs — broadcast-tiny).
+    val f2g = cent.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cv"), col("__cn2"), col("gid"),
+        (lit(2.0) * dot(col("cv"), col("gv")) - col("__gn2")).as("s"))
+      .groupBy(col("cid"))
+      .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"),
+        first(col("cv")).as("cv"), first(col("__cn2")).as("__cn2"))
+      .select(col("cid"), col("cv"), col("__cn2"), (-col("m.ng")).as("gid"))
+    // Two-level corpus assignment: coarse cell, then fine list in-cell.
+    val vg = e.crossJoin(broadcast(coarse))
+      .select(col(idCol), col(vecCol), col("__q"), col("gid"),
+        (lit(2.0) * dot(col("__q"), col("gv")) - col("__gn2")).as("s"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"),
+        first(col(vecCol)).as("__vec"), first(col("__q")).as("__qv"))
+      .select(col(idCol), col("__vec"), col("__qv"), (-col("m.ng")).as("gid"))
+    val vf = vg.join(broadcast(f2g), "gid")
+      .select(col(idCol), col("__vec"), col("cid"),
+        (lit(2.0) * dot(col("__qv"), col("cv")) - col("__cn2")).as("s"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"),
+        first(col("__vec")).as("__vec"))
+      .select(col(idCol), col("__vec").as(vecCol), (-col("m.nc")).as("cid"))
+    // Query probes: gProbe coarse cells, then nProbe fine lists among them.
+    val q = queryDf.select(col("qv"),
+      expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
+    val qg = coarse.crossJoin(broadcast(q))
+      .select(col("gid"),
+        (lit(2.0) * dot(col("__qq"), col("gv")) - col("__gn2")).as("s"))
+      .orderBy(col("s").desc, col("gid").asc).limit(gProbe).select("gid")
+    val probes = f2g.join(broadcast(qg), "gid")
+      .crossJoin(broadcast(q))
+      .select(col("cid"),
+        (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
+      .orderBy(col("s").desc, col("cid").asc).limit(nProbe).select("cid")
+    vf.filter(col(idCol) =!= excludeId)
       .join(broadcast(probes), "cid")
       .crossJoin(broadcast(queryDf))
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))

@@ -102,7 +102,7 @@ object Advanced {
         .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"tax"),
           "measure", "total")
         .select($"l_returnflag", $"measure",
-          ($"total" * 1000000).cast("long").as("total_e6"))
+          Tables.e6($"total").as("total_e6"))
         .orderBy("l_returnflag", "measure")
     }),
 

@@ -370,22 +370,28 @@ object Joins {
 
   private[graft] def writeDppFixture(s: org.apache.spark.sql.SparkSession,
                                      d: String): Unit =
-    if (dppWrittenFor.getAndSet(d) != d) {
-      import s.implicits._
-      graft.sources.Sources.writePartitioned(
-        Tables.orders(s, d).select(
-          $"o_orderkey",
-          round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"),
-          year($"o_orderdate").as("o_year")),
-        dppFactPath, Seq("o_year"))
-      // Dim derived from the fact's own distinct years (deterministic),
-      // written to parquet so the filter sits on a real scan — DPP needs
-      // a selective predicate over a non-local relation.
-      Tables.orders(s, d)
-        .select(year($"o_orderdate").as("y_year")).distinct()
-        .withColumn("y_label",
-          when($"y_year" % 3 === 0, lit("focus")).otherwise(lit("other")))
-        .coalesce(1).write.mode("overwrite").parquet(dppDimPath)
+    // Mark written only AFTER both writes complete (double-checked under the
+    // lock): a mid-write crash then leaves the guard unset, so a retry in
+    // the same JVM rewrites instead of serving a half-written layout.
+    if (dppWrittenFor.get() != d) dppWrittenFor.synchronized {
+      if (dppWrittenFor.get() != d) {
+        import s.implicits._
+        graft.sources.Sources.writePartitioned(
+          Tables.orders(s, d).select(
+            $"o_orderkey",
+            round(Tables.dec($"o_totalprice") * 100).cast("long").as("cents"),
+            year($"o_orderdate").as("o_year")),
+          dppFactPath, Seq("o_year"))
+        // Dim derived from the fact's own distinct years (deterministic),
+        // written to parquet so the filter sits on a real scan — DPP needs
+        // a selective predicate over a non-local relation.
+        Tables.orders(s, d)
+          .select(year($"o_orderdate").as("y_year")).distinct()
+          .withColumn("y_label",
+            when($"y_year" % 3 === 0, lit("focus")).otherwise(lit("other")))
+          .coalesce(1).write.mode("overwrite").parquet(dppDimPath)
+        dppWrittenFor.set(d)
+      }
     }
 
   val oracleSql: Map[String, String] = Map(

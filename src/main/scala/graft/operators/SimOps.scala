@@ -96,21 +96,29 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
-    // IVF scale path — fully oracle-checked: centroids are the lowest-id
-    // vectors (deterministic sample; CORPUS-SIZED to ≈ceil(sqrt(n)) lists
-    // via autoCentroids, probing max(2, nC/8) of them), assignment is the
-    // nearest-centroid argmax with a cid tie-break, exact rerank on the
-    // probed lists only. Both engines compute the identical cosine fold
-    // AND the identical integer parameter derivation from COUNT(*), so
-    // assignment, probe choice, and rerank agree bit-for-bit at every sf.
+    // IVF scale path — fully oracle-checked: ceil(sqrt(n)) centroids
+    // (autoCentroids, cap 4096) seeded from the lowest ids then TRAINED by
+    // one exact-integer Lloyd round over the 32·nC-vector prefix, every
+    // vector assigned TWO-LEVEL (nearest of ceil(sqrt(nC)) coarse cells,
+    // then nearest fine list in-cell — ~2·sqrt(nC) pair-dots per vector,
+    // which is what lets the list count grow past the former 256 cap), and
+    // the query probing the nearest coarse cells / fine lists before the
+    // exact rerank. Every score is exact integer math over round(x·1e4)
+    // quanta and every parameter derives from COUNT(*) by integer
+    // thresholds, so both engines agree bit-for-bit at every sf.
     // FunctionsSpec additionally asserts recall against the exact top-k.
     "sim_ann_ivf" -> ((s, d) => {
       import s.implicits._
+      import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val nC = graft.functions.AnnSearch.autoCentroids(e.count())
+      val n = e.count()
+      val nC = AnnSearch.autoCentroids(n)
+      val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
-      graft.functions.AnnSearch
-        .ivfTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8), excludeId = 0L)
+      AnnSearch
+        .ivfTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8),
+          nCoarse = nG, trainN = AnnSearch.autoTrainN(n, nC),
+          gProbe = math.max(2, nG / 4), excludeId = 0L)
         .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
@@ -213,49 +221,103 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
-    // Replicates ivfTopK end-to-end: same centroid sample (the nc lowest
-    // vec_ids, nc = clamp(ceil(sqrt(COUNT(*))), 8, 256) — the identical
-    // autoCentroids derivation), same row_number nearest-centroid
-    // assignment (cid tie-break), same max(2, nc//8)-probe selection, same
-    // exact rerank — every comparison is on the identical left-fold
-    // cosine, so the plans agree bit-for-bit at every scale factor.
+    // Replicates the trained two-level ivfTopK end-to-end: identical
+    // integer parameter derivation from COUNT(*) (nc = clamp(ceil(sqrt n),
+    // 8, 4096); ng = clamp(ceil(sqrt nc), 4, 64); tn = min(n, 32·nc);
+    // np = max(2, nc//8); gp = max(2, ng//4)), identical round(x·1e4)
+    // quantization, one Lloyd round (L2 argmin via the 2·dot−‖c‖² score,
+    // id-ascending tie-break; truncating per-dim mean = floor of an exact
+    // integer-in-double quotient), identical coarse pick / two-level
+    // assignment / probe selection, identical raw-double cosine rerank.
+    // Every score is exact integer arithmetic, so the engines agree
+    // bit-for-bit at every scale factor.
     "sim_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(2, nc // 8) AS np,
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
         |  FROM embeddings),
-        |p AS (
-        |  SELECT CAST(GREATEST(8, LEAST(256, CEIL(SQRT(COUNT(*))))) AS BIGINT) AS nc,
-        |    GREATEST(2, CAST(GREATEST(8, LEAST(256, CEIL(SQRT(COUNT(*))))) AS BIGINT) // 8) AS np
-        |  FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id < p.nc),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |        / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
-        |           * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))) DESC,
-        |        c.cid ASC) AS rn
-        |    FROM e CROSS JOIN cent c) t
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
         |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT q, v AS qv FROM e WHERE vec_id = 0),
+        |qg AS (
+        |  SELECT gid FROM (
+        |    SELECT g.gid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g, qq) x, p
+        |  WHERE rn <= p.gp),
         |probe AS (
         |  SELECT cid FROM (
-        |    SELECT c.cid, row_number() OVER (ORDER BY
-        |      list_reduce(list_transform(list_zip(c.cv, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y))
-        |         * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) DESC,
-        |      c.cid ASC) AS rn
-        |    FROM cent c, q) t, p
-        |  WHERE t.rn <= p.np),
+        |    SELECT f.cid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid, qq) x, p
+        |  WHERE rn <= p.np),
         |rerank AS (
         |  SELECT a.vec_id,
-        |    list_reduce(list_transform(list_zip(a.v, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
         |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS c
-        |  FROM asg
-        |  JOIN probe p ON asg.cid = p.cid
-        |  JOIN e a ON a.vec_id = asg.vec_id, q
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM vf
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN e a ON a.vec_id = vf.vec_id, qq
         |  WHERE a.vec_id <> 0
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6

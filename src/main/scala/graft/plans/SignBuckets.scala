@@ -39,7 +39,7 @@ case class SignBuckets(child: Expression, seed: Long, nTables: Int,
           s"SignBuckets needs array<float|double>, got $t")
     }
 
-  private def elemIsFloat: Boolean =
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // Flat [t][b][d] plane matrix; rebuilt lazily per deserialized instance

@@ -51,7 +51,12 @@ class FunctionsSpec extends AnyFunSuite {
     val bits = (1L to 60L).map(e => AnnSearch.autoBits(1L << math.min(e, 62L).toInt))
     assert(bits == bits.sorted, "autoBits must be monotone in n")
     assert(AnnSearch.autoCentroids(10) == 8 && AnnSearch.autoCentroids(500) == 23)
-    assert(AnnSearch.autoCentroids(1000000) == 256)
+    assert(AnnSearch.autoCentroids(1000000) == 1000)
+    assert(AnnSearch.autoCentroids(100000000L) == 4096) // two-level cap
+    assert(AnnSearch.autoCoarse(8) == 4 && AnnSearch.autoCoarse(448) == 22)
+    assert(AnnSearch.autoCoarse(4096) == 64)
+    assert(AnnSearch.autoTrainN(500, 23) == 500)
+    assert(AnnSearch.autoTrainN(200000, 448) == 14336)
   }
 
   test("ANN LSH top-k achieves good recall vs brute force") {
@@ -72,13 +77,32 @@ class FunctionsSpec extends AnyFunSuite {
     val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
       .select($"vec_id").as[Long].collect().toSet
     val approx = AnnSearch.ivfTopK(e, q, 20, nCentroids = 8, nProbe = 2,
-        excludeId = 0L)
+        nCoarse = 4, trainN = 256L, gProbe = 2, excludeId = 0L)
       .select($"vec_id").as[Long].collect().toSet
     assert(approx.size == 20, s"probed clusters must hold >= k candidates")
     val recall = (exact intersect approx).size.toDouble / exact.size
     // probing 2/8 clusters at random would catch ~25% of the true top-k;
     // probing the query's NEAREST clusters must do meaningfully better
     assert(recall >= 0.35, s"recall $recall no better than random probing")
+  }
+
+  test("trained two-level IVF reaches production recall at sf0.1 auto params") {
+    // The VERDICT-r7 gate: recall@20 >= 0.9 vs the exact scan, at the same
+    // auto-derived parameters the graded sim_ann_ivf row uses.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val nC = AnnSearch.autoCentroids(n)
+    val nG = AnnSearch.autoCoarse(nC)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = AnnSearch.ivfTopK(e, q, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(2, nG / 4), excludeId = 0L)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"trained-IVF recall $recall < 0.9 at sf0.1")
   }
 
   test("multimodal plumbing: schema, feature extraction, frame sampling") {
