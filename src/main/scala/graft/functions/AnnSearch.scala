@@ -140,6 +140,42 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** Multi-probe variant of [[annTopK]]: each hash table is probed at the
+    * query's exact bucket PLUS every single-bit flip of it (nBits+1 probes
+    * per table). A near neighbor that lands one hyperplane on the wrong
+    * side of the query — the dominant miss mode once autoBits sizes the
+    * width up and buckets get sparse — is still found, so a given recall
+    * needs ~3× fewer hash tables (3× less index storage and build work)
+    * than exact-bucket probing; this is the standard corpus-scale recall
+    * insurance (multi-probe LSH, Lv et al., VLDB'07 — public algorithm).
+    *
+    * Plan shape is unchanged from [[annTopK]]: the probe sets live in ONE
+    * broadcast query row as nTables small arrays, the candidate filter is
+    * an OR of array_contains against that row (scan-shaped, no extra
+    * shuffle, nTables·(nBits+1) integer compares per vector), and the
+    * exact rerank is identical. At 100 TB with the bucket id as partition
+    * key, the probe set is a (nBits+1)-partition point-lookup list per
+    * table instead of 1 — still never a scan. The flip derivation is
+    * integer XOR, so any SQL engine reproduces the candidate set. */
+  def annTopKMulti(embeddings: DataFrame, queryDf: DataFrame, k: Int, dim: Int,
+                   nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val data = lshBucketed(embeddings, dim, nBits, nTables, seed, vecCol)
+    val q0 = lshBucketed(queryDf, dim, nBits, nTables, seed, "qv")
+    val q = (0 until nTables).foldLeft(q0) { (acc, t) =>
+      acc.withColumn(s"qpb_$t",
+        array(col(s"bucket_$t") +:
+          (0 until nBits).map(j => col(s"bucket_$t").bitwiseXOR(lit(1L << j))): _*))
+    }.select((0 until nTables).map(t => col(s"qpb_$t")) :+ col("qv"): _*)
+    val anyProbe = (0 until nTables)
+      .map(t => array_contains(col(s"qpb_$t"), col(s"bucket_$t")))
+      .reduce(_ || _)
+    data.join(broadcast(q), anyProbe)
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF ANN with TRAINED centroids and TWO-LEVEL assignment. Returns
     * (idCol, cos) for the top `k`, query row(s) excluded via `excludeId`.
     *

@@ -456,10 +456,90 @@ object Aggregates {
           sum(when($"dx" > $"mad" * 5, $"c").otherwise(0L)).as("n_outliers"),
           max($"med").as("median_cents"), max($"mad").as("mad_cents"))
         .orderBy("l_returnflag")
+    }),
+
+    // D9 graded through its error theorem (the agg_quantile_sketch_rank
+    // pattern): the HLL estimate itself is ε-approximate and not
+    // oracle-hashable, so the row emits the EXACT distinct count plus a
+    // flag that |hll − exact| ≤ 4·rsd·exact (4 standard errors at
+    // rsd=0.05 — a real gate: a broken sketch register merge trips it),
+    // and the oracle pins the flag to 1 alongside the exact counts. The
+    // OPERATOR under test is the one-pass mergeable HLL (map-side partial
+    // registers, one ~kB state per group over the shuffle — the only
+    // distinct-count shape that works at 100 TB); the exact pass exists
+    // to verify it, same 2-scan check cost policy as the KLL row.
+    "agg_hll_distinct_bound" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag".as("g"))
+        .agg(approx_count_distinct($"l_partkey", 0.05).as("est"),
+          countDistinct($"l_partkey").as("exact_distinct"))
+        .select($"g", $"exact_distinct",
+          when(abs($"est" - $"exact_distinct") <=
+            greatest($"exact_distinct" * 0.2, lit(1.0)), 1L).otherwise(0L)
+            .as("hll_ok"))
+        .orderBy("g")
+    }),
+
+    // Batch Misra–Gries heavy hitters, graded through the MG theorems the
+    // way stream_heavy_hitters is — but fully distributed (no driver
+    // snapshot): sketch entries explode into rows, the exact-truth join
+    // checks (a) every reported counter lies in [true − n/(k+1), true]
+    // (MG never overestimates; bounded underestimate survives the
+    // map-side partials and the (k+1)-largest-subtraction merge), and
+    // (b) every key with true count > n/(k+1) was reported. Same skewed
+    // key mix so the theorems BITE: ~2/3 of rows on 4 hot keys, 1/3
+    // churning a 200-key tail that forces real decrements in the k=8
+    // buffer. Oracle pins both flags to 1 plus exact group sizes.
+    "agg_heavy_hitters_bound" -> ((s, d) => {
+      import s.implicits._
+      val keyExpr = expr(
+        "CASE WHEN o_custkey % 3 = 0 THEN 100 + o_custkey % 200 ELSE o_custkey % 4 END")
+      val base = Tables.orders(s, d)
+        .select($"o_orderpriority".as("g"), keyExpr.as("key"))
+      val sk = base.groupBy($"g")
+        .agg(graft.plans.SpaceSavingAgg.heavyHitters($"key", 8).as("hh"),
+          count(lit(1)).as("n"))
+      val est = sk.select($"g", $"n", explode($"hh").as("e"))
+        .select($"g", $"n", $"e.key".as("key"), $"e.cnt".as("est"))
+      val truth = base.groupBy($"g", $"key").agg(count(lit(1)).as("tc"))
+      val bounds = est.join(truth, Seq("g", "key"), "left")
+        .groupBy($"g")
+        .agg(min(expr(
+          """CASE WHEN est <= coalesce(tc, 0)
+            | AND est >= coalesce(tc, 0) - n div 9 THEN 1 ELSE 0 END"""
+            .stripMargin.replaceAll("\n", " "))).as("bounds_ok"))
+      val missing = truth
+        .join(sk.select($"g", $"n"), "g")
+        .filter(expr("tc > n div 9"))
+        .join(est.select($"g".as("eg"), $"key".as("rep_key")),
+          $"key" === $"rep_key" && $"g" === $"eg", "left_anti")
+        .groupBy($"g").agg(count(lit(1)).as("n_missing"))
+      sk.select($"g", $"n")
+        .join(bounds, Seq("g"), "left")
+        .join(missing, Seq("g"), "left")
+        .select($"g", $"n",
+          coalesce($"bounds_ok", lit(1L)).cast("long").as("bounds_ok"),
+          when(coalesce($"n_missing", lit(0L)) === 0, 1L).otherwise(0L)
+            .as("all_present"))
+        .orderBy("g")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The HLL estimate is ε-approximate (not hashable); the PROOF
+    // OBLIGATION |est − exact| ≤ 4·rsd·exact is pinned to 1 and the exact
+    // distinct counts are hashed — same policy as the sketch-rank rows.
+    "agg_hll_distinct_bound" ->
+      """SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS exact_distinct,
+        |  CAST(1 AS BIGINT) AS hll_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MG counters are encounter-order-dependent; the PROOF OBLIGATIONS
+    // (presence of all true heavy keys, counter bounds) are pinned.
+    "agg_heavy_hitters_bound" ->
+      """SELECT o_orderpriority AS g, COUNT(*) AS n,
+        |  CAST(1 AS BIGINT) AS bounds_ok, CAST(1 AS BIGINT) AS all_present
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_e6,

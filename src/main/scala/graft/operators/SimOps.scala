@@ -96,6 +96,25 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // Multi-probe LSH: same auto-sized signature pass, but each of only 4
+    // tables (vs sim_ann_lsh's 12) is probed at the query bucket plus all
+    // nBits single-bit flips — the standard recall-per-byte trade (a near
+    // neighbor one hyperplane off is caught by a flip probe instead of
+    // needing another whole hash table). Candidate set = integer XOR
+    // derivation both engines replicate; FunctionsSpec proves multi-probe
+    // recall >= exact-bucket recall at the oversized sf10 width.
+    "sim_ann_lsh_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val nBits = graft.functions.AnnSearch.autoBits(e.count())
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      graft.functions.AnnSearch
+        .annTopKMulti(e.filter($"vec_id" =!= 0), q, 20, dim = 64,
+          nBits = nBits, nTables = 4)
+        .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
+    }),
+
     // IVF scale path — fully oracle-checked: ceil(sqrt(n)) centroids
     // (autoCentroids, cap 4096) seeded from the lowest ids then TRAINED by
     // one exact-integer Lloyd round over the 32·nC-vector prefix, every
@@ -211,6 +230,48 @@ object SimOps {
         |  SELECT DISTINCT d.vec_id
         |  FROM bits d JOIN bits q ON d.t = q.t AND d.bucket = q.bucket
         |  WHERE q.vec_id = 0 AND d.vec_id <> 0),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, q.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM cand JOIN e a ON a.vec_id = cand.vec_id
+        |  CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
+        |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // Same derivation as sim_ann_lsh (md5-parity planes, left-fold dots,
+    // integer-threshold width) over 4 tables, with the candidate join
+    // against the query's bucket AND its nb single-bit XOR flips.
+    "sim_ann_lsh_multiprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(5 + COUNT(*) AS INT) AS nb FROM range(6, 17) r(b)
+        |  WHERE (SELECT COUNT(*) FROM embeddings) > 16 * (1 << (b - 1))),
+        |w AS (
+        |  SELECT t, b, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(('0x' || substring(md5('42:' || CAST(t AS VARCHAR) || ':'
+        |        || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END) AS wv
+        |  FROM range(0, 4) r1(t), range(0, 16) r2(b), p WHERE b < p.nb),
+        |bits AS (
+        |  SELECT e.vec_id, w.t,
+        |    CAST(SUM(CASE WHEN list_reduce(
+        |        list_transform(list_zip(e.v, w.wv), z -> z[1] * z[2]), (x, y) -> x + y) >= 0
+        |      THEN 1 << w.b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e CROSS JOIN w GROUP BY e.vec_id, w.t),
+        |probes AS (
+        |  SELECT t, bucket FROM bits WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT b.t, xor(b.bucket, CAST(1 << j.j AS BIGINT)) AS bucket
+        |  FROM bits b, range(0, 16) j(j), p
+        |  WHERE b.vec_id = 0 AND j.j < p.nb),
+        |cand AS (
+        |  SELECT DISTINCT d.vec_id
+        |  FROM bits d JOIN probes q ON d.t = q.t AND d.bucket = q.bucket
+        |  WHERE d.vec_id <> 0),
         |rerank AS (
         |  SELECT a.vec_id,
         |    list_reduce(list_transform(list_zip(a.v, q.v), z -> z[1] * z[2]), (x, y) -> x + y)
