@@ -523,6 +523,30 @@ object Etl {
         .limit(200)
     }),
 
+    // The z-order layout's PAYOFF, graded: write orders clustered by the
+    // Morton key (range-partitioned into 8 files, sorted by zval within
+    // each — the exact writer shape the etl_zorder_key doc prescribes),
+    // then answer a two-dimensional range query over the layout. Because
+    // a contiguous z-range is a small (x, y) rectangle union, every file/
+    // row-group carries NARROW x and y min/max stats, and the pushed
+    // x/y predicates skip most row groups at scan time — multi-column
+    // data skipping from a single sort key, where a lexicographic sort
+    // prunes only its leading column. PlanShapeSpec pins the effect:
+    // the z-ordered scan emits a fraction of the rows a hash-shuffled
+    // copy of the same data emits under the identical pushed filters.
+    // The oracle re-reads the engine-written files, so the hash match
+    // also proves the layout holds exactly the source rows.
+    "etl_zorder_skipping" -> ((s, d) => {
+      import s.implicits._
+      writeZorderFixture(s, d)
+      s.read.parquet(zorderPath)
+        .filter($"x".between(32, 95) && $"y".between(256, 511))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"o_orderkey"), lit(0L)).as("sum_key"),
+          coalesce(min($"zval"), lit(-1L)).as("min_z"),
+          coalesce(max($"zval"), lit(-1L)).as("max_z"))
+    }),
+
     // Order-independent table checksum — the migration/replication
     // validation op: hash a canonical serialization of every row, reduce
     // with XOR (commutative + associative, so partitioning/order can't
@@ -592,7 +616,43 @@ object Etl {
     })
   )
 
+  private[graft] val zorderPath = s"${graft.fixtureRoot}/zorder_orders"
+  private val zorderWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Writes orders clustered by the Morton z-key: range-partitioned into 8
+    * files on zval, sorted by zval within each — so every file/row-group
+    * covers a contiguous z-range, i.e. a small (x, y) rectangle union with
+    * narrow per-column min/max stats. Guard marks written only AFTER the
+    * write completes (same crash-retry policy as the DPP fixture). */
+  private[graft] def writeZorderFixture(s: org.apache.spark.sql.SparkSession,
+                                        d: String): Unit =
+    if (zorderWrittenFor.get() != d) zorderWrittenFor.synchronized {
+      if (zorderWrittenFor.get() != d) {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            ($"o_custkey" % 1024).as("x"),
+            (datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long") % 1024).as("y"))
+          .withColumn("zval", graft.plans.MortonInterleave.morton($"x", $"y", 10))
+          .repartitionByRange(8, $"zval")
+          .sortWithinPartitions($"zval")
+          .write.mode("overwrite").parquet(zorderPath)
+        zorderWrittenFor.set(d)
+      }
+    }
+
   val oracleSql: Map[String, String] = Map(
+    // Re-reads the engine-written z-clustered files with the same range
+    // predicate — the layout-oblivious answer the skipping scan must match.
+    "etl_zorder_skipping" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS sum_key,
+         |  CAST(COALESCE(MIN(zval), -1) AS BIGINT) AS min_z,
+         |  CAST(COALESCE(MAX(zval), -1) AS BIGINT) AS max_z
+         |FROM read_parquet('$zorderPath/*.parquet')
+         |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 256 AND 511""".stripMargin,
     "etl_schedule_expand" ->
       """SELECT o_orderkey, CAST(CAST(dt AS DATE) AS VARCHAR) AS flight_date FROM (
         |  SELECT o_orderkey, o_orderkey % 127 + 1 AS day_mask,

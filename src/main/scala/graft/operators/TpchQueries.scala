@@ -222,10 +222,27 @@ object TpchQueries {
     // is the CASE over the same disjuncts).
     "tpch_q19_bracket" -> ((s, d) => {
       import s.implicits._
+      // Superset predicates hoisted out of the OR and pushed BELOW the
+      // join (Catalyst extracts only exact common factors from a
+      // disjunction, and these differ per bracket): every disjunct needs
+      // p_brand ∈ {1,2,3} ∧ p_size ≤ 15 (smaller broadcast AND fewer join
+      // hits) and qty_c ∈ [100, 3000] (probe rows cut before the join).
+      // The exact per-bracket OR still applies after — same rows survive.
+      // qty_c is DOUBLE math, not DECIMAL: Catalyst's CNF partial pushdown
+      // substitutes the qty_c expression into every derived disjunct below
+      // the Project (8 copies in the pre-join filter), and each decimal
+      // cast·mul·round instance cost ~0.25 s per 600k rows — 1.0 s of the
+      // query was recomputed decimal rounding. A scalar double round is
+      // order-free and bit-identical on any engine (same IEEE ops), so the
+      // R2 decimal discipline — which guards cross-row SUMS — isn't needed
+      // for this per-row bracket key; the revenue SUM stays DECIMAL.
       val pt = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3") &&
+          $"p_size".between(1, 15))
       Tables.lineitem(s, d)
         .select($"l_partkey", $"l_extendedprice", $"l_discount",
-          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+          round($"l_quantity" * 100).cast("long").as("qty_c"))
+        .filter($"qty_c".between(100, 3000))
         .join(broadcast(pt), $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) &&
@@ -647,7 +664,7 @@ object TpchQueries {
     "tpch_q19_bracket" ->
       """WITH li AS (
         |  SELECT l_partkey, l_extendedprice, l_discount,
-        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
         |  FROM lineitem),
         |f AS (
         |  SELECT CASE WHEN p_brand = 'Brand#1' THEN 1

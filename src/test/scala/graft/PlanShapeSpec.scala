@@ -70,6 +70,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.contains("dynamicpruningexpression"), scan.take(800))
   }
 
+  test("z-ordered layout skips row groups a shuffled layout must read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Graded row's fixture: 8 z-range files with narrow x/y stats.
+    operators.Etl.writeZorderFixture(spark, TestSpark.sfDir)
+    // Control: the same rows hash-scattered, so every row group's x/y
+    // min/max spans the whole domain and nothing can be skipped.
+    val shuffledPath = s"${graft.fixtureRoot}/zorder_shuffled"
+    spark.read.parquet(operators.Etl.zorderPath)
+      .repartition(8, $"o_orderkey")
+      .write.mode("overwrite").parquet(shuffledPath)
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter($"x".between(32, 95) && $"y".between(256, 511))
+        .agg(count(lit(1)))
+      df.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+      val scan = scans(df.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec in the plan"))
+      scan.metrics("numOutputRows").value
+    }
+    val total = spark.read.parquet(operators.Etl.zorderPath).count()
+    val zRows = scanRows(operators.Etl.zorderPath)
+    val sRows = scanRows(shuffledPath)
+    // Shuffled layout: stats filter nothing — the scan surfaces every row.
+    assert(sRows == total, s"control scan read $sRows of $total")
+    // Z-ordered layout: pushed x/y predicates skip most z-range row groups.
+    assert(zRows < total / 2,
+      s"z-ordered scan read $zRows of $total rows — no skipping happened")
+    assert(zRows < sRows, "z-order must beat the shuffled layout")
+  }
+
   test("stratified sample prunes to the two columns it needs") {
     val p = plan("pipe_sample_stratified")
     assert(!p.contains("text"), "text column must be pruned from the scan")
