@@ -206,37 +206,44 @@ object AnnSearch {
     * ‖v‖² is constant per vector) — one dot per pair, no sqrt/division, and
     * ties break to the lowest id via max(struct(s, −id)), identical to the
     * oracle's row_number (ORDER BY s DESC, id ASC). Every per-vector argmax
-    * is the associative max(struct) form, so it partial-aggregates MAP-SIDE
-    * and the shuffle carries one narrow row per vector (the row_number-
-    * window form shuffled 51M wide rows at sf10: 7.6 GB task peak).
+    * aggregates ONLY the fixed-width max(struct) — never a first(vector):
+    * a variable-width array in the aggregation buffer disqualifies
+    * HashAggregate, and the resulting SortAggregate SORTS the whole
+    * nG-way fanout carrying ~1.2 KB vector payloads (measured 3.9 GB task
+    * peak at sf10). Narrow argmax keyed by id hash-aggregates map-side —
+    * the fanout collapses before the shuffle — and the winner re-joins the
+    * corpus by id to fetch vectors only where needed (linear, and the
+    * rerank join touches only the probed lists' candidates).
     *
     * Scale shape: centroids/coarse/f2g are ≤nC rows — always broadcast;
-    * the corpus is touched by two scan-shaped fanout-aggregate passes; the
-    * fine cid becomes the partition key of the inverted file, so a probe
-    * reads nProbe/nC of the corpus (partition pruning), never a full scan. */
+    * the corpus is touched by scan-shaped fanout-aggregate passes plus
+    * narrow id-equi-joins; the fine cid becomes the partition key of the
+    * inverted file, so a probe reads nProbe/nC of the corpus (partition
+    * pruning), never a full scan. */
   def ivfTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, nCoarse: Int, trainN: Long,
               gProbe: Int, excludeId: Long = -1L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings.select(col(idCol), col(vecCol),
+    val eq = embeddings.select(col(idCol),
       expr(s"transform($vecCol, x -> round(cast(x as double) * 10000))").as("__q"))
-    val seeds = e.filter(col(idCol) < nCentroids)
+    val seeds = eq.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long").as("cid"), col("__q").as("cv"))
       .withColumn("__cn2", dot(col("cv"), col("cv")))
     // One Lloyd round on the training prefix: integer-L2 assign to the
-    // seeds, then truncating per-dimension mean. floor(sum/count): the sum
-    // is an exact integer in double (integral addends), the IEEE quotient
-    // and floor are then identical on any engine.
-    val ta = e.filter(col(idCol) < trainN)
+    // seeds (narrow argmax, winner re-joined for the vector), then
+    // truncating per-dimension mean. floor(sum/count): the sum is an exact
+    // integer in double (integral addends), the IEEE quotient and floor
+    // are then identical on any engine.
+    val taAssign = eq.filter(col(idCol) < trainN)
       .crossJoin(broadcast(seeds))
-      .select(col(idCol), col("__q"), col("cid"),
+      .select(col(idCol), col("cid"),
         (lit(2.0) * dot(col("__q"), col("cv")) - col("__cn2")).as("s"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"),
-        first(col("__q")).as("q"))
-      .select((-col("m.nc")).as("cid"), col("q"))
-    val cent = ta.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("cid"))
+    val ta = taAssign.join(eq.filter(col(idCol) < trainN), Seq(idCol))
+    val cent = ta.select(col("cid"), posexplode(col("__q")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("cx"))
       .groupBy(col("cid"))
@@ -258,21 +265,21 @@ object AnnSearch {
       .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"),
         first(col("cv")).as("cv"), first(col("__cn2")).as("__cn2"))
       .select(col("cid"), col("cv"), col("__cn2"), (-col("m.ng")).as("gid"))
-    // Two-level corpus assignment: coarse cell, then fine list in-cell.
-    val vg = e.crossJoin(broadcast(coarse))
-      .select(col(idCol), col(vecCol), col("__q"), col("gid"),
+    // Two-level corpus assignment: coarse cell (narrow argmax), then fine
+    // list in-cell (re-join by id for the quantized vector, narrow argmax).
+    val vg = eq.crossJoin(broadcast(coarse))
+      .select(col(idCol), col("gid"),
         (lit(2.0) * dot(col("__q"), col("gv")) - col("__gn2")).as("s"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"),
-        first(col(vecCol)).as("__vec"), first(col("__q")).as("__qv"))
-      .select(col(idCol), col("__vec"), col("__qv"), (-col("m.ng")).as("gid"))
-    val vf = vg.join(broadcast(f2g), "gid")
-      .select(col(idCol), col("__vec"), col("cid"),
-        (lit(2.0) * dot(col("__qv"), col("cv")) - col("__cn2")).as("s"))
+      .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"))
+      .select(col(idCol), (-col("m.ng")).as("gid"))
+    val vf = eq.join(vg, Seq(idCol))
+      .join(broadcast(f2g), "gid")
+      .select(col(idCol), col("cid"),
+        (lit(2.0) * dot(col("__q"), col("cv")) - col("__cn2")).as("s"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"),
-        first(col("__vec")).as("__vec"))
-      .select(col(idCol), col("__vec").as(vecCol), (-col("m.nc")).as("cid"))
+      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("cid"))
     // Query probes: gProbe coarse cells, then nProbe fine lists among them.
     val q = queryDf.select(col("qv"),
       expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
@@ -285,8 +292,13 @@ object AnnSearch {
       .select(col("cid"),
         (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
       .orderBy(col("s").desc, col("cid").asc).limit(nProbe).select("cid")
-    vf.filter(col(idCol) =!= excludeId)
-      .join(broadcast(probes), "cid")
+    // Candidate fetch touches only the probed lists' ids — at scale this
+    // is the partition-pruned read of the inverted file (cid = partition
+    // key); locally AQE broadcasts the nProbe/nC-sized id set.
+    val cand = vf.join(broadcast(probes), "cid")
+      .filter(col(idCol) =!= excludeId)
+      .select(col(idCol))
+    embeddings.join(cand, Seq(idCol))
       .crossJoin(broadcast(queryDf))
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

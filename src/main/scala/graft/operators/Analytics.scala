@@ -236,18 +236,27 @@ object Analytics {
       // The source degree is baked into the edge table ONCE (GraphX's
       // routing-table trick), so each round is join(edges_deg, rank) +
       // hash-agg with NO per-round deg re-join; the final deg join is for
-      // the output column only. The edge list is materialized once with
-      // localCheckpoint (lineage truncation, no persist serialization) so
-      // the 600k-row distinct subtree runs one time, not once per round —
-      // measured 3.8 → 1.6 s warm at sf0.1; a many-round production
-      // PageRank does exactly this with its static graph.
+      // the output column only. The edge list is hash-partitioned by src
+      // and PERSISTED (not localCheckpoint: LogicalRDD drops the
+      // partitioning, so every downstream join re-shuffled ~118M edges per
+      // stage at sf10 — 12.4 GB of spill; InMemoryTableScan preserves it),
+      // so the distinct subtree runs once and the degree agg, the deg
+      // bake-in join, and every round's rank join all reuse that one
+      // partitioning — no stage moves the edge table again (56.9 → 34.2 s
+      // at sf10, zero spill). The rank side carries a shuffle_hash hint:
+      // the per-partition rank slice is hash-table-sized, and SHJ streams
+      // the big edge side WITHOUT the per-round sort SMJ would impose —
+      // sorting the static edge table every iteration is pure waste. The
+      // bench's releaseResidue unpersists between queries; a many-round
+      // production PageRank does exactly this with its static graph.
       val edges = edges1.unionByName(edges1.select($"v".as("u"), $"u".as("v")))
-        .localCheckpoint()
+        .repartition($"u")
+        .persist()
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
-      val edgesDeg = edges.join(deg, "u")
+      val edgesDeg = edges.join(deg.hint("shuffle_hash"), "u")
       val r0 = deg.select($"u", lit(1000000L).as("pr"))
       def round1(r: org.apache.spark.sql.DataFrame) =
-        edgesDeg.join(r, "u")
+        edgesDeg.join(r.hint("shuffle_hash"), "u")
           .groupBy($"v".as("u"))
           .agg(expr(
             "cast(150000 + (850000 * sum(pr div deg)) div 1000000 as bigint)")

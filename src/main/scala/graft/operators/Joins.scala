@@ -357,8 +357,53 @@ object Joins {
         .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
         .select($"o_year".cast("long").as("o_year"), $"n_orders", $"sum_cents")
         .orderBy("o_year")
+    }),
+
+    // Bucketed co-located fact-fact join, GRADED (the bucketed writer was
+    // previously only spec-asserted): both sides are written bucketBy(8)
+    // + sortBy on the join key, so the scans report the same
+    // HashPartitioning(8) and the sort-merge join needs NO Exchange and
+    // NO Sort — the shape that turns the biggest shuffle in a 100 TB
+    // fact-fact pipeline into a zero-movement stream-merge of co-located
+    // buckets. The merge hint stands in for real fact-fact sizes where
+    // neither side broadcasts; PlanShapeSpec pins the exchange-free plan,
+    // and the oracle re-reads the engine-written bucket files, proving
+    // the layout holds exactly the source rows.
+    "join_bucketed_colocated" -> ((s, d) => {
+      import s.implicits._
+      writeBucketedFixture(s, d)
+      s.table("graft_bux_li").hint("merge")
+        .join(s.table("graft_bux_ord"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), sum($"qty_c").as("sum_qty_c"))
+        .orderBy("o_orderpriority")
     })
   )
+
+  private[graft] val buxLiPath  = s"${graft.fixtureRoot}/bux_lineitem"
+  private[graft] val buxOrdPath = s"${graft.fixtureRoot}/bux_orders"
+  private val buxWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Writes lineitem + orders slices bucketed by the join key (8 buckets,
+    * sorted within) as external tables, so the co-located join above scans
+    * them exchange-free. Guard marks written only AFTER both writes
+    * complete — same crash-retry policy as the DPP fixture. */
+  private[graft] def writeBucketedFixture(s: org.apache.spark.sql.SparkSession,
+                                          d: String): Unit =
+    if (buxWrittenFor.get() != d) buxWrittenFor.synchronized {
+      if (buxWrittenFor.get() != d) {
+        import s.implicits._
+        Scale.writeBucketed(
+          Tables.lineitem(s, d).select($"l_orderkey",
+            round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c")),
+          "graft_bux_li", buxLiPath, 8, "l_orderkey")
+        Scale.writeBucketed(
+          Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          "graft_bux_ord", buxOrdPath, 8, "o_orderkey")
+        buxWrittenFor.set(d)
+      }
+    }
 
   private[graft] val dppFactPath = s"${graft.fixtureRoot}/dpp_orders"
   private[graft] val dppDimPath  = s"${graft.fixtureRoot}/dpp_yeardim"
@@ -399,6 +444,15 @@ object Joins {
     // reconstructed from the key=value paths) and the parquet dim, then
     // the same selective join+agg — proving the pruned plan's answer
     // equals the layout-oblivious relational one.
+    // Re-reads the engine-written bucket files (bucket structure is
+    // invisible to DuckDB — it just proves the files hold the rows).
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c
+         |FROM read_parquet('$buxLiPath/*.parquet') l
+         |JOIN read_parquet('$buxOrdPath/*.parquet') o
+         |  ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_dpp_partitioned" ->
       s"""SELECT CAST(f.o_year AS BIGINT) AS o_year, COUNT(*) AS n_orders,
          |  CAST(SUM(f.cents) AS BIGINT) AS sum_cents

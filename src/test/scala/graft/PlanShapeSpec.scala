@@ -70,6 +70,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.contains("dynamicpruningexpression"), scan.take(800))
   }
 
+  test("graded bucketed join is exchange-free sort-merge on co-located buckets") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n${p.take(600)}")
+    // The tree prints top-down, so everything below the SortMergeJoin line
+    // is its input side: the bucketed scans must feed it with NO shuffle
+    // (the post-join aggregation exchanges sit above the join line).
+    val joinInputs = p.split("SortMergeJoin").last
+    assert(!joinInputs.contains("Exchange hashpartitioning"),
+      s"bucketed join inputs must not shuffle:\n${p.take(1200)}")
+  }
+
   test("z-ordered layout skips row groups a shuffled layout must read") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
