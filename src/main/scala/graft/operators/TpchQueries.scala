@@ -176,7 +176,12 @@ object TpchQueries {
         .filter($"p_brand" === "Brand#7").select($"p_partkey"))
       val liBrand = Tables.lineitem(s, d)
         .select($"l_partkey", $"l_extendedprice",
-          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+          // double cents, not DECIMAL: the column is exact 2dp data, so
+          // round(x*100) is the same integer on both engines, and the
+          // decimal cast+mul+round chain costs ~0.25 s per 600k rows of
+          // generated code (the q19 find) — at 60M rows that is most of
+          // the query. Same change in q18/q20/q2/q11.
+          round($"l_quantity" * 100).cast("long").as("qty_c"))
         .join(brandParts, $"l_partkey" === $"p_partkey")
       val perPart = liBrand.groupBy($"l_partkey".as("pk"))
         .agg(count(lit(1)).as("n_li"), sum($"qty_c").as("sum_qty_c"))
@@ -198,7 +203,7 @@ object TpchQueries {
       import s.implicits._
       val big = Tables.lineitem(s, d)
         .select($"l_orderkey".as("lok"),
-          round(Tables.dec($"l_quantity") * 100).cast("long").as("qty_c"))
+          round($"l_quantity" * 100).cast("long").as("qty_c"))
         .groupBy($"lok")
         .agg(sum($"qty_c").as("sum_qty_c"))
         .filter($"sum_qty_c" > 25000)
@@ -274,7 +279,7 @@ object TpchQueries {
         .join(slice, $"l_partkey" === $"p_partkey")
         .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"),
           $"p_brand", $"p_size")
-        .agg(min(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+        .agg(min(round($"l_extendedprice" * 100).cast("long"))
           .as("cost_c"))
       val best = ps.groupBy($"pk".as("bpk")).agg(min($"cost_c").as("best_c"))
       ps.join(best, $"pk" === $"bpk" && $"cost_c" === $"best_c")
@@ -373,7 +378,7 @@ object TpchQueries {
         .filter($"p_type" === "ECONOMY").select($"p_partkey"))
       val li = Tables.lineitem(s, d).join(eco, $"l_partkey" === $"p_partkey")
       val ps = li.groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
-        .agg(min(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+        .agg(min(round($"l_extendedprice" * 100).cast("long"))
           .as("cost_c"))
       li
         .select($"l_partkey", $"l_suppkey", $"l_orderkey",
@@ -406,7 +411,7 @@ object TpchQueries {
       val pv = Tables.lineitem(s, d)
         .join(natSupp, $"l_suppkey" === $"s_suppkey")
         .groupBy($"l_partkey".as("pk"))
-        .agg(sum(round(Tables.dec($"l_extendedprice") * 100).cast("long"))
+        .agg(sum(round($"l_extendedprice" * 100).cast("long"))
           .as("value_c"))
       val tot = pv.agg(sum($"value_c").as("tot_c"))
       pv.crossJoin(broadcast(tot))
@@ -466,10 +471,14 @@ object TpchQueries {
       import s.implicits._
       val ps = Tables.lineitem(s, d)
         .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
-        .agg(sum(round(Tables.dec($"l_quantity") * 100).cast("long")).as("q"))
+        .agg(sum(round($"l_quantity" * 100).cast("long")).as("q"))
       val tot = ps.groupBy($"pk".as("tpk"))
         .agg(count(lit(1)).as("ns"), sum($"q").as("sq"))
-      val dominant = ps.join(tot, $"pk" === $"tpk")
+      // shuffle_hash on the per-part totals: SMJ would SORT the ~55M-row
+      // (pk,sk) table just to meet the join, the single biggest spill in
+      // the sf10 registry (33.8 GB); SHJ builds a per-partition hash on
+      // the 2M-row totals and streams ps unsorted.
+      val dominant = ps.join(tot.hint("shuffle_hash"), $"pk" === $"tpk")
         .filter($"q" * $"ns" * 2 > $"sq" * 3)
         .select($"sk")
       Tables.supplier(s, d)
@@ -487,17 +496,27 @@ object TpchQueries {
     // supplier), then a per-supplier order count, top 20.
     "tpch_q21_waiting" -> ((s, d) => {
       import s.implicits._
+      // shuffle_hash on the filtered orders side: SMJ would sort all 60M
+      // lineitem rows for the fact-fact join; SHJ streams them against a
+      // per-partition hash of the (orderkey, orderdate) pairs.
       val b = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
-          .select($"o_orderkey", $"o_orderdate"),
+          .select($"o_orderkey", $"o_orderdate").hint("shuffle_hash"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"),
           (datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 90)
             .as("late"))
-      val st = b.groupBy($"ok".as("sok"))
-        .agg(count_distinct($"sk").as("ns"),
-          count_distinct(when($"late", $"sk")).as("nl"))
-      b.filter($"late").select($"ok", $"sk").distinct()
+      // ONE (ok, sk) pre-aggregate replaces the twin count_distincts —
+      // those planned as an Expand that doubled the 60M joined rows into
+      // the distinct-aggregate (12.2 GB of sf10 spill). `late` here means
+      // "any line late", so ns = pair count, nl = late-pair count, and
+      // the late-pair slice IS the old b.filter(late).distinct — the
+      // identical relation, reusing the same shuffle.
+      val pairs = b.groupBy($"ok", $"sk").agg(max($"late").as("late"))
+      val st = pairs.groupBy($"ok".as("sok"))
+        .agg(count(lit(1)).as("ns"),
+          sum(when($"late", 1L).otherwise(0L)).as("nl"))
+      pairs.filter($"late").select($"ok", $"sk")
         .join(st, $"ok" === $"sok")
         .filter($"ns" > 1 && $"nl" === 1)
         .groupBy($"sk")
@@ -633,7 +652,7 @@ object TpchQueries {
     "tpch_q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, l_extendedprice,
-        |    CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT) AS qty_c
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
         |  FROM lineitem),
         |pp AS (
         |  SELECT l_partkey AS pk, COUNT(*) AS n_li,
@@ -649,10 +668,10 @@ object TpchQueries {
     "tpch_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey AS lok,
-        |    CAST(SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
         |      AS BIGINT) AS sum_qty_c
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100) AS BIGINT)) > 25000)
+        |  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
         |SELECT c_name, c_custkey, o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS totalprice_e6,
@@ -687,7 +706,7 @@ object TpchQueries {
         |  WHERE p_size BETWEEN 10 AND 15),
         |ps AS (
         |  SELECT l_partkey AS pk, l_suppkey AS sk, p_brand, p_size,
-        |    MIN(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT))
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      AS cost_c
         |  FROM lineitem JOIN slice ON l_partkey = p_partkey
         |  GROUP BY l_partkey, l_suppkey, p_brand, p_size),
@@ -754,7 +773,7 @@ object TpchQueries {
         |    CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
         |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))
         |      * 100) AS BIGINT) AS disc_c,
-        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
         |      AS price_c
         |  FROM lineitem JOIN eco ON l_partkey = p_partkey),
         |ps AS (
@@ -772,7 +791,7 @@ object TpchQueries {
     "tpch_q11_important_stock" ->
       """WITH pv AS (
         |  SELECT l_partkey AS pk,
-        |    CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100)
+        |    CAST(SUM(CAST(round(l_extendedprice * 100)
         |      AS BIGINT)) AS BIGINT) AS value_c
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  WHERE s_nationkey < 5
@@ -806,7 +825,7 @@ object TpchQueries {
     "tpch_q20_excess_stock" ->
       """WITH ps AS (
         |  SELECT l_partkey AS pk, l_suppkey AS sk,
-        |    CAST(SUM(CAST(round(CAST(l_quantity AS DECIMAL(18,6)) * 100)
+        |    CAST(SUM(CAST(round(l_quantity * 100)
         |      AS BIGINT)) AS BIGINT) AS q
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
         |t AS (SELECT pk AS tpk, COUNT(*) AS ns, CAST(SUM(q) AS BIGINT) AS sq
