@@ -115,6 +115,18 @@ object Streams {
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
+    // Size the state-shard count to the stream's actual volume (read off
+    // the source file, the throughput proxy a production job would size
+    // from): each stateful operator opens/commits one state store per
+    // shuffle partition per microbatch, so SMALL streams want few shards
+    // (fixed commit cost dominates: measured ~1.8s -> ~1.1s per query at
+    // 32 -> 8 on the 2 MB sf0.1 file) while BIG streams want the cores
+    // (the pinned 8 left 3/4 of the box idle on sf10's 194 MB / 10M-event
+    // replay — stream_session sat at 28.8 s). clamp(bytes/8MB, 8, 32):
+    // sf0.1 -> 8, sf10 -> 24. Consumed by runToMemory below; the
+    // MemoryStream-based specs never pass through here and keep 8.
+    streamShards.set(math.min(32L, math.max(8L,
+      new java.io.File(s"$d/events.parquet").length() / (8L << 20))).toInt)
     // The file source wants a directory; select just the events table from
     // the sf dir via a glob filter (landing-directory consumption shape).
     Tables.normalizeEventTs(
@@ -122,16 +134,15 @@ object Streams {
         .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
+  private val streamShards = new java.util.concurrent.atomic.AtomicInteger(8)
+
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: String): DataFrame = {
-    // Size the state-shard count to the stream, not the batch default: each
-    // stateful operator opens/commits one state store per shuffle partition
-    // per microbatch, and that fixed cost dominates small batches (measured
-    // ~1.8s -> ~1.1s per query at 32 -> 8 here). A production job sizes
-    // this to its throughput; restored afterwards so batch queries keep
-    // the harness value.
+    // State-shard count sized by readEvents (see above); queries build
+    // their stream via readEvents immediately before running it here, and
+    // the harness executes queries sequentially, so the handoff is safe.
     val prior = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShards.get().toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
