@@ -243,6 +243,13 @@ object AnnSearch {
       .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("m"))
       .select(col(idCol), (-col("m.nc")).as("cid"))
     val ta = taAssign.join(eq.filter(col(idCol) < trainN), Seq(idCol))
+    // The trained-centroid table is ≤nC rows but its LINEAGE is the whole
+    // trainN×nC assignment join; six consumers below (coarse, f2g, both
+    // probe rankings, both assignment fanouts) would each recompute it —
+    // the plan showed 48 embedding scans and zero reused exchanges.
+    // persist() truncates that: bounded memory (≤4096 rows of 64 doubles),
+    // released by the bench's between-query unpersist, and at production
+    // scale this IS the materialized index-build artifact.
     val cent = ta.select(col("cid"), posexplode(col("__q")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("cx"))
@@ -250,6 +257,7 @@ object AnnSearch {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
         .as("cv"))
       .withColumn("__cn2", dot(col("cv"), col("cv")))
+      .persist()
     // Coarse quantizer = the nCoarse lowest surviving cids (a seed whose
     // train slice all fled to other centroids drops out, so rank by
     // row_number, not cid < nCoarse). Single-partition window over ≤nC rows.
