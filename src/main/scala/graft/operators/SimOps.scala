@@ -142,6 +142,24 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // Incremental IVF index maintenance, GRADED: the bottom-90% id prefix
+    // is the indexed base — centroids trained there and FROZEN — and the
+    // top decile is the appended batch, assigned two-level against those
+    // frozen centroids only (|batch|·~2·sqrt(nC) pair-dots, never a corpus
+    // recompute) and merged into the inverted file. The graded per-list
+    // occupancy (total + appended counts) hashes every vector's
+    // assignment, so one row grades the base build AND the append path;
+    // all sizing derives from the BASE count (an append must not resize
+    // the index). AnnSpec separately proves merged ≡ one-pass assignment.
+    "sim_ann_ivf_incremental" -> ((s, d) => {
+      import graft.functions.AnnSearch
+      val e = Tables.embeddings(s, d)
+      val baseN = e.count() * 9 / 10
+      val nC = AnnSearch.autoCentroids(baseN)
+      AnnSearch.ivfAppendLists(e, baseN, nC, AnnSearch.autoCoarse(nC),
+        AnnSearch.autoTrainN(baseN, nC))
+    }),
+
     // J8: Scala UDF surface — integer Chebyshev distance on synthesized
     // coords (exact integer math; the oracle replicates the formula).
     "udf_scalar_demo" -> ((s, d) => {
@@ -383,6 +401,75 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // Same training/coarse/assignment CTE chain as sim_ann_ivf, but every
+    // size derives from the BASE count (bottom-90% prefix) — the frozen
+    // index an append must not resize — and the output is per-list
+    // occupancy over all vectors instead of a probe's top-k.
+    "sim_ann_ivf_incremental" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |pb AS (SELECT n, n * 9 // 10 AS bn FROM p0),
+        |p1 AS (SELECT n, bn,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(bn)))) AS BIGINT) AS nc FROM pb),
+        |p AS (SELECT n, bn, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(bn, 32 * nc) AS tn FROM p1),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1)
+        |SELECT vf.cid, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN vf.vec_id >= p.bn THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM vf, p GROUP BY vf.cid ORDER BY vf.cid""".stripMargin,
     "sim_knn_graph" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -131,6 +131,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"trained-IVF recall $recall < 0.9 at sf0.1")
   }
 
+  test("incremental IVF append merges to exactly the one-pass assignment") {
+    // The maintenance contract behind sim_ann_ivf_incremental: assigning
+    // the base, then the appended batch, against the FROZEN base-trained
+    // centroids and merging must equal assigning the whole corpus in one
+    // pass over the same index — the append path loses nothing and moves
+    // no existing vector.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val baseN = e.count() * 9 / 10
+    val nC = AnnSearch.autoCentroids(baseN)
+    val nG = AnnSearch.autoCoarse(nC)
+    val tn = AnnSearch.autoTrainN(baseN, nC)
+    val inc = AnnSearch.ivfAppendLists(e, baseN, nC, nG, tn).collect().toSeq
+    val eq = e.select($"vec_id",
+      expr("transform(embedding, x -> round(cast(x as double) * 10000))").as("__q"))
+    val cent = AnnSearch.trainCentroids(eq.filter($"vec_id" < baseN), nC, tn, "vec_id")
+    val (coarse, f2g) = AnnSearch.coarseFine(cent, nG)
+    val onePass = AnnSearch.assignTwoLevel(eq, coarse, f2g, "vec_id")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"vec_id" >= baseN, 1L).otherwise(0L)).as("n_new"))
+      .orderBy($"cid").collect().toSeq
+    assert(inc == onePass)
+    assert(inc.map(_.getAs[Long]("n_new")).sum == e.count() - baseN)
+  }
+
   test("multimodal plumbing: schema, feature extraction, frame sampling") {
     val media = Media.synthesize(spark, 30)
     assert(media.toDF().schema.map(f => (f.name, f.dataType)) ==
