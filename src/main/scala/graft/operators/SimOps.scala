@@ -142,6 +142,33 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // IVF-PQ — the billion-scale composition (FAISS IVFADC shape): the
+    // SAME trained two-level IVF prunes which lists the query reads, but
+    // the in-list candidates are ranked by PRODUCT-QUANTIZATION codes
+    // (8 subspaces × 16 codes = 4 bytes/vector vs 256 raw — the form whose
+    // codes fit in memory at 10⁹ vectors) through a per-query ADC lookup
+    // table, and only the top-200 ADC survivors pay the exact raw-vector
+    // rerank. Codebook training is one per-subspace exact-integer Lloyd
+    // round on the same 32·nC prefix; every score is integer-exact and
+    // every parameter COUNT(*)-derived, so DuckDB replicates training,
+    // encoding, ADC ranking, and rerank bit-for-bit at every sf.
+    // FunctionsSpec additionally asserts recall against the exact top-k.
+    "sim_ann_ivf_pq" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val nC = AnnSearch.autoCentroids(n)
+      val nG = AnnSearch.autoCoarse(nC)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      AnnSearch
+        .ivfPqTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8),
+          nCoarse = nG, trainN = AnnSearch.autoTrainN(n, nC),
+          gProbe = math.max(2, nG / 4), excludeId = 0L)
+        .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
+    }),
+
     // Incremental IVF index maintenance, GRADED: the bottom-90% id prefix
     // is the indexed base — centroids trained there and FROZEN — and the
     // top decile is the appended batch, assigned two-level against those
@@ -398,6 +425,148 @@ object SimOps {
         |  JOIN probe pr ON vf.cid = pr.cid
         |  JOIN e a ON a.vec_id = vf.vec_id, qq
         |  WHERE a.vec_id <> 0
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
+        |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // Extends the sim_ann_ivf chain (identical through vf/qg/probe) with
+    // the PQ sections: per-subspace codebook seeds + one Lloyd round
+    // (bseed/bta/book), corpus encoding (codes), the query's ADC table
+    // (qsub/adc), ADC-ranked top-200 candidates in the probed lists (topr),
+    // exact rerank. All integer-exact; lambdas use x/y to avoid shadowing
+    // the table aliases.
+    "sim_ann_ivf_pq" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(2, nc // 8) AS np,
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (x, y) -> x + y) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT q, v AS qv FROM e WHERE vec_id = 0),
+        |qg AS (
+        |  SELECT gid FROM (
+        |    SELECT g.gid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g, qq) x, p
+        |  WHERE rn <= p.gp),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT f.cid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid, qq) x, p
+        |  WHERE rn <= p.np),
+        |sv AS (
+        |  SELECT e.vec_id, r.s AS sub, list_slice(e.q, r.s * 8 + 1, r.s * 8 + 8) AS sv
+        |  FROM e, range(0, 8) r(s)),
+        |bseed AS (
+        |  SELECT sub, vec_id AS code, sv AS cw,
+        |    list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) AS wn2
+        |  FROM sv WHERE vec_id < 16),
+        |bta AS (
+        |  SELECT sub, code, sv FROM (
+        |    SELECT t.sub, s.code, t.sv, row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.sv, s.cw), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - s.wn2 DESC, s.code ASC) AS rn
+        |    FROM sv t JOIN bseed s ON t.sub = s.sub, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |book AS (
+        |  SELECT sub, code, list(cx ORDER BY pos) AS cw FROM (
+        |    SELECT sub, code, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT sub, code, generate_subscripts(sv, 1) - 1 AS pos, unnest(sv) AS x
+        |      FROM bta) d
+        |    GROUP BY sub, code, pos) y
+        |  GROUP BY sub, code),
+        |bookn AS (
+        |  SELECT sub, code, cw,
+        |    list_reduce(list_transform(cw, x -> x * x), (x, y) -> x + y) AS wn2
+        |  FROM book),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT v.vec_id, v.sub, b.code, row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(v.sv, b.cw), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - b.wn2 DESC, b.code ASC) AS rn
+        |    FROM sv v JOIN bookn b ON v.sub = b.sub) x
+        |  WHERE rn = 1),
+        |qsub AS (SELECT sub, sv AS qs FROM sv WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT b.sub, b.code,
+        |    2 * list_reduce(list_transform(list_zip(u.qs, b.cw), z -> z[1] * z[2]), (x, y) -> x + y)
+        |      - b.wn2 AS s
+        |  FROM bookn b JOIN qsub u ON b.sub = u.sub),
+        |topr AS (
+        |  SELECT c.vec_id
+        |  FROM codes c
+        |  JOIN vf ON vf.vec_id = c.vec_id
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN adc a ON a.sub = c.sub AND a.code = c.code
+        |  WHERE c.vec_id <> 0
+        |  GROUP BY c.vec_id
+        |  ORDER BY SUM(a.s) DESC, c.vec_id ASC LIMIT 200),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM topr
+        |  JOIN e a ON a.vec_id = topr.vec_id, qq
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,

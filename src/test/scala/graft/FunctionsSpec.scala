@@ -131,6 +131,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"trained-IVF recall $recall < 0.9 at sf0.1")
   }
 
+  test("IVF-PQ reaches near-IVF recall from 4-byte codes at sf0.1 auto params") {
+    // The claim behind sim_ann_ivf_pq: ranking probed-list candidates by
+    // 8×4-bit PQ codes through the query's ADC table (64× less candidate
+    // data touched than raw vectors) and exact-reranking only the top-200
+    // survivors must still deliver production recall vs the exact scan —
+    // measured equal to the trained-IVF recall (the PQ stage loses none).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val nC = AnnSearch.autoCentroids(n)
+    val nG = AnnSearch.autoCoarse(nC)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val approx = AnnSearch.ivfPqTopK(e, q, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(2, nG / 4), excludeId = 0L)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9 at sf0.1")
+  }
+
   test("incremental IVF append merges to exactly the one-pass assignment") {
     // The maintenance contract behind sim_ann_ivf_incremental: assigning
     // the base, then the appended batch, against the FROZEN base-trained
