@@ -4,8 +4,8 @@ import graft.functions.AnnSearch
 
 /** Dev diagnostic (not part of the engine surface): prints recall@20 vs the
   * exact scan for single-probe LSH (4 and 12 tables), multi-probe LSH
-  * (4 tables), and trained two-level IVF, all at the corpus auto widths,
-  * per sf directory argument. The numbers quoted in FunctionsSpec's
+  * (4 tables), trained two-level IVF, and IVF-PQ, all at the corpus auto
+  * widths, per sf directory argument. The numbers quoted in FunctionsSpec's
   * multi-probe and trained-IVF tests come from this. */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -35,8 +35,12 @@ object RecallProbe {
         nProbe = math.max(2, nC / 8), nCoarse = nG,
         trainN = AnnSearch.autoTrainN(n, nC),
         gProbe = math.max(2, nG / 4), excludeId = 0L))
+      val pq = r(AnnSearch.ivfPqTopK(e, q, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(2, nG / 4), excludeId = 0L))
       println(s"[recall] dir=$dir n=$n nb=$nb single4=$s4 single12=$s12 " +
-        s"multi4=$m4 ivf(nC=$nC,nG=$nG)=$ivf")
+        s"multi4=$m4 ivf(nC=$nC,nG=$nG)=$ivf ivfpq=$pq")
     }
     spark.stop()
   }

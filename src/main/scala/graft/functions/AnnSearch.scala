@@ -417,8 +417,8 @@ object AnnSearch {
 
   /** round(x·1e4) integer quantization held as integral doubles — exact
     * products/sums below 2^53, reproducible on any engine. */
-  private def quantize(df: DataFrame, idCol: String,
-                       vecCol: String): DataFrame =
+  private[graft] def quantize(df: DataFrame, idCol: String,
+                              vecCol: String): DataFrame =
     df.select(col(idCol),
       expr(s"transform($vecCol, x -> round(cast(x as double) * 10000))").as("__q"))
 

@@ -617,10 +617,149 @@ object Streams {
       withHex.select($"event_type", $"user_id", $"n_exact",
           least(ests: _*).as("n_cms"))
         .orderBy($"event_type", $"n_exact".desc, $"user_id")
+    }),
+
+    // 15th streaming oracle: STREAMING ANN index maintenance — the
+    // production loop for a continuously-ingested embedding corpus. The
+    // bottom-90% id prefix is the indexed base: its centroids are trained
+    // once (the same frozen-index contract as sim_ann_ivf_incremental) and
+    // the inverted file is initialized from the base assignment. The
+    // appended decile then ARRIVES AS A STREAM (two landing-file drops,
+    // maxFilesPerTrigger=1 ⇒ provably multiple microbatches); each
+    // microbatch assigns ONLY its own vectors two-level against the frozen
+    // centroids (|batch|·~2·√nC pair-dots — no corpus recompute, no state
+    // store: assignment is per-row against a broadcast index, the
+    // embarrassingly-streamable kind) and appends them to the inverted
+    // file via an idempotent per-batch directory write (overwrite of
+    // batch=<id> — a replayed batch rewrites the same directory, the
+    // standard foreachBatch exactly-once recipe; at production scale the
+    // write is an append into the cid-partitioned layout). The graded
+    // per-list occupancy hashes every vector's assignment, base and
+    // streamed alike; the oracle is the SAME relational derivation as the
+    // batch-incremental row, so the hash match proves stream ≡ batch.
+    "stream_ann_index_maintain" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      val root = s"${graft.fixtureRoot}/stream_ann"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val landing = s"$root/landing"
+      val inverted = s"$root/inverted"
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val baseN = n * 9 / 10
+      val nC = AnnSearch.autoCentroids(baseN)
+      val nG = AnnSearch.autoCoarse(nC)
+      val trainN = AnnSearch.autoTrainN(baseN, nC)
+      val eqb = AnnSearch.quantize(e.filter($"vec_id" < baseN),
+        "vec_id", "embedding")
+      val cent = AnnSearch.trainCentroids(eqb, nC, trainN, "vec_id")
+      val (coarse, f2g) = AnnSearch.coarseFine(cent, nG)
+      AnnSearch.assignTwoLevel(eqb, coarse, f2g, "vec_id")
+        .coalesce(2).write.mode("overwrite").parquet(s"$inverted/batch=-1")
+      val app = e.filter($"vec_id" >= baseN).select($"vec_id", $"embedding")
+      app.filter($"vec_id" % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(landing)
+      app.filter($"vec_id" % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(landing)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          AnnSearch.assignTwoLevel(
+              AnnSearch.quantize(batch, "vec_id", "embedding"),
+              coarse, f2g, "vec_id")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$inverted/batch=$bid")
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(inverted)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"vec_id" >= baseN, 1L).otherwise(0L)).as("n_new"))
+        .orderBy($"cid")
+      cent.unpersist()
+      out
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Byte-identical to sim_ann_ivf_incremental's oracle: the streaming
+    // path must land EXACTLY where the batch append path lands (frozen
+    // base-trained centroids, two-level assignment, per-list occupancy) —
+    // one derivation grading two execution engines' worth of machinery.
+    "stream_ann_index_maintain" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |pb AS (SELECT n, n * 9 // 10 AS bn FROM p0),
+        |p1 AS (SELECT n, bn,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(bn)))) AS BIGINT) AS nc FROM pb),
+        |p AS (SELECT n, bn, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(bn, 32 * nc) AS tn FROM p1),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1)
+        |SELECT vf.cid, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN vf.vec_id >= p.bn THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM vf, p GROUP BY vf.cid ORDER BY vf.cid""".stripMargin,
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us, event_type,
         |  COUNT(*) AS n,

@@ -137,4 +137,27 @@ class StreamingProductionSpec extends AnyFunSuite {
     assert(got.contains((0L, 1000L, 10L)), "stale post-restart update must lose")
     assert(got.contains((3L, 1300L, 30L)), "post-restart batch must apply")
   }
+
+  test("streaming ANN index maintenance lands exactly where the batch append does") {
+    // The stream_ann_index_maintain contract: per-microbatch two-level
+    // assignment against the frozen base-trained centroids, appended via
+    // idempotent batch=<id> directories, must produce EXACTLY the
+    // occupancy of the one-shot batch append path (ivfAppendLists) — and
+    // the landing drops must actually have been consumed as more than one
+    // microbatch, or the multi-batch claim is vacuous.
+    import graft.functions.AnnSearch
+    val got = SparkEntry.queries("stream_ann_index_maintain")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val baseN = e.count() * 9 / 10
+    val nC = AnnSearch.autoCentroids(baseN)
+    val want = AnnSearch.ivfAppendLists(e, baseN, nC, AnnSearch.autoCoarse(nC),
+        AnnSearch.autoTrainN(baseN, nC))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"stream occupancy != batch occupancy")
+    val dirs = new java.io.File(s"${graft.fixtureRoot}/stream_ann/inverted")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs.count(_ != "batch=-1") >= 2,
+      s"expected >=2 streamed microbatch dirs, got $dirs")
+  }
 }
