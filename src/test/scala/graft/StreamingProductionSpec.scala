@@ -160,4 +160,55 @@ class StreamingProductionSpec extends AnyFunSuite {
     assert(dirs.count(_ != "batch=-1") >= 2,
       s"expected >=2 streamed microbatch dirs, got $dirs")
   }
+
+  test("ANN index maintenance restarts from its checkpoint: interrupted ≡ uninterrupted") {
+    // The recovery twin of the CDC restart proof, for the 15th oracle's
+    // SINK mechanism: the idempotent batch=<id> directory write. Stop the
+    // stream after one batch, restart from the same checkpoint, feed the
+    // rest — source offsets resume (no reprocessing, no gap) and a
+    // replayed batch would only overwrite its own directory, so the final
+    // inverted file must equal a never-interrupted run's.
+    import graft.functions.AnnSearch
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_ann_ckpt").toString
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val baseN = e.count() * 9 / 10
+    val nC = AnnSearch.autoCentroids(baseN)
+    val eqb = AnnSearch.quantize(e.filter($"vec_id" < baseN), "vec_id", "embedding")
+    val cent = AnnSearch.trainCentroids(eqb, nC,
+      AnnSearch.autoTrainN(baseN, nC), "vec_id")
+    val (coarse, f2g) = AnnSearch.coarseFine(cent, AnnSearch.autoCoarse(nC))
+    val app = e.filter($"vec_id" >= baseN)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = app.splitAt(app.size / 2)
+    def start(mem: MemoryStream[(Long, Seq[Double])], dir: String, ckpt: String) =
+      mem.toDF().toDF("vec_id", "embedding")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          AnnSearch.assignTwoLevel(
+              AnnSearch.quantize(batch, "vec_id", "embedding"),
+              coarse, f2g, "vec_id")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$bid")
+          ()
+        }.start()
+    def occupancy(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir).groupBy($"cid").agg(count(lit(1)).as("n"))
+        .orderBy($"cid").as[(Long, Long)].collect().toSeq
+    // interrupted run: batch 1, STOP, restart from the checkpoint, batch 2
+    val m1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = start(m1, s"$root/t1", s"$root/ckpt1")
+    m1.addData(b1: _*); q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    val q1b = start(m1, s"$root/t1", s"$root/ckpt1")
+    m1.addData(b2: _*); q1b.processAllAvailable(); q1b.stop(); q1b.awaitTermination()
+    // uninterrupted reference
+    val m2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = start(m2, s"$root/t2", s"$root/ckpt2")
+    m2.addData(b1: _*); m2.addData(b2: _*)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    cent.unpersist()
+    val (got, want) = (occupancy(s"$root/t1"), occupancy(s"$root/t2"))
+    assert(got.map(_._2).sum == app.size, "every appended vector lands once")
+    assert(got == want, s"restarted=$got\nuninterrupted=$want")
+  }
 }
