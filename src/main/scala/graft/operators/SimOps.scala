@@ -169,6 +169,34 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // The ANN QUALITY METRIC itself, graded: recall@20 of the trained
+    // two-level IVF against the exact scan, as one integer row. The specs
+    // assert recall gates at fixed scale factors; this row makes the
+    // driver re-derive the overlap at EVERY graded sf — both engines run
+    // both rankings and must agree on the intersection, so a recall
+    // regression (bad training, probe mis-selection, a broken rerank)
+    // fails correctness, not just a local test.
+    "sim_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val nC = AnnSearch.autoCentroids(n)
+      val nG = AnnSearch.autoCoarse(nC)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val exact = AnnSearch.cosineTopK(e.filter($"vec_id" =!= 0), q, 20)
+        .select($"vec_id")
+      val approx = AnnSearch
+        .ivfTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8),
+          nCoarse = nG, trainN = AnnSearch.autoTrainN(n, nC),
+          gProbe = math.max(2, nG / 4), excludeId = 0L)
+        .select($"vec_id")
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(20L).as("k"), $"n_overlap",
+          ($"n_overlap" * 5).as("recall_pct"))
+    }),
+
     // Incremental IVF index maintenance, GRADED: the bottom-90% id prefix
     // is the indexed base — centroids trained there and FROZEN — and the
     // top decile is the appended batch, assigned two-level against those
@@ -428,6 +456,108 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // The sim_ann_ivf chain through its rerank top-20, plus the exact
+    // top-20, reduced to the integer overlap — the recall metric both
+    // engines must derive identically.
+    "sim_ann_recall" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(2, nc // 8) AS np,
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (x, y) -> x + y) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT q, v AS qv FROM e WHERE vec_id = 0),
+        |qg AS (
+        |  SELECT gid FROM (
+        |    SELECT g.gid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g, qq) x, p
+        |  WHERE rn <= p.gp),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT f.cid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid, qq) x, p
+        |  WHERE rn <= p.np),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM vf
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN e a ON a.vec_id = vf.vec_id, qq
+        |  WHERE a.vec_id <> 0
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20),
+        |exact AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM e a, qq WHERE a.vec_id <> 0
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT CAST(20 AS BIGINT) AS k, COUNT(*) AS n_overlap,
+        |  CAST(COUNT(*) * 5 AS BIGINT) AS recall_pct
+        |FROM exact JOIN rerank USING (vec_id)""".stripMargin,
     // Extends the sim_ann_ivf chain (identical through vf/qg/probe) with
     // the PQ sections: per-subspace codebook seeds + one Lloyd round
     // (bseed/bta/book), corpus encoding (codes), the query's ADC table
