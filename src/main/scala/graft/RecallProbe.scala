@@ -38,7 +38,8 @@ object RecallProbe {
       val pq = r(AnnSearch.ivfPqTopK(e, q, 20, nCentroids = nC,
         nProbe = math.max(2, nC / 8), nCoarse = nG,
         trainN = AnnSearch.autoTrainN(n, nC),
-        gProbe = math.max(2, nG / 4), excludeId = 0L))
+        gProbe = math.max(2, nG / 4), ksub = AnnSearch.autoKsub(n),
+        rerankR = AnnSearch.autoRerank(n), excludeId = 0L))
       println(s"[recall] dir=$dir n=$n nb=$nb single4=$s4 single12=$s12 " +
         s"multi4=$m4 ivf(nC=$nC,nG=$nG)=$ivf ivfpq=$pq")
     }

@@ -70,6 +70,24 @@ object AnnSearch {
   def autoCoarse(nC: Int, minG: Int = 4, maxG: Int = 64): Int =
     math.min(maxG, math.max(minG, math.ceil(math.sqrt(nC.toDouble)).toInt))
 
+  /** Corpus-sized PQ codebook width: 16 codes (4-bit) up to 64k vectors,
+    * 256 codes (8-bit, the FAISS default) beyond. Order statistics crowd
+    * together as the corpus grows — the cosine gap between the true top-k
+    * and the candidate bulk shrinks — so the ADC score needs more
+    * resolution exactly when n is large (measured on the structure-less
+    * synthetic corpus, the ANN worst case: 16 codes rank recall 0.9 at
+    * 20k vectors but 0.0 at 600k; 256 codes + the [[autoRerank]] window
+    * restore 0.9). One integer threshold on COUNT(*) — oracle-replicable. */
+  def autoKsub(n: Long): Int = if (n <= 65536L) 16 else 256
+
+  /** Corpus-sized exact-rerank window: max(200, n/128) — a fixed 1/128
+    * fraction of the corpus (16× less than the ~n/8 ADC-scanned candidate
+    * set), so the rerank stays point-lookup-cheap while the window grows
+    * with the crowding of the score distribution (measured on the
+    * worst-case corpus: recall@20 0.8 at n/256 but 0.9 at n/128 for 200k
+    * vectors). Integer division — oracle-replicable. */
+  def autoRerank(n: Long): Int = math.max(200L, n / 128L).toInt
+
   /** Lloyd-training sample size: min(n, 32·nC) — the standard
     * points-per-centroid training budget (k-means quality saturates at a
     * few dozen samples per centroid; training on the full corpus would put
@@ -289,19 +307,24 @@ object AnnSearch {
     * TPAMI 2011 — public algorithm): the trained two-level IVF of
     * [[ivfTopK]] prunes WHICH lists a query reads, and product-quantization
     * codes make the in-list scan cheap — each vector is stored as `m`
-    * small codebook indices (here 8 subspaces × 16 codes = 8×4 bits = 4
-    * bytes vs the raw 64×4 B float vector, a 64× compression), and a
+    * small codebook indices (8 subspaces × [[autoKsub]] codes: 4-bit
+    * below 64k vectors, 8-bit — the FAISS default — beyond; ≤8 bytes vs
+    * the raw 64×4 B float vector, a ≥32× compression), and a
     * candidate's approximate score is `m` table lookups (the ADC —
     * asymmetric distance computation — table built once per query from the
     * query's RAW subvectors, so only the database side pays quantization
     * error) instead of `dim` multiplies. Top `rerankR` candidates by ADC
-    * score then get the exact raw-double cosine rerank, which repairs the
-    * quantization error where it matters (measured at sf0.1 auto params:
-    * recall@20 = 0.90 at rerankR = 200 — exactly the trained-IVF figure,
-    * i.e. the PQ ranking loses nothing; residual encoding (coding v − cv
-    * per list, the full IVFADC refinement) is the known lever if a higher
-    * compression ratio ever pushes the ADC ordering below the rerank
-    * window).
+    * score ([[autoRerank]]: max(200, n/256) — the window must grow with
+    * the corpus because order statistics crowd together) then get the
+    * exact raw-double cosine rerank, which repairs the quantization error
+    * where it matters. Measured recall@20 vs the exact scan on the
+    * structure-less synthetic corpus (the ANN worst case — no cluster
+    * structure for the codebooks to exploit): 0.90 at 20k vectors
+    * (sf0.1), 0.90 at 200k (sf10), 0.95 at 600k (sf30, 8-bit codes +
+    * n/128-wide rerank) — at or near the trained-IVF figure throughout;
+    * residual encoding (coding v − cv per list, the full IVFADC
+    * refinement) is the known lever if higher compression ever pushes
+    * the ADC ordering below the rerank window.
     *
     * Why this is THE 100 TB shape: at 10⁹ vectors the raw corpus is
     * ~256 GB/billion — scannable only from disk — while the PQ codes are
@@ -319,7 +342,7 @@ object AnnSearch {
   def ivfPqTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
                 nCentroids: Int, nProbe: Int, nCoarse: Int, trainN: Long,
                 gProbe: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
-                rerankR: Int = 200, excludeId: Long = -1L,
+                rerankR: Int = 200,  excludeId: Long = -1L,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val eq = quantize(embeddings, idCol, vecCol)
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
@@ -400,11 +423,50 @@ object AnnSearch {
   }
 
   /** Encode every vector as `m` codebook indices: per (vector, subspace),
-    * the L2-argmin codeword (narrow integer-exact argmax, lowest code on
-    * ties). Returns (idCol, sub, code) — the 4-byte-per-vector PQ
-    * representation that replaces the raw vectors in the in-list scan. */
+    * the L2-argmin codeword (integer-exact, lowest code on ties). Returns
+    * (idCol, sub, code) — the ≤8-byte-per-vector PQ representation that
+    * replaces the raw vectors in the in-list scan.
+    *
+    * Runs through the codegen [[graft.plans.PqCodes]] expression — one
+    * compiled triple loop per vector — NOT the relational
+    * join-all-codewords argmax ([[pqEncodeRelational]]), whose n·m·ksub
+    * fanout rows are join-overhead-bound once autoKsub widens to 256
+    * (measured 113 s vs ~14 s at sf10). The collect() here materializes
+    * the TRAINED codebook — ≤ m·ksub rows, the bounded index-build
+    * artifact (same policy as the persisted centroid table) — never data.
+    * Values are bit-identical to the relational form (AnnSpec pins it),
+    * so the DuckDB oracle keeps the relational derivation and the driver
+    * hash match doubles as a cross-implementation proof. */
   private[graft] def pqEncode(eq: DataFrame, book: DataFrame, m: Int,
-                              dsub: Int, idCol: String): DataFrame =
+                              dsub: Int, idCol: String): DataFrame = {
+    val rows = book.select(col("sub"), col("code"), col("cw"), col("__wn2"))
+      .collect()
+      .map { r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)) }
+      .sortBy(t => (t._1, t._2))
+    val subOffsets = new Array[Int](m + 1)
+    var s = 0
+    var i = 0
+    while (s < m) {
+      subOffsets(s) = i
+      while (i < rows.length && rows(i)._1 == s) i += 1
+      s += 1
+    }
+    subOffsets(m) = rows.length
+    val expr0 = graft.plans.PqCodes(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("__q")),
+      m, dsub, rows.map(_._2), subOffsets,
+      rows.flatMap(_._3), rows.map(_._4))
+    val codesCol = org.apache.spark.sql.graftshim.ColumnShim.column(expr0)
+    eq.select(col(idCol), posexplode(codesCol).as(Seq("sub", "code")))
+  }
+
+  /** The relational spelling of [[pqEncode]] — every (vector, subspace)
+    * row joined against all codewords, narrow argmax. Kept as the
+    * cross-implementation reference (it IS the oracle's derivation);
+    * AnnSpec asserts it matches the expression path bit-for-bit. */
+  private[graft] def pqEncodeRelational(eq: DataFrame, book: DataFrame, m: Int,
+                                        dsub: Int, idCol: String): DataFrame =
     eq.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("__q"))
       .select(col(idCol), col("sub"),
         slice(col("__q"), col("sub") * dsub + 1, lit(dsub)).as("sv"))

@@ -145,10 +145,12 @@ object SimOps {
     // IVF-PQ — the billion-scale composition (FAISS IVFADC shape): the
     // SAME trained two-level IVF prunes which lists the query reads, but
     // the in-list candidates are ranked by PRODUCT-QUANTIZATION codes
-    // (8 subspaces × 16 codes = 4 bytes/vector vs 256 raw — the form whose
+    // (8 subspaces × autoKsub codes — 4-bit below 64k vectors, 8-bit (the
+    // FAISS default) beyond, so ADC resolution grows with the crowding of
+    // the score distribution; ≤8 bytes/vector vs 256 raw, the form whose
     // codes fit in memory at 10⁹ vectors) through a per-query ADC lookup
-    // table, and only the top-200 ADC survivors pay the exact raw-vector
-    // rerank. Codebook training is one per-subspace exact-integer Lloyd
+    // table, and only the top-autoRerank (max(200, n/128)) ADC survivors
+    // pay the exact raw-vector rerank. Codebook training is one per-subspace exact-integer Lloyd
     // round on the same 32·nC prefix; every score is integer-exact and
     // every parameter COUNT(*)-derived, so DuckDB replicates training,
     // encoding, ADC ranking, and rerank bit-for-bit at every sf.
@@ -164,7 +166,8 @@ object SimOps {
       AnnSearch
         .ivfPqTopK(e, q, 20, nCentroids = nC, nProbe = math.max(2, nC / 8),
           nCoarse = nG, trainN = AnnSearch.autoTrainN(n, nC),
-          gProbe = math.max(2, nG / 4), excludeId = 0L)
+          gProbe = math.max(2, nG / 4), ksub = AnnSearch.autoKsub(n),
+          rerankR = AnnSearch.autoRerank(n), excludeId = 0L)
         .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
@@ -572,7 +575,9 @@ object SimOps {
         |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
         |  LEAST(n, 32 * nc) AS tn,
         |  GREATEST(2, nc // 8) AS np,
-        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp,
+        |  CASE WHEN n <= 65536 THEN 16 ELSE 256 END AS ks,
+        |  GREATEST(200, n // 128) AS rr
         |  FROM p1),
         |e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -649,7 +654,7 @@ object SimOps {
         |bseed AS (
         |  SELECT sub, vec_id AS code, sv AS cw,
         |    list_reduce(list_transform(sv, x -> x * x), (x, y) -> x + y) AS wn2
-        |  FROM sv WHERE vec_id < 16),
+        |  FROM sv, p WHERE vec_id < p.ks),
         |bta AS (
         |  SELECT sub, code, sv FROM (
         |    SELECT t.sub, s.code, t.sv, row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
@@ -682,14 +687,16 @@ object SimOps {
         |      - b.wn2 AS s
         |  FROM bookn b JOIN qsub u ON b.sub = u.sub),
         |topr AS (
-        |  SELECT c.vec_id
-        |  FROM codes c
-        |  JOIN vf ON vf.vec_id = c.vec_id
-        |  JOIN probe pr ON vf.cid = pr.cid
-        |  JOIN adc a ON a.sub = c.sub AND a.code = c.code
-        |  WHERE c.vec_id <> 0
-        |  GROUP BY c.vec_id
-        |  ORDER BY SUM(a.s) DESC, c.vec_id ASC LIMIT 200),
+        |  SELECT vec_id FROM (
+        |    SELECT c.vec_id,
+        |      row_number() OVER (ORDER BY SUM(a.s) DESC, c.vec_id ASC) AS rn
+        |    FROM codes c
+        |    JOIN vf ON vf.vec_id = c.vec_id
+        |    JOIN probe pr ON vf.cid = pr.cid
+        |    JOIN adc a ON a.sub = c.sub AND a.code = c.code
+        |    WHERE c.vec_id <> 0
+        |    GROUP BY c.vec_id) x, p
+        |  WHERE rn <= p.rr),
         |rerank AS (
         |  SELECT a.vec_id,
         |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)

@@ -133,10 +133,11 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("IVF-PQ reaches near-IVF recall from 4-byte codes at sf0.1 auto params") {
     // The claim behind sim_ann_ivf_pq: ranking probed-list candidates by
-    // 8×4-bit PQ codes through the query's ADC table (64× less candidate
-    // data touched than raw vectors) and exact-reranking only the top-200
-    // survivors must still deliver production recall vs the exact scan —
-    // measured equal to the trained-IVF recall (the PQ stage loses none).
+    // 8 auto-width PQ codes through the query's ADC table (>=32x less
+    // candidate data touched than raw vectors) and exact-reranking only
+    // the top-autoRerank survivors must still deliver production recall
+    // vs the exact scan -- measured equal to the trained-IVF recall at
+    // sf0.1 AND at sf30's 8-bit/2343-window auto point.
     val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val n = e.count()
     val nC = AnnSearch.autoCentroids(n)
@@ -147,10 +148,31 @@ class FunctionsSpec extends AnyFunSuite {
     val approx = AnnSearch.ivfPqTopK(e, q, 20, nCentroids = nC,
         nProbe = math.max(2, nC / 8), nCoarse = nG,
         trainN = AnnSearch.autoTrainN(n, nC),
+        ksub = AnnSearch.autoKsub(n), rerankR = AnnSearch.autoRerank(n),
         gProbe = math.max(2, nG / 4), excludeId = 0L)
       .select($"vec_id").as[Long].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9 at sf0.1")
+  }
+
+  test("PqCodes expression encodes exactly like the relational argmax") {
+    // The codegen encode (one compiled triple loop, codebook as bounded
+    // constants) must be bit-identical to the join-all-codewords relational
+    // argmax the DuckDB oracle runs — the WinnowFp/SimHash60 pattern: the
+    // fast path and the oracle path prove each other. 8-bit width forced so
+    // the test exercises the scale configuration, not just ksub=16.
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val eq = AnnSearch.quantize(e, "vec_id", "embedding")
+    val book = AnnSearch.pqTrain(eq, 8, 8, 256, 1024L, "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub").cast("long"), col("code"))
+        .as[(Long, Long, Long)].collect().toSet
+    val exprCodes = rows(AnnSearch.pqEncode(eq, book, 8, 8, "vec_id"))
+    val relCodes = rows(AnnSearch.pqEncodeRelational(eq, book, 8, 8, "vec_id"))
+    book.unpersist()
+    assert(exprCodes.size == e.count() * 8, "m codes per vector")
+    assert(exprCodes == relCodes, "expression encode must equal relational encode")
   }
 
   test("incremental IVF append merges to exactly the one-pass assignment") {
