@@ -153,6 +153,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(viaExpr.head == 7L)
   }
 
+  test("NOT IN decomposition matches native ternary logic on every arm") {
+    // The three arms of `a NOT IN B`, each checked against Spark's own
+    // null-aware anti join as the semantics oracle: B empty (all rows
+    // survive, even NULL keys), B holding a NULL (nothing survives), and
+    // the ordinary arm (non-NULL keys absent from B survive).
+    val a = Seq[(Long, Option[Long])](
+      (1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("id", "ak")
+    def native(b: org.apache.spark.sql.DataFrame): Set[Long] = {
+      a.createOrReplaceTempView("naaj_a")
+      b.createOrReplaceTempView("naaj_b")
+      spark.sql("SELECT id FROM naaj_a WHERE ak NOT IN (SELECT x FROM naaj_b)")
+        .as[Long].collect().toSet
+    }
+    def ours(b: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Subqueries.notInDecomposed(a, $"ak", b)
+        .select($"id").as[Long].collect().toSet
+    val bEmpty  = Seq.empty[Option[Long]].toDF("x")
+    val bNull   = Seq[Option[Long]](Some(10L), None).toDF("x")
+    val bPlain  = Seq[Option[Long]](Some(10L), Some(99L)).toDF("x")
+    for (b <- Seq(bEmpty, bNull, bPlain))
+      assert(ours(b) == native(b), s"decomposition diverged from native")
+    assert(ours(bEmpty) == Set(1L, 2L, 3L, 4L))
+    assert(ours(bNull).isEmpty)
+    assert(ours(bPlain) == Set(2L, 4L))
+  }
+
   test("streak islands: a single active day is a streak of 1") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"u").orderBy($"day".asc)
     val got = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 5L))

@@ -349,4 +349,37 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("scalable NOT IN sort-merges where the native form must broadcast") {
+    // The scale claim behind sub_not_in_scalable: with the broadcast
+    // threshold disabled (a stand-in for "subquery too big to broadcast"),
+    // Spark's native NOT IN still ships the whole subquery side to every
+    // executor (see the assertion below), while the decomposed form's
+    // residual anti join shuffles both sides into an ordinary sort-merge
+    // LEFT ANTI. The only broadcast the decomposition keeps is its one-row
+    // stats aggregate.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ours = plan("sub_not_in_scalable")
+      assert(ours.contains("SortMergeJoin") && ours.contains("LeftAnti"),
+        s"decomposed NOT IN must sort-merge its anti join:\n${ours.take(800)}")
+      // The decomposition's only nested-loop is the one-row stats guard —
+      // Catalyst plans crossJoin(broadcast(1 row)) as `BNLJ BuildRight,
+      // Cross`. The scale hazard is a nested loop that COMPARES KEYS
+      // against the whole subquery side; assert none exists here.
+      assert(!ours.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti"),
+        s"decomposed NOT IN must not nested-loop its anti join:\n${ours.take(800)}")
+      // The native form ignores the disabled threshold entirely: Spark's
+      // single-column NOT IN plans as `BroadcastHashJoin ... LeftAnti,
+      // BuildRight, true` (the trailing flag is isNullAwareAntiJoin) — the
+      // ONLY shapes Spark has for it are broadcast ones, so the whole
+      // subquery side is built on every executor no matter its size.
+      val native = plan("sub_not_in")
+      assert(native.contains("LeftAnti, BuildRight") &&
+        native.contains("BroadcastExchange"),
+        s"expected the native NOT IN to broadcast its subquery side " +
+          s"unconditionally:\n${native.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
