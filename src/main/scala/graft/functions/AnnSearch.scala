@@ -237,11 +237,24 @@ object AnnSearch {
     * the corpus is touched by scan-shaped fanout-aggregate passes plus
     * narrow id-equi-joins; the fine cid becomes the partition key of the
     * inverted file, so a probe reads nProbe/nC of the corpus (partition
-    * pruning), never a full scan. */
+    * pruning), never a full scan.
+    *
+    * FILTERED search: `allowed` (an id-set DataFrame with column `idCol`)
+    * restricts results to a metadata predicate WITHOUT touching the index —
+    * the standard vector-database "pre-filter" semantics: the index is
+    * built on the full corpus, candidates from the probed lists are
+    * semi-joined against the allowed set BEFORE the exact rerank (so the
+    * rerank never scores an excluded vector), and the caller widens
+    * nProbe/gProbe by ~1/selectivity to keep k survivors. At 100 TB a
+    * single-column predicate would instead be stored inline on the
+    * cid-partitioned inverted-file rows and applied in the probe scan
+    * itself; the semi-join form here is the general case where the
+    * predicate lives on a separate attribute table keyed by id. */
   def ivfTopK(embeddings: DataFrame, queryDf: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int, nCoarse: Int, trainN: Long,
               gProbe: Int, excludeId: Long = -1L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              allowed: Option[DataFrame] = None): DataFrame = {
     val eq = quantize(embeddings, idCol, vecCol)
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
     val (coarse, f2g) = coarseFine(cent, nCoarse)
@@ -261,9 +274,11 @@ object AnnSearch {
     // Candidate fetch touches only the probed lists' ids — at scale this
     // is the partition-pruned read of the inverted file (cid = partition
     // key); locally AQE broadcasts the nProbe/nC-sized id set.
-    val cand = vf.join(broadcast(probes), "cid")
+    val cand0 = vf.join(broadcast(probes), "cid")
       .filter(col(idCol) =!= excludeId)
       .select(col(idCol))
+    val cand = allowed.fold(cand0)(a =>
+      cand0.join(a.select(col(idCol)), Seq(idCol), "left_semi"))
     embeddings.join(cand, Seq(idCol))
       .crossJoin(broadcast(queryDf))
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("cos"))

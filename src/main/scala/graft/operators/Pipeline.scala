@@ -107,6 +107,69 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // HYBRID RETRIEVAL — reciprocal-rank fusion (Cormack & Clarke,
+    // SIGIR 2009; the standard RRF k=60) of the two ranked arms this
+    // engine already grades: the integer-BM25 lexical top-20 (the
+    // text_bm25_topk formula) and the embedding-cosine vector top-20
+    // (the sim_cosine_topk formula, ranked on the ROUNDED e6 score so
+    // rank order is integer-deterministic cross-engine). Fused score is
+    // Σ 1000000 div (60 + rank) over the arms a doc appears in —
+    // truncating integer division, exact in both engines; absent-arm
+    // ranks surface as 0 (never NULL: a NULL BIGINT column round-trips
+    // through pandas as float64 and would break the driver's dtype-exact
+    // compare). Scale shape: each arm ends in a TakeOrdered top-20 —
+    // parallel partial top-k, no global sort — and the rank row_number
+    // windows run over those 20-row results only; the fusion join is
+    // 20×20. The doc_id↔vec_id identity is the corpus contract (one
+    // embedding per document).
+    "pipe_hybrid_retrieval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Lexical arm: integer BM25 over the doc_id < 300 universe.
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+        .select($"doc_id", split($"text", " ").as("t"))
+      val stats = docs.select($"doc_id", size($"t").cast("long").as("dl"))
+      val glob = stats.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot"))
+        .select($"n_docs", expr("tot div n_docs").as("avg_tok"))
+      val tf = docs.select($"doc_id", explode($"t").as("tok"))
+        .filter($"tok".isin("hash", "merge", "scan"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val bm = tf.join(broadcast(dfc), "tok")
+        .join(stats, "doc_id")
+        .crossJoin(broadcast(glob))
+        .withColumn("k_e3", expr("2 * (250 + (750 * dl) div avg_tok)"))
+        .withColumn("tfp_e3", expr("(tf * 3 * 1000000) div (tf * 1000 + k_e3)"))
+        .withColumn("idf_e3", expr("((n_docs - df + 1) * 1000) div (df + 1)"))
+        .groupBy($"doc_id").agg(sum($"tfp_e3" * $"idf_e3").as("score_e6"))
+        .orderBy($"score_e6".desc, $"doc_id".asc).limit(20)
+      val lex = bm.withColumn("lex_rank",
+          row_number().over(Window.orderBy($"score_e6".desc, $"doc_id".asc))
+            .cast("long"))
+        .select($"doc_id", $"lex_rank")
+      // Vector arm: exact cosine vs the vec_id=0 query, same universe.
+      val e = Tables.embeddings(s, d).filter($"vec_id" < 300)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val cos = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id".as("doc_id"),
+          round(graft.functions.AnnSearch.cosine($"embedding", $"qv")
+            * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"doc_id".asc).limit(20)
+      val vec = cos.withColumn("vec_rank",
+          row_number().over(Window.orderBy($"cos_e6".desc, $"doc_id".asc))
+            .cast("long"))
+        .select($"doc_id", $"vec_rank")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+          coalesce($"vec_rank", lit(0L)).as("vec_rank"),
+          (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+           coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+            .as("rrf_e6"))
+        .orderBy($"rrf_e6".desc, $"doc_id".asc)
+        .limit(10)
+    }),
+
     // Context-window packing: assign documents to fixed token-budget bins
     // (2048 tokens) per language by cumulative fill in doc_id order — the
     // deterministic first-fit packing that precedes sequence building.
@@ -851,6 +914,59 @@ object Pipeline {
         |WHERE (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
         |    // len(string_split(text, ' ')) >= 3000
         |ORDER BY doc_id""".stripMargin,
+    // Both arms replicated exactly (integer BM25; cosine ranked on the
+    // rounded e6 score), RRF fused with truncating 1000000//(60+rank),
+    // absent-arm ranks as 0.
+    "pipe_hybrid_retrieval" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+        |corp AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avg_tok
+        |  FROM stats),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS tok FROM docs) u
+        |  WHERE tok IN ('hash', 'merge', 'scan')
+        |  GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |    SUM(((tf.tf * 3 * 1000000) // (tf.tf * 1000
+        |          + 2 * (250 + (750 * st.dl) // corp.avg_tok)))
+        |        * (((corp.n_docs - dfc.df + 1) * 1000) // (dfc.df + 1)))
+        |      AS score_e6
+        |  FROM tf JOIN dfc USING (tok) JOIN stats st USING (doc_id), corp
+        |  GROUP BY tf.doc_id
+        |  ORDER BY score_e6 DESC, doc_id ASC LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+        |    AS lex_rank FROM bm),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cosed AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    CAST(round(
+        |      list_reduce(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)))
+        |      * 1000000) AS BIGINT) AS cos_e6
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY cos_e6 DESC, doc_id ASC LIMIT 20),
+        |vec AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos_e6 DESC, doc_id ASC)
+        |    AS vec_rank FROM cosed)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  COALESCE(l.lex_rank, 0) AS lex_rank,
+        |  COALESCE(v.vec_rank, 0) AS vec_rank,
+        |  COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |    + COALESCE(1000000 // (60 + v.vec_rank), 0) AS rrf_e6
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "pipe_context_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -142,6 +142,35 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // FILTERED ANN — the vector-database "search WHERE metadata" shape:
+    // the SAME trained two-level IVF index (built on the FULL corpus —
+    // a filter must never force an index rebuild), but candidates from
+    // the probed lists are pre-filtered on a metadata predicate
+    // (label = 7, ~10% selectivity, deliberately NOT the query's own
+    // label) before the exact rerank, and the probe budget widens
+    // ~1/selectivity (nProbe nc/8 → nc/2, gProbe ng/4 → ng/2) so the
+    // filtered candidate pool still covers k survivors — the standard
+    // pre-filtering recipe (post-filtering the unfiltered top-k would
+    // return < k rows whenever the filter is selective). The oracle
+    // replicates the whole derivation with the widened integer budget
+    // plus the same IN-subquery on the candidate fetch.
+    "sim_ann_ivf_filtered" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val nC = AnnSearch.autoCentroids(n)
+      val nG = AnnSearch.autoCoarse(nC)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      AnnSearch
+        .ivfTopK(e, q, 20, nCentroids = nC, nProbe = math.max(8, nC / 2),
+          nCoarse = nG, trainN = AnnSearch.autoTrainN(n, nC),
+          gProbe = math.max(4, nG / 2), excludeId = 0L,
+          allowed = Some(e.filter($"label" === 7).select($"vec_id")))
+        .select($"vec_id", round($"cos" * 1000000).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"vec_id".asc)
+    }),
+
     // IVF-PQ — the billion-scale composition (FAISS IVFADC shape): the
     // SAME trained two-level IVF prunes which lists the query reads, but
     // the in-list candidates are ranked by PRODUCT-QUANTIZATION codes
@@ -456,6 +485,102 @@ object SimOps {
         |  JOIN probe pr ON vf.cid = pr.cid
         |  JOIN e a ON a.vec_id = vf.vec_id, qq
         |  WHERE a.vec_id <> 0
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
+        |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
+        |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // sim_ann_ivf's derivation with the widened probe budget
+    // (np = max(8, nc//2), gp = max(4, ng//2)) and the label-7 metadata
+    // predicate applied to candidates before the rerank — otherwise
+    // byte-identical training/assignment, so the engines agree exactly.
+    "sim_ann_ivf_filtered" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(8, nc // 2) AS np,
+        |  GREATEST(4, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 2) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT q, v AS qv FROM e WHERE vec_id = 0),
+        |qg AS (
+        |  SELECT gid FROM (
+        |    SELECT g.gid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g, qq) x, p
+        |  WHERE rn <= p.gp),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT f.cid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid, qq) x, p
+        |  WHERE rn <= p.np),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM vf
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN e a ON a.vec_id = vf.vec_id, qq
+        |  WHERE a.vec_id <> 0
+        |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 7)
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,

@@ -54,7 +54,8 @@ class DeterminismSpec extends AnyFunSuite {
     // theorem-graded rows must pin their flags run-over-run
     "etl_zorder_skipping", "join_bucketed_colocated",
     "sim_ann_lsh_multiprobe", "agg_hll_distinct_bound",
-    "agg_heavy_hitters_bound")
+    "agg_heavy_hitters_bound", "sim_ann_ivf_filtered",
+    "pipe_hybrid_retrieval")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

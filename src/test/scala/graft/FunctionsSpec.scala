@@ -155,6 +155,72 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9 at sf0.1")
   }
 
+  test("filtered ANN: pre-filter fills k allowed rows where post-filter starves") {
+    // The claim behind sim_ann_ivf_filtered: with a ~10% metadata filter
+    // (label = 7), pre-filtering candidates inside the probe (widened
+    // nc/8 → nc/2) returns a FULL k of allowed-only results at usable
+    // recall, while the naive alternative — post-filtering the unfiltered
+    // top-k — starves to a handful of rows. Recall gates at 0.6, not the
+    // unfiltered 0.9: the filtered true top-20 corresponds to unfiltered
+    // ranks reaching ~200, which on this structureless corpus (the ANN
+    // worst case) scatter across most lists — measured 0.70 at np = nc/2,
+    // 0.75 at np = nc/2 with ALL coarse cells, 1.0 only at np = nc (the
+    // exact scan). Production engines switch to brute force over the
+    // filtered subset below ~1/8 selectivity for exactly this reason.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val nC = AnnSearch.autoCentroids(n)
+    val nG = AnnSearch.autoCoarse(nC)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val allowedDf = e.filter($"label" === 7).select($"vec_id")
+    val allowedIds = allowedDf.as[Long].collect().toSet
+    val exact = AnnSearch
+      .cosineTopK(e.filter($"vec_id" =!= 0 && $"label" === 7), q, 20)
+      .select($"vec_id").as[Long].collect().toSet
+    val pre = AnnSearch.ivfTopK(e, q, 20, nCentroids = nC,
+        nProbe = math.max(8, nC / 2), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(4, nG / 2), excludeId = 0L,
+        allowed = Some(allowedDf))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(pre.size == 20, s"pre-filter must fill k; got ${pre.size}")
+    assert(pre.subsetOf(allowedIds), "pre-filter leaked a disallowed id")
+    val preRecall = (exact intersect pre).size.toDouble / exact.size
+    assert(preRecall >= 0.6, s"pre-filter recall $preRecall < 0.6")
+    // Post-filter: unfiltered top-20 at the graded unfiltered params,
+    // then apply the predicate — keeps only the few label-7 rows that
+    // happened to rank in the global top-20 (expected ~10% of k).
+    val post = AnnSearch.ivfTopK(e, q, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(2, nG / 4), excludeId = 0L)
+      .select($"vec_id").as[Long].collect().toSet
+      .intersect(allowedIds)
+    assert(post.size < 10, s"post-filter unexpectedly kept ${post.size} rows")
+    assert(pre.size > post.size, "pre-filter must beat post-filter coverage")
+  }
+
+  test("hybrid RRF fusion is self-consistent and draws from both arms") {
+    // pipe_hybrid_retrieval invariants the oracle hash can't articulate:
+    // every fused score equals the RRF formula recomputed from the ranks,
+    // scores are non-increasing in output order, and the fused top-10
+    // actually mixes modalities (neither arm alone dictates the page).
+    val rows = SparkEntry.queries("pipe_hybrid_retrieval")(
+        spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"lex_rank", $"vec_rank", $"rrf_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (id, lr, vr, s) =>
+      val want = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+                 (if (vr > 0) 1000000L / (60 + vr) else 0L)
+      assert(s == want, s"doc $id rrf $s != recomputed $want")
+    }
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 >= b._4 },
+      "fused scores must be non-increasing")
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      "fused top-10 must contain rows from both arms")
+  }
+
   test("PqCodes expression encodes exactly like the relational argmax") {
     // The codegen encode (one compiled triple loop, codebook as bounded
     // constants) must be bit-identical to the join-all-codewords relational
