@@ -286,6 +286,63 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** BATCHED ANN serving — one trained index answers a whole query batch
+    * in one pass. `queryDf` carries (qid, qv). The index build (train +
+    * two-level assignment) is shared across the batch — its cost
+    * amortizes over |Q| queries, which is the actual serving economics:
+    * per-query work is only probe selection + in-list rerank. The probe
+    * set is a (qid, cid) RELATION joined once against the
+    * cid-partitioned inverted file, so a list probed by several queries
+    * is READ ONCE and fanned to each of them (at 100 TB: one
+    * partition-pruned scan over the union of probed lists, instead of
+    * |Q| separate scans). Rerank ranks on the ROUNDED e6 cosine —
+    * integer, so per-qid order is engine-exact — and the per-query top-k
+    * is a qid-partitioned rank (WindowGroupLimit pushes the k cut into
+    * the sort; per-group top-k, never a global sort). Self-matches
+    * (candidate id = qid) are excluded. Returns (qid, rank, idCol,
+    * cos_e6). */
+  def ivfTopKBatch(embeddings: DataFrame, queryDf: DataFrame, k: Int,
+                   nCentroids: Int, nProbe: Int, nCoarse: Int, trainN: Long,
+                   gProbe: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eq = quantize(embeddings, idCol, vecCol)
+    val cent = trainCentroids(eq, nCentroids, trainN, idCol)
+    val (coarse, f2g) = coarseFine(cent, nCoarse)
+    val vf = assignTwoLevel(eq, coarse, f2g, idCol)
+    val q = queryDf.select(col("qid"), col("qv"),
+      expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
+    val wG = Window.partitionBy(col("qid"))
+      .orderBy(col("s").desc, col("gid").asc)
+    val qg = coarse.crossJoin(broadcast(q))
+      .select(col("qid"), col("gid"),
+        (lit(2.0) * dot(col("__qq"), col("gv")) - col("__gn2")).as("s"))
+      .withColumn("rn", row_number().over(wG)).filter(col("rn") <= gProbe)
+      .select(col("qid"), col("gid"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("s").desc, col("cid").asc)
+    val probes = f2g.join(broadcast(qg), "gid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val cand = vf.join(broadcast(probes), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol))
+    val wK = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col(idCol).asc)
+    embeddings.join(cand, Seq(idCol))
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("qv")) * 1000000).cast("long")
+          .as("cos_e6"))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Incremental IVF index maintenance — the production append path. The
     * index artifact (centroids trained on the BASE corpus, ids < `baseN`)
     * is FROZEN: appending a batch neither retrains nor resizes it (the

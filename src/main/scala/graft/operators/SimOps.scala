@@ -142,6 +142,28 @@ object SimOps {
         .orderBy($"cos_e6".desc, $"vec_id".asc)
     }),
 
+    // BATCHED ANN — the serving shape: a 4-query batch (vec_id 0..3)
+    // answered by ONE trained index in one pass. The index build
+    // amortizes over the batch; the probe set is a (qid, cid) relation
+    // joined once against the cid-keyed inverted file (a list probed by
+    // several queries is read once); the per-query top-20 is a
+    // qid-partitioned rank on the ROUNDED e6 cosine — per-group top-k
+    // via WindowGroupLimit, never a global sort. Self-matches excluded.
+    "sim_ann_ivf_batch" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val nC = AnnSearch.autoCentroids(n)
+      val nG = AnnSearch.autoCoarse(nC)
+      val q = e.filter($"vec_id" < 4)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      AnnSearch
+        .ivfTopKBatch(e, q, 20, nCentroids = nC,
+          nProbe = math.max(2, nC / 8), nCoarse = nG,
+          trainN = AnnSearch.autoTrainN(n, nC), gProbe = math.max(2, nG / 4))
+    }),
+
     // FILTERED ANN — the vector-database "search WHERE metadata" shape:
     // the SAME trained two-level IVF index (built on the FULL corpus —
     // a filter must never force an index rebuild), but candidates from
@@ -488,6 +510,108 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // sim_ann_ivf's derivation with a (qid) dimension threaded through
+    // the probe selection and rerank: qq holds the 4-query batch, every
+    // probe/rank window partitions by qid, and the final rank runs on
+    // the rounded e6 cosine so per-query order is integer-exact.
+    "sim_ann_ivf_batch" ->
+      """WITH p0 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(2, nc // 8) AS np,
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT vec_id AS qid, q, v AS qv FROM e WHERE vec_id < 4),
+        |qg AS (
+        |  SELECT qid, gid FROM (
+        |    SELECT qq.qid, g.gid, row_number() OVER (PARTITION BY qq.qid ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g CROSS JOIN qq) x, p
+        |  WHERE rn <= p.gp),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qg.qid, f.cid, row_number() OVER (PARTITION BY qg.qid ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid JOIN qq ON qq.qid = qg.qid) x, p
+        |  WHERE rn <= p.np),
+        |rer AS (
+        |  SELECT pr.qid, a.vec_id,
+        |    CAST(round(
+        |      list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y)))
+        |      * 1000000) AS BIGINT) AS cos_e6
+        |  FROM vf
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN e a ON a.vec_id = vf.vec_id
+        |  JOIN qq ON qq.qid = pr.qid
+        |  WHERE a.vec_id <> pr.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_e6,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id ASC)
+        |      AS rank
+        |  FROM rer)
+        |SELECT qid, rank, vec_id, cos_e6 FROM ranked
+        |WHERE rank <= 20 ORDER BY qid, rank""".stripMargin,
     // sim_ann_ivf's derivation with the widened probe budget
     // (np = max(8, nc//2), gp = max(4, ng//2)) and the label-7 metadata
     // predicate applied to candidates before the rerank — otherwise

@@ -55,7 +55,7 @@ class DeterminismSpec extends AnyFunSuite {
     "etl_zorder_skipping", "join_bucketed_colocated",
     "sim_ann_lsh_multiprobe", "agg_hll_distinct_bound",
     "agg_heavy_hitters_bound", "sim_ann_ivf_filtered",
-    "pipe_hybrid_retrieval")
+    "pipe_hybrid_retrieval", "sim_ann_ivf_batch")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

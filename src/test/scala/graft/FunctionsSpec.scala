@@ -200,6 +200,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pre.size > post.size, "pre-filter must beat post-filter coverage")
   }
 
+  test("batched ANN agrees with the single-query path for each batch member") {
+    // One trained index serving a 4-query batch must return, for qid 0,
+    // the same neighbor set the dedicated single-query ivfTopK returns —
+    // the two code paths (broadcast-single-query vs (qid,cid) probe
+    // relation + qid-partitioned rank) prove each other.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val n = e.count()
+    val nC = AnnSearch.autoCentroids(n)
+    val nG = AnnSearch.autoCoarse(nC)
+    val q1 = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val single = AnnSearch.ivfTopK(e, q1, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC),
+        gProbe = math.max(2, nG / 4), excludeId = 0L)
+      .select($"vec_id").as[Long].collect().toSet
+    val qb = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = AnnSearch.ivfTopKBatch(e, qb, 20, nCentroids = nC,
+        nProbe = math.max(2, nC / 8), nCoarse = nG,
+        trainN = AnnSearch.autoTrainN(n, nC), gProbe = math.max(2, nG / 4))
+    val batch0 = batch.filter($"qid" === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(batch0 == single,
+      s"batch qid=0 ${batch0.toSeq.sorted} != single ${single.toSeq.sorted}")
+    // every batch member gets a full k
+    val counts = batch.groupBy($"qid").count()
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(counts.get(_).contains(20L)), counts.toString)
+  }
+
   test("hybrid RRF fusion is self-consistent and draws from both arms") {
     // pipe_hybrid_retrieval invariants the oracle hash can't articulate:
     // every fused score equals the RRF formula recomputed from the ranks,

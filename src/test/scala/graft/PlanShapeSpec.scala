@@ -382,4 +382,20 @@ class PlanShapeSpec extends AnyFunSuite {
           s"unconditionally:\n${native.take(800)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("filtered ANN applies the predicate before the rerank, not after") {
+    // The scale claim behind sim_ann_ivf_filtered: the allowed-id set
+    // must restrict CANDIDATES (a LeftSemi beneath the rerank join), so
+    // the exact-cosine rerank never scores a disallowed vector — the
+    // post-filter shape (predicate above the top-k) would starve k and
+    // waste rerank FLOPs. The final top-k stays a parallel TakeOrdered.
+    val df = SparkEntry.queries("sim_ann_ivf_filtered")(spark, TestSpark.sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"),
+      s"allowed-id pre-filter must plan as a semi join:\n${opt.take(800)}")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), phys.take(500))
+    // the rerank's dot product must be the codegen DotFold path
+    assert(phys.contains("dotfold"), "rerank must use the codegen cosine")
+  }
 }
