@@ -547,6 +547,39 @@ object Etl {
           coalesce(max($"zval"), lit(-1L)).as("max_z"))
     }),
 
+    // Small-file compaction — the lake-maintenance op every streaming
+    // ingest forces at scale: micro-batch writers leave each partition
+    // as a pile of tiny files (here: a hash-fragmented month-partitioned
+    // layout, ~8 files/month), and scan cost at 100 TB is dominated by
+    // file-open overhead + footer reads, not bytes. Compaction rewrites
+    // each partition in one task (repartition on the partition key —
+    // every month lands in exactly one writer, so exactly one file per
+    // month dir). The graded row reads BOTH layouts back with the
+    // _metadata.file_name column and emits per (layout, month): row
+    // count, DISTINCT FILE COUNT, and an order-independent XOR checksum
+    // — the oracle re-reads the same directories with filename=true, so
+    // the hash match proves (a) the on-disk file-count collapse really
+    // happened and (b) compaction preserved every row exactly. At scale
+    // the same plan compacts only partitions whose file count exceeds a
+    // threshold (the read side is partition-pruned to those).
+    "etl_compact_small_files" -> ((s, d) => {
+      import s.implicits._
+      writeCompactFixture(s, d)
+      def stats(path: String, layout: String) =
+        s.read.parquet(path)
+          .select($"o_orderkey", $"pmonth",
+            regexp_extract(col("_metadata.file_name"), "[^/]+$", 0).as("fname"))
+          .groupBy($"pmonth")
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct($"fname").as("n_files"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .withColumn("layout", lit(layout))
+      stats(fragPath, "frag").unionByName(stats(compactPath, "compact"))
+        .select($"layout", $"pmonth".as("part_key"), $"n_rows", $"n_files",
+          $"xor_key")
+        .orderBy($"layout", $"part_key")
+    }),
+
     // Order-independent table checksum — the migration/replication
     // validation op: hash a canonical serialization of every row, reduce
     // with XOR (commutative + associative, so partitioning/order can't
@@ -643,7 +676,54 @@ object Etl {
       }
     }
 
+  private[graft] val fragPath = s"${graft.fixtureRoot}/frag_orders"
+  private[graft] val compactPath = s"${graft.fixtureRoot}/compact_orders"
+  private val compactWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Writes the fragmented month-partitioned layout (repartition(8) on the
+    * order key hash — each month dir gets up to 8 small files, the
+    * micro-batch-ingest pathology), then compacts it: repartition on the
+    * partition key puts every month in exactly one writer task → exactly
+    * one file per month dir. Guard marks written only AFTER both writes
+    * complete (same crash-retry policy as the DPP/z-order fixtures). */
+  private[graft] def writeCompactFixture(s: org.apache.spark.sql.SparkSession,
+                                         d: String): Unit =
+    if (compactWrittenFor.get() != d) compactWrittenFor.synchronized {
+      if (compactWrittenFor.get() != d) {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey",
+            date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+          .repartition(8, $"o_orderkey")
+          .write.mode("overwrite").partitionBy("pmonth").parquet(fragPath)
+        s.read.parquet(fragPath)
+          .repartition(col("pmonth"))
+          .write.mode("overwrite").partitionBy("pmonth").parquet(compactPath)
+        compactWrittenFor.set(d)
+      }
+    }
+
   val oracleSql: Map[String, String] = Map(
+    // Re-reads both engine-written layouts with filename=true — DuckDB
+    // counts the same on-disk files Spark's _metadata column saw, so the
+    // compare grades the physical compaction effect, not a simulation.
+    "etl_compact_small_files" ->
+      s"""WITH f AS (
+         |  SELECT 'frag' AS layout, pmonth AS part_key, o_orderkey,
+         |    regexp_extract(filename, '[^/]+$$') AS fname
+         |  FROM read_parquet('$fragPath/*/*.parquet',
+         |                    filename=true, hive_partitioning=true)
+         |  UNION ALL
+         |  SELECT 'compact' AS layout, pmonth AS part_key, o_orderkey,
+         |    regexp_extract(filename, '[^/]+$$') AS fname
+         |  FROM read_parquet('$compactPath/*/*.parquet',
+         |                    filename=true, hive_partitioning=true))
+         |SELECT layout, part_key, COUNT(*) AS n_rows,
+         |  CAST(COUNT(DISTINCT fname) AS BIGINT) AS n_files,
+         |  bit_xor(o_orderkey) AS xor_key
+         |FROM f GROUP BY layout, part_key
+         |ORDER BY layout, part_key""".stripMargin,
     // Re-reads the engine-written z-clustered files with the same range
     // predicate — the layout-oblivious answer the skipping scan must match.
     "etl_zorder_skipping" ->

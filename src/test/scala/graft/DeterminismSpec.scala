@@ -55,7 +55,8 @@ class DeterminismSpec extends AnyFunSuite {
     "etl_zorder_skipping", "join_bucketed_colocated",
     "sim_ann_lsh_multiprobe", "agg_hll_distinct_bound",
     "agg_heavy_hitters_bound", "sim_ann_ivf_filtered",
-    "pipe_hybrid_retrieval", "sim_ann_ivf_batch")
+    "pipe_hybrid_retrieval", "sim_ann_ivf_batch",
+    "etl_compact_small_files")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>
