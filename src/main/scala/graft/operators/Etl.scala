@@ -580,6 +580,69 @@ object Etl {
         .orderBy($"layout", $"part_key")
     }),
 
+    // Time travel over the manifest-versioned table (VersionedTable): the
+    // fixture creates v0 from orders, COW-merges a price update over the
+    // 1996 partitions (v1), then a targeted delete batch (v2) — and the
+    // graded query reads ALL THREE snapshots back through the manifest
+    // (count / xor / exact-cents sum per version). The oracle reconstructs
+    // each logical state declaratively from the base table, so the hash
+    // match proves snapshot reads reproduce history exactly: after two
+    // merges the data dirs hold old AND new files — a reader that globbed
+    // would double-count, one that read only the latest would miss v0/v1.
+    // At 100 TB this is the reproducible-training-snapshot primitive:
+    // pin the manifest version and the input is frozen, no table copy.
+    "etl_time_travel" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      (0 to 2).map { v =>
+        graft.sources.VersionedTable.read(s, vtPath, v)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"))
+          .select(lit(v).as("version"), $"n_rows", $"xor_key", $"sum_price_c")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
+    // Vacuum with retention, graded through the on-disk file set: the
+    // second fixture copy is vacuumed to the last 2 versions, which must
+    // delete exactly the v0-only files (the 1996 partitions' originals,
+    // superseded by v1/v2) and keep every file v1/v2 reference. Per
+    // version: files referenced by the manifest vs files actually present
+    // (via the data-glob's _metadata.file_path), plus count/xor/sum for
+    // fully-readable versions (-1 sentinels where vacuum broke the
+    // snapshot — losing vacuumed history is the contract, same as
+    // Delta/Iceberg). The oracle replays the manifest parquets and the
+    // same glob in DuckDB — the log format itself is what's being graded.
+    "etl_vacuum_retention" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      val latest = graft.sources.VersionedTable.latestVersion(s, vtVacPath)
+      // manifest replay is driver-side by design (metadata, bounded by
+      // file-op count); the data-file scan below is the distributed part
+      val ref = (0 to latest).flatMap(v =>
+        graft.sources.VersionedTable.liveFiles(s, vtVacPath, v)
+          .map { case (f, _) => (v, f) }).toDF("v", "file")
+      val present = s.read.parquet(s"$vtVacPath/data/*/*/*.parquet")
+        .select(
+          regexp_extract(col("_metadata.file_path"), "data/.+", 0).as("pfile"),
+          $"o_orderkey", $"price_c")
+      ref.join(present, $"pfile" === $"file", "left")
+        .groupBy($"v")
+        .agg(count_distinct($"file").as("n_files_ref"),
+          count_distinct($"pfile").as("n_files_present"),
+          count($"o_orderkey").as("cnt"),
+          expr("bit_xor(o_orderkey)").as("bx"),
+          sum($"price_c").as("sp"))
+        .select($"v".as("version"), $"n_files_ref", $"n_files_present",
+          when($"n_files_ref" === $"n_files_present", $"cnt")
+            .otherwise(-1L).as("n_rows"),
+          when($"n_files_ref" === $"n_files_present", $"bx")
+            .otherwise(-1L).as("xor_key"),
+          when($"n_files_ref" === $"n_files_present", $"sp")
+            .otherwise(-1L).as("sum_price_c"))
+        .orderBy("version")
+    }),
+
     // Order-independent table checksum — the migration/replication
     // validation op: hash a canonical serialization of every row, reduce
     // with XOR (commutative + associative, so partitioning/order can't
@@ -704,7 +767,111 @@ object Etl {
       }
     }
 
+  private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
+  private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
+  private val vtWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Builds two identical manifest-versioned tables from orders — v0 full
+    * create, v1 price-update merge over the 1996 partitions, v2 targeted
+    * delete — then vacuums the second copy to the last 2 versions. The
+    * change batches derive deterministically from the base slice (key
+    * modulus + partition range), so every SF reproduces the same logical
+    * history. Guard marks written only AFTER all commits + the vacuum
+    * (same crash-retry policy as the DPP/z-order/compaction fixtures). */
+  private[graft] def writeVersionedFixture(s: org.apache.spark.sql.SparkSession,
+                                           d: String): Unit =
+    if (vtWrittenFor.get() != d) vtWrittenFor.synchronized {
+      if (vtWrittenFor.get() != d) {
+        import s.implicits._
+        import graft.sources.VersionedTable
+        val fs = new org.apache.hadoop.fs.Path(graft.fixtureRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base = Tables.orders(s, d).select(
+          $"o_orderkey", $"o_custkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+          date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+        val changes1 = base
+          .filter($"o_orderkey" % 10 === 3 &&
+            $"pmonth" >= "1996-01" && $"pmonth" <= "1996-12")
+          .withColumn("price_c", $"price_c" + 111L)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val changes2 = base
+          .filter($"o_orderkey" % 100 === 42 &&
+            $"pmonth" >= "1996-03" && $"pmonth" <= "1996-06")
+          .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+        Seq(vtPath, vtVacPath).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+          VersionedTable.create(s, p, base, "pmonth")
+          VersionedTable.mergeCommit(s, p, changes1, Seq("o_orderkey"), "pmonth")
+          VersionedTable.mergeCommit(s, p, changes2, Seq("o_orderkey"), "pmonth")
+        }
+        VersionedTable.vacuum(s, vtVacPath, retainLast = 2)
+        vtWrittenFor.set(d)
+      }
+    }
+
   val oracleSql: Map[String, String] = Map(
+    // Reconstructs each snapshot's logical state declaratively from the
+    // base table — independent of the manifests, so a time-travel read
+    // that globbed (double-count), read latest-only, or mixed versions
+    // cannot hash-match.
+    "etl_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |              AND pmonth >= '1996-01' AND pmonth <= '1996-12'
+        |         THEN price_c + 111 ELSE price_c END AS price_c, pmonth
+        |  FROM base),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey % 100 = 42
+        |             AND pmonth >= '1996-03' AND pmonth <= '1996-06')),
+        |u AS (
+        |  SELECT 0 AS version, o_orderkey, price_c FROM base
+        |  UNION ALL SELECT 1, o_orderkey, price_c FROM v1
+        |  UNION ALL SELECT 2, o_orderkey, price_c FROM v2)
+        |SELECT version, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // Replays the manifest parquets (add/remove log) and the surviving
+    // data files with DuckDB's own reader — grades the log format and the
+    // physical vacuum effect, not a simulation.
+    "etl_vacuum_retention" ->
+      s"""WITH log AS (
+         |  SELECT version, action, file
+         |  FROM read_parquet('$vtVacPath/_log/*.parquet')),
+         |vs AS (SELECT DISTINCT version AS v FROM log),
+         |live AS (
+         |  SELECT vs.v, a.file FROM vs
+         |  JOIN log a ON a.action = 'add' AND a.version <= vs.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM log r
+         |    WHERE r.action = 'remove' AND r.file = a.file
+         |      AND r.version <= vs.v)),
+         |present AS (
+         |  SELECT regexp_extract(filename, 'data/.+') AS pfile,
+         |    o_orderkey, price_c
+         |  FROM read_parquet('$vtVacPath/data/*/*/*.parquet', filename=true)),
+         |j AS (
+         |  SELECT l.v, l.file, p.pfile, p.o_orderkey, p.price_c
+         |  FROM live l LEFT JOIN present p ON p.pfile = l.file)
+         |SELECT v AS version,
+         |  COUNT(DISTINCT file) AS n_files_ref,
+         |  COUNT(DISTINCT pfile) AS n_files_present,
+         |  CASE WHEN COUNT(DISTINCT file) = COUNT(DISTINCT pfile)
+         |       THEN COUNT(o_orderkey) ELSE -1 END AS n_rows,
+         |  CASE WHEN COUNT(DISTINCT file) = COUNT(DISTINCT pfile)
+         |       THEN bit_xor(o_orderkey) ELSE -1 END AS xor_key,
+         |  CASE WHEN COUNT(DISTINCT file) = COUNT(DISTINCT pfile)
+         |       THEN CAST(SUM(price_c) AS BIGINT) ELSE -1 END AS sum_price_c
+         |FROM j GROUP BY v ORDER BY v""".stripMargin,
     // Re-reads both engine-written layouts with filename=true — DuckDB
     // counts the same on-disk files Spark's _metadata column saw, so the
     // compare grades the physical compaction effect, not a simulation.

@@ -89,28 +89,9 @@ object MergeSink {
     val target = spark.read.parquet(tablePath)
       .withColumn(partitionCol, col(partitionCol).cast(pType))
       .filter(col(partitionCol).isin(affected: _*))
-    val payloadCols = target.columns.filterNot(c =>
-      keyCols.contains(c) || c == partitionCol).toSeq
 
-    // src=0 base, src=1 changes; exactly one survivor per key; 'D'
-    // survivors drop out. Unconditional mode: changes trump the target,
-    // higher seq wins within the batch. Conditional mode (targetSeqCol):
-    // the globally newest version wins, change beats target only on a tie.
-    val ordered = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
-      .orderBy(
-        (if (targetSeqCol.isDefined) Seq(col("__seq").desc, col("__src").desc)
-         else Seq(col("__src").desc, col("__seq").desc)): _*)
-    val merged = target
-      .withColumn("__op", lit(null: String)).withColumn("__src", lit(0))
-      .withColumn("__seq",
-        targetSeqCol.map(c => col(c).cast("long")).getOrElse(lit(0L)))
-      .unionByName(changes
-        .withColumnRenamed(opCol, "__op").withColumn("__src", lit(1))
-        .withColumn("__seq", col(seqCol).cast("long")).drop(seqCol))
-      .withColumn("__rn", row_number().over(ordered))
-      .filter(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
-      .select((keyCols ++ payloadCols :+ partitionCol).map(col): _*)
-      .localCheckpoint() // sever lineage: the write overwrites its own source
+    val merged = mergeDataflow(target, changes, keyCols, partitionCol,
+      opCol, seqCol, targetSeqCol)
 
     try {
       val rows = merged.count()
@@ -139,16 +120,46 @@ object MergeSink {
         }
       }
       MergeStats(affected.map(String.valueOf), rows)
-    } finally {
-      // Dataset.unpersist does NOT drop localCheckpoint blocks (they are
-      // cached partitions of the checkpointed RDD, not a cached query) —
-      // unpersist the backing RDD itself so a long CDC session applying
-      // many batches doesn't accumulate checkpoint storage.
-      merged.queryExecution.logical match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => merged.unpersist()
-      }
-    }
+    } finally dropCheckpoint(merged)
   }
+
+  /** The merge dataflow itself, shared with [[VersionedTable.mergeCommit]]:
+    * src=0 base, src=1 changes; exactly one survivor per key; 'D' survivors
+    * drop out. Unconditional mode: changes trump the target, higher seq wins
+    * within the batch. Conditional mode (targetSeqCol): the globally newest
+    * version wins, change beats target only on a tie. The result is
+    * localCheckpoint'd (callers write over or derive from their own read
+    * source) — release it with [[dropCheckpoint]]. */
+  private[sources] def mergeDataflow(target: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], partitionCol: String, opCol: String,
+      seqCol: String, targetSeqCol: Option[String]): DataFrame = {
+    val payloadCols = target.columns.filterNot(c =>
+      keyCols.contains(c) || c == partitionCol).toSeq
+    val ordered = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
+      .orderBy(
+        (if (targetSeqCol.isDefined) Seq(col("__seq").desc, col("__src").desc)
+         else Seq(col("__src").desc, col("__seq").desc)): _*)
+    target
+      .withColumn("__op", lit(null: String)).withColumn("__src", lit(0))
+      .withColumn("__seq",
+        targetSeqCol.map(c => col(c).cast("long")).getOrElse(lit(0L)))
+      .unionByName(changes
+        .withColumnRenamed(opCol, "__op").withColumn("__src", lit(1))
+        .withColumn("__seq", col(seqCol).cast("long")).drop(seqCol))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
+      .select((keyCols ++ payloadCols :+ partitionCol).map(col): _*)
+      .localCheckpoint() // sever lineage: the write overwrites its own source
+  }
+
+  /** Dataset.unpersist does NOT drop localCheckpoint blocks (they are
+    * cached partitions of the checkpointed RDD, not a cached query) —
+    * unpersist the backing RDD itself so a long CDC session applying
+    * many batches doesn't accumulate checkpoint storage. */
+  private[sources] def dropCheckpoint(merged: DataFrame): Unit =
+    merged.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => merged.unpersist()
+    }
 }

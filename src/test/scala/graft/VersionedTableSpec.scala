@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transaction-log layer on top of the partition-COW merge: snapshot
+  * reads must reproduce history exactly, commits must be invisible to
+  * pinned readers (snapshot isolation), vacuum must delete exactly the
+  * unreferenced files, and manifest-level pruning must shrink the file
+  * list before any storage I/O. */
+class VersionedTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (k, v, p) — 3 partitions, 10 keys each. */
+  private def baseDf = spark.range(30)
+    .select(($"id" + 1).as("k"), ($"id" * 10).as("v"),
+      concat(lit("p"), ($"id" % 3).cast("string")).as("p"))
+
+  private def newTable(): String = {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf, "p")
+    dir
+  }
+
+  private def state(dir: String, version: Int): Map[Long, Long] =
+    VersionedTable.read(spark, dir, version)
+      .select($"k", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def changes(rows: Seq[(Long, Long, String, String)]) =
+    rows.toDF("k", "v", "p", "op").withColumn("seq", lit(1L))
+
+  test("snapshot reads reproduce every historical state exactly") {
+    val dir = newTable()
+    // v1: update k=1 (p1... k=1 → id=0 → p0), insert k=100 into p1
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 999L, "p0", "U"), (100L, 1000L, "p1", "U"))),
+      Seq("k"), "p")
+    // v2: delete k=2 (p1)
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((2L, 0L, "p1", "D"))), Seq("k"), "p")
+
+    val v0 = state(dir, 0)
+    assert(v0.size == 30 && v0(1L) == 0L && !v0.contains(100L))
+    val v1 = state(dir, 1)
+    assert(v1.size == 31 && v1(1L) == 999L && v1(100L) == 1000L && v1.contains(2L))
+    val v2 = state(dir, 2)
+    assert(v2.size == 30 && !v2.contains(2L) && v2(1L) == 999L)
+    assert(VersionedTable.latestVersion(spark, dir) == 2)
+  }
+
+  test("pinned reader is isolated from a concurrent commit") {
+    val dir = newTable()
+    val pinnedFiles = VersionedTable.liveFiles(spark, dir, 0)
+    val before = state(dir, 0)
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((5L, -1L, "p1", "U"), (6L, 0L, "p2", "D"))), Seq("k"), "p")
+    // same file list resolves for v0, and the bytes are unchanged
+    assert(VersionedTable.liveFiles(spark, dir, 0) == pinnedFiles)
+    assert(state(dir, 0) == before)
+  }
+
+  test("fully-emptied partition needs no special case: removes without adds") {
+    val dir = newTable()
+    val allP2 = baseDf.filter($"p" === "p2")
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    val c = VersionedTable.mergeCommit(spark, dir, allP2, Seq("k"), "p")
+    assert(c.filesRemoved >= 1 && c.filesAdded == 0)
+    val v1 = VersionedTable.read(spark, dir, 1)
+    assert(v1.filter($"p" === "p2").count() == 0 && v1.count() == 20)
+    // the emptied partition's history is still readable at v0
+    assert(VersionedTable.read(spark, dir, 0).filter($"p" === "p2").count() == 10)
+  }
+
+  test("manifest-level pruning shrinks the read's file list, not just rows") {
+    val dir = newTable()
+    val pruned = VersionedTable.read(spark, dir, 0, Some(Set("p1")))
+    assert(pruned.select($"p").distinct().collect().map(_.getString(0)).toSeq == Seq("p1"))
+    val all = VersionedTable.read(spark, dir, 0)
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.inputFiles.forall(_.contains("__vt_part=p1")))
+  }
+
+  test("vacuum deletes exactly the unreferenced files and keeps retained history") {
+    val dir = newTable()
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 111L, "p0", "U"))), Seq("k"), "p")   // v1 rewrites p0
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((2L, 222L, "p1", "U"))), Seq("k"), "p")   // v2 rewrites p1
+    val v1State = state(dir, 1)
+    val v2State = state(dir, 2)
+    // a crashed commit's orphan: data file present, no manifest references it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/data/c99999/__vt_part=p0/orphan.parquet")
+    fs.mkdirs(orphan.getParent)
+    baseDf.limit(1).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_orphantmp")
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_orphantmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(src, orphan)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_orphantmp"), true)
+
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    // exactly: v0's original p0 file (superseded at v1, unreferenced by v1/v2)
+    // and the orphan. v0's p1 file is NOT deletable — v1 still references it.
+    assert(deleted.exists(_.contains("c99999")), s"orphan not vacuumed: $deleted")
+    assert(deleted.exists(f => f.contains("c00000") && f.contains("p0")))
+    assert(!deleted.exists(f => f.contains("c00000") && f.contains("p1")))
+    assert(deleted.size == 2, s"unexpected deletions: $deleted")
+    // retained snapshots still read exactly
+    assert(state(dir, 1) == v1State && state(dir, 2) == v2State)
+  }
+
+  test("conflicting change batches resolve by seq within a commit") {
+    val dir = newTable()
+    val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
+      .toDF("k", "v", "p", "op", "seq")
+    VersionedTable.mergeCommit(spark, dir, c, Seq("k"), "p")
+    assert(state(dir, 1)(3L) == 77L)
+  }
+}
