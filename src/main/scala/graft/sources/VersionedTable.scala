@@ -59,11 +59,12 @@ import org.apache.spark.sql.functions._
   * (contrast MergeSink's emptied-dir delete): no output files for it simply
   * means `remove` rows with no matching `add`.
   *
-  * Log replay is a driver-side read of the `_log` parquets — O(total file
-  * operations ever), the same cost model as Delta's log replay. At real
-  * scale the standard growth control is a periodic checkpoint manifest
-  * (fold the log prefix into one snapshot file); omitted here, the log
-  * stays tiny at test SFs.
+  * Log replay is a driver-side read of the `_log` parquets — the same cost
+  * model as Delta's log replay, with the same growth control: [[checkpoint]]
+  * materializes a version's live set into `_ckpt/`, after which resolving
+  * any snapshot ≥ that version reads the checkpoint plus only the manifest
+  * TAIL — O(live files + commits since checkpoint), not O(all commits
+  * ever). Versions below the checkpoint replay from the retained manifests.
   */
 object VersionedTable {
 
@@ -76,13 +77,29 @@ object VersionedTable {
 
   private def logDir(path: String) = s"$path/_log"
 
-  /** All manifest rows ≤ version (whole log when version < 0). Driver-side
-    * by design — the log is metadata, bounded by file-op count. */
-  private def logRows(spark: SparkSession, path: String, version: Int = -1)
+  private def ckptDir(path: String) = s"$path/_ckpt"
+
+  /** Largest checkpoint version ≤ `version` (−1 if none). */
+  private def latestCheckpointAtOrBefore(spark: SparkSession, path: String,
+                                         version: Int): Int = {
+    val d = new Path(ckptDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(d)) -1
+    else f.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("c") && n.endsWith(".parquet"))
+      .map(n => n.stripPrefix("c").stripSuffix(".parquet").toInt)
+      .filter(_ <= version).foldLeft(-1)(math.max)
+  }
+
+  /** Manifest rows of versions in (`from`, `to`] — explicit per-version
+    * file list, so replay after a checkpoint reads only the tail. Driver-
+    * side by design: the log is metadata, bounded by file-op count. */
+  private def logRows(spark: SparkSession, path: String, from: Int, to: Int)
       : Seq[(Int, String, String, String)] = {
-    val df = spark.read.parquet(logDir(path))
-    val lim = if (version >= 0) df.filter(col("version") <= version) else df
-    lim.select("version", "action", "file", "part").collect()
+    val files = ((from + 1) to to).map(v => f"${logDir(path)}/v$v%05d.parquet")
+    if (files.isEmpty) Nil
+    else spark.read.parquet(files: _*)
+      .select("version", "action", "file", "part").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSeq
   }
@@ -97,12 +114,44 @@ object VersionedTable {
       .foldLeft(-1)(math.max)
   }
 
-  /** Live (file, part) pairs of snapshot `version`. */
+  /** Live (file, part) pairs of snapshot `version`: replay starts from the
+    * newest checkpoint ≤ version (the live set materialized as `add` rows)
+    * and applies only the manifest tail — Delta's log-compaction shape, so
+    * resolving the current snapshot of a long-lived table costs O(live
+    * files + commits since last checkpoint), not O(all commits ever). */
   def liveFiles(spark: SparkSession, path: String, version: Int)
       : Seq[(String, String)] = {
-    val rows = logRows(spark, path, version)
+    val ck = latestCheckpointAtOrBefore(spark, path, version)
+    val base: Seq[(Int, String, String, String)] =
+      if (ck < 0) Nil
+      else spark.read.parquet(f"${ckptDir(path)}/c$ck%05d.parquet")
+        .select("version", "action", "file", "part").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq
+    val rows = base ++ logRows(spark, path, ck, version)
     val removed = rows.collect { case (_, "remove", f, _) => f }.toSet
     rows.collect { case (_, "add", f, p) if !removed(f) => (f, p) }
+  }
+
+  /** Materializes `version`'s live set as a checkpoint manifest (atomic
+    * temp-write + rename, like commits). Older manifests stay in place —
+    * they are what makes versions BELOW the checkpoint still resolvable. */
+  def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
+    import spark.implicits._
+    val rows = liveFiles(spark, path, version)
+      .map { case (f, p) => (version, "add", f, p) }
+    val tmp = s"$path/_ckpttmp_v$version"
+    rows.toDF("version", "action", "file", "part")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = fs(spark, path)
+    val part = f.listStatus(new Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part in $tmp"))
+    val dest = new Path(f"${ckptDir(path)}/c$version%05d.parquet")
+    f.mkdirs(dest.getParent)
+    if (!f.rename(part, dest))
+      throw new IllegalStateException(s"checkpoint rename failed: $dest")
+    f.delete(new Path(tmp), true)
   }
 
   /** Snapshot read, optionally pruned to a set of partition values — the

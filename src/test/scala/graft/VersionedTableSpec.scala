@@ -114,6 +114,60 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(state(dir, 1) == v1State && state(dir, 2) == v2State)
   }
 
+  test("checkpoint replay equals from-scratch replay, and reads only the tail") {
+    val dir = newTable()
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 11L, "p0", "U"))), Seq("k"), "p")     // v1
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((2L, 22L, "p1", "U"))), Seq("k"), "p")     // v2
+    val scratch2 = VersionedTable.liveFiles(spark, dir, 2).toSet
+    val scratch1 = VersionedTable.liveFiles(spark, dir, 1).toSet
+    VersionedTable.checkpoint(spark, dir, 2)
+    // checkpointed resolution is identical...
+    assert(VersionedTable.liveFiles(spark, dir, 2).toSet == scratch2)
+    // ...versions below the checkpoint still replay from the manifests...
+    assert(VersionedTable.liveFiles(spark, dir, 1).toSet == scratch1)
+    // ...and commits after the checkpoint replay checkpoint + tail only:
+    // delete the PRE-checkpoint manifests to prove they are not consulted
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((3L, 33L, "p2", "U"))), Seq("k"), "p")     // v3
+    val v3 = state(dir, 3)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach(v => f.rename(
+      new org.apache.hadoop.fs.Path(dir + f"/_log/v$v%05d.parquet"),
+      new org.apache.hadoop.fs.Path(dir + f"/_log_hidden_v$v%05d.parquet")))
+    assert(state(dir, 3) == v3 && v3(1L) == 11L && v3(3L) == 33L)
+    (0 to 2).foreach(v => f.rename(
+      new org.apache.hadoop.fs.Path(dir + f"/_log_hidden_v$v%05d.parquet"),
+      new org.apache.hadoop.fs.Path(dir + f"/_log/v$v%05d.parquet")))
+  }
+
+  test("each microbatch of a stream becomes a queryable snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = newTable()
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = in.toDF().toDF("k", "v", "p", "op")
+      .withColumn("seq", lit(1L))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.mergeCommit(batch.sparkSession, dir, batch,
+            Seq("k"), "p")
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in.addData((1L, 101L, "p0", "U")); q.processAllAvailable()
+    in.addData((2L, 202L, "p1", "U"), (3L, 0L, "p2", "D")); q.processAllAvailable()
+    q.stop()
+    assert(VersionedTable.latestVersion(spark, dir) == 2)
+    assert(state(dir, 1)(1L) == 101L && state(dir, 1).contains(3L))
+    val v2 = state(dir, 2)
+    assert(v2(2L) == 202L && !v2.contains(3L) && v2.size == 29)
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
