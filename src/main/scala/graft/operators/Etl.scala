@@ -603,6 +603,32 @@ object Etl {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // Append-only ingest + schema evolution on the versioned table: v1
+    // appends three more months (no read, no shuffle against the table —
+    // a blind adds-only commit, streaming ingest's write mode), v2 appends
+    // three months carrying a NEW column. Snapshot reads with mergeSchema
+    // surface the widened schema, older rows reading null — graded per
+    // version as count/xor/sum plus the non-null count of the new column
+    // (0 where the column predates its introduction). The oracle composes
+    // the three logical states declaratively, so a reader that leaked v2's
+    // column into v0/v1 counts, dropped old rows, or misread nulls fails
+    // the hash.
+    "etl_append_evolve" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      (0 to 2).map { v =>
+        val df = graft.sources.VersionedTable
+          .read(s, vtAppPath, v, mergeSchema = true)
+        val nSrc = if (df.columns.contains("src")) count($"src") else
+          count(lit(1)) * 0L
+        df.agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"), nSrc.as("n_src"))
+          .select(lit(v).as("version"), $"n_rows", $"xor_key",
+            $"sum_price_c", $"n_src")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // Vacuum with retention, graded through the on-disk file set: the
     // second fixture copy is vacuumed to the last 2 versions, which must
     // delete exactly the v0-only files (the 1996 partitions' originals,
@@ -769,6 +795,7 @@ object Etl {
 
   private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
+  private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
   private val vtWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -807,6 +834,16 @@ object Etl {
           VersionedTable.mergeCommit(s, p, changes2, Seq("o_orderkey"), "pmonth")
         }
         VersionedTable.vacuum(s, vtVacPath, retainLast = 2)
+        // third table: append-only ingest with one schema-widening commit
+        val app = base.drop("o_custkey")
+        fs.delete(new org.apache.hadoop.fs.Path(vtAppPath), true)
+        VersionedTable.create(s, vtAppPath,
+          app.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-06"), "pmonth")
+        VersionedTable.appendCommit(s, vtAppPath,
+          app.filter($"pmonth" >= "1997-07" && $"pmonth" <= "1997-09"), "pmonth")
+        VersionedTable.appendCommit(s, vtAppPath,
+          app.filter($"pmonth" >= "1997-10" && $"pmonth" <= "1997-12")
+            .withColumn("src", lit("late")), "pmonth")
         vtWrittenFor.set(d)
       }
     }
@@ -839,6 +876,30 @@ object Etl {
         |  UNION ALL SELECT 2, o_orderkey, price_c FROM v2)
         |SELECT version, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // Composes the append-only table's three logical states declaratively;
+    // the new column exists only from v2 on, and only for v2's appended
+    // months.
+    "etl_append_evolve" ->
+      """WITH app AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |u AS (
+        |  SELECT 0 AS version, o_orderkey, price_c, CAST(NULL AS VARCHAR) AS src
+        |  FROM app WHERE pmonth >= '1997-01' AND pmonth <= '1997-06'
+        |  UNION ALL
+        |  SELECT 1, o_orderkey, price_c, NULL
+        |  FROM app WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+        |  UNION ALL
+        |  SELECT 2, o_orderkey, price_c,
+        |    CASE WHEN pmonth >= '1997-10' THEN 'late' END
+        |  FROM app WHERE pmonth >= '1997-01' AND pmonth <= '1997-12')
+        |SELECT version, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  COUNT(src) AS n_src
         |FROM u GROUP BY version ORDER BY version""".stripMargin,
     // Replays the manifest parquets (add/remove log) and the surviving
     // data files with DuckDB's own reader — grades the log format and the

@@ -168,6 +168,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v2(2L) == 202L && !v2.contains(3L) && v2.size == 29)
   }
 
+  test("append commit adds files blindly; schema widening reads back as nulls") {
+    val dir = newTable()
+    val c = VersionedTable.appendCommit(spark, dir,
+      Seq((100L, 1L, "p0", "x")).toDF("k", "v", "p", "tag"), "p")
+    assert(c.filesAdded == 1 && c.filesRemoved == 0)
+    val v1 = VersionedTable.read(spark, dir, 1, mergeSchema = true)
+    assert(v1.count() == 31)
+    assert(v1.filter($"tag".isNotNull).select($"k").collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // v0 read (no widened files in its live set) has no tag column at all
+    assert(!VersionedTable.read(spark, dir, 0, mergeSchema = true)
+      .columns.contains("tag"))
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
