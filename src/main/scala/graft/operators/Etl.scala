@@ -629,6 +629,42 @@ object Etl {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // File skipping from manifest column metrics (Iceberg-style): the
+    // monotonic-ingest table records per-file o_orderkey min/max in its
+    // manifests; a key-range probe prunes the file list FROM THE LOG —
+    // zero footer reads, zero directory listing (at 100 TB, deciding
+    // which of 10M files to open must not cost 10M footer reads). The
+    // graded row emits the live vs scanned file counts plus the exact
+    // range aggregate over the pruned read: the oracle independently
+    // derives the scan count from the manifest intervals and the
+    // aggregate from the FULL base table, so over-pruning (lost rows),
+    // under-pruning (wrong file count), or stats drift all fail the hash.
+    // Partition pruning cannot help here by construction — every chunk
+    // touches every month dir — so the metrics are load-bearing.
+    "etl_manifest_skipping" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      val latest = VersionedTable.latestVersion(s, vtSeqPath)
+      val entries = VersionedTable.liveEntries(s, vtSeqPath, latest)
+      val mxKey = Tables.orders(s, d).agg(max($"o_orderkey"))
+        .collect()(0).getLong(0)
+      val (lo, hi) = (mxKey * 3 / 8, mxKey * 4 / 8)
+      val pruned = VersionedTable.readRange(s, vtSeqPath, latest, lo, hi)
+      val cond = $"o_orderkey" >= lo && $"o_orderkey" <= hi
+      pruned
+        .select($"o_orderkey", $"price_c",
+          col("_metadata.file_path").as("fp"))
+        .agg(count_distinct($"fp").as("n_files_scanned"),
+          sum(when(cond, 1L).otherwise(0L)).as("n_rows"),
+          expr("bit_xor(CASE WHEN o_orderkey >= " + lo +
+            " AND o_orderkey <= " + hi + " THEN o_orderkey END)")
+            .as("xor_key"),
+          sum(when(cond, $"price_c")).as("sum_price_c"))
+        .select(lit(entries.size.toLong).as("n_files_live"),
+          $"n_files_scanned", $"n_rows", $"xor_key", $"sum_price_c")
+    }),
+
     // Vacuum with retention, graded through the on-disk file set: the
     // second fixture copy is vacuumed to the last 2 versions, which must
     // delete exactly the v0-only files (the 1996 partitions' originals,
@@ -796,6 +832,7 @@ object Etl {
   private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
+  private[graft] val vtSeqPath = s"${graft.fixtureRoot}/vt_orders_seq"
   private val vtWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -844,6 +881,23 @@ object Etl {
         VersionedTable.appendCommit(s, vtAppPath,
           app.filter($"pmonth" >= "1997-10" && $"pmonth" <= "1997-12")
             .withColumn("src", lit("late")), "pmonth")
+        // fourth table: monotonic-ingest simulation with column metrics —
+        // four contiguous key chunks (create + 3 appends), per-file
+        // o_orderkey min/max recorded in every manifest. Because keys are
+        // uniform over months, each chunk lands one file in every month
+        // dir: partition pruning alone cannot skip a key range, the
+        // manifest metrics are what isolate the matching chunk.
+        val mxKey = app.agg(max($"o_orderkey")).collect()(0).getLong(0)
+        val ch = mxKey / 4
+        fs.delete(new org.apache.hadoop.fs.Path(vtSeqPath), true)
+        VersionedTable.create(s, vtSeqPath,
+          app.filter($"o_orderkey" <= ch), "pmonth", Some("o_orderkey"))
+        (1 to 3).foreach { i =>
+          val hiB = if (i == 3) mxKey else ch * (i + 1)
+          VersionedTable.appendCommit(s, vtSeqPath,
+            app.filter($"o_orderkey" > ch * i && $"o_orderkey" <= hiB),
+            "pmonth", Some("o_orderkey"))
+        }
         vtWrittenFor.set(d)
       }
     }
@@ -901,6 +955,32 @@ object Etl {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
         |  COUNT(src) AS n_src
         |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // Scan count derived from the manifest's per-file intervals; row
+    // aggregate derived from the FULL base table — the engine's pruned
+    // read must agree with both at once.
+    "etl_manifest_skipping" ->
+      s"""WITH params AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+         |bounds AS (SELECT (mx*3)//8 AS lo, (mx*4)//8 AS hi FROM params),
+         |log AS (
+         |  SELECT action, file, smin, smax
+         |  FROM read_parquet('$vtSeqPath/_log/*.parquet')),
+         |live AS (
+         |  SELECT file, smin, smax FROM log WHERE action = 'add'
+         |  AND file NOT IN (SELECT file FROM log WHERE action = 'remove')),
+         |scan AS (
+         |  SELECT COUNT(*) AS n_scan FROM live, bounds
+         |  WHERE (smin IS NULL OR smin <= hi)
+         |    AND (smax IS NULL OR smax >= lo)),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+         |    CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100)
+         |      AS BIGINT)) AS BIGINT) AS sum_price_c
+         |  FROM orders, bounds
+         |  WHERE o_orderkey >= lo AND o_orderkey <= hi)
+         |SELECT (SELECT COUNT(*) FROM live) AS n_files_live,
+         |  (SELECT n_scan FROM scan) AS n_files_scanned,
+         |  n_rows, xor_key, sum_price_c
+         |FROM agg""".stripMargin,
     // Replays the manifest parquets (add/remove log) and the surviving
     // data files with DuckDB's own reader — grades the log format and the
     // physical vacuum effect, not a simulation.

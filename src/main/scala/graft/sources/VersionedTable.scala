@@ -72,6 +72,13 @@ object VersionedTable {
 
   final case class Commit(version: Int, filesAdded: Int, filesRemoved: Int)
 
+  /** One manifest row. `smin`/`smax` are the commit's per-file min/max of
+    * the table's declared stats column (None when the table tracks none) —
+    * Iceberg-style column metrics, enabling [[readRange]] to prune the
+    * file list from the log alone, without opening a single footer. */
+  final case class LogEntry(version: Int, action: String, file: String,
+                            part: String, smin: Option[Long], smax: Option[Long])
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -91,17 +98,22 @@ object VersionedTable {
       .filter(_ <= version).foldLeft(-1)(math.max)
   }
 
+  private def collectEntries(df: DataFrame): Seq[LogEntry] =
+    df.select("version", "action", "file", "part", "smin", "smax").collect()
+      .map(r => LogEntry(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSeq
+
   /** Manifest rows of versions in (`from`, `to`] — explicit per-version
     * file list, so replay after a checkpoint reads only the tail. Driver-
     * side by design: the log is metadata, bounded by file-op count. */
   private def logRows(spark: SparkSession, path: String, from: Int, to: Int)
-      : Seq[(Int, String, String, String)] = {
+      : Seq[LogEntry] = {
     val files = ((from + 1) to to).map(v => f"${logDir(path)}/v$v%05d.parquet")
     if (files.isEmpty) Nil
-    else spark.read.parquet(files: _*)
-      .select("version", "action", "file", "part").collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
-      .toSeq
+    else collectEntries(spark.read.parquet(files: _*))
   }
 
   def latestVersion(spark: SparkSession, path: String): Int = {
@@ -120,17 +132,20 @@ object VersionedTable {
     * resolving the current snapshot of a long-lived table costs O(live
     * files + commits since last checkpoint), not O(all commits ever). */
   def liveFiles(spark: SparkSession, path: String, version: Int)
-      : Seq[(String, String)] = {
+      : Seq[(String, String)] =
+    liveEntries(spark, path, version).map(e => (e.file, e.part))
+
+  /** Live manifest entries (file, part, stats) of snapshot `version`. */
+  def liveEntries(spark: SparkSession, path: String, version: Int)
+      : Seq[LogEntry] = {
     val ck = latestCheckpointAtOrBefore(spark, path, version)
-    val base: Seq[(Int, String, String, String)] =
+    val base: Seq[LogEntry] =
       if (ck < 0) Nil
-      else spark.read.parquet(f"${ckptDir(path)}/c$ck%05d.parquet")
-        .select("version", "action", "file", "part").collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
-        .toSeq
+      else collectEntries(
+        spark.read.parquet(f"${ckptDir(path)}/c$ck%05d.parquet"))
     val rows = base ++ logRows(spark, path, ck, version)
-    val removed = rows.collect { case (_, "remove", f, _) => f }.toSet
-    rows.collect { case (_, "add", f, p) if !removed(f) => (f, p) }
+    val removed = rows.collect { case e if e.action == "remove" => e.file }.toSet
+    rows.filter(e => e.action == "add" && !removed(e.file))
   }
 
   /** Materializes `version`'s live set as a checkpoint manifest (atomic
@@ -138,10 +153,10 @@ object VersionedTable {
     * they are what makes versions BELOW the checkpoint still resolvable. */
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
     import spark.implicits._
-    val rows = liveFiles(spark, path, version)
-      .map { case (f, p) => (version, "add", f, p) }
+    val rows = liveEntries(spark, path, version)
+      .map(e => (version, "add", e.file, e.part, e.smin, e.smax))
     val tmp = s"$path/_ckpttmp_v$version"
-    rows.toDF("version", "action", "file", "part")
+    rows.toDF("version", "action", "file", "part", "smin", "smax")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -177,10 +192,15 @@ object VersionedTable {
   }
 
   /** Writes `df` as commit `version`'s data files (one file per partition
-    * value per shuffle task) and returns the added (file, part) pairs. */
+    * value per shuffle task) and returns the added entries. When `statsCol`
+    * is set, the just-written files are re-scanned once (a map-side
+    * min/max per `_metadata.file_path` — tiny vs the write itself) to
+    * collect per-file column metrics for the manifest; a native writer
+    * would emit these during the write, but Spark's writer API does not
+    * surface per-task file stats, so the read-back is the honest path. */
   private def writeCommitFiles(spark: SparkSession, path: String, version: Int,
-                               df: DataFrame, partitionCol: String)
-      : Seq[(String, String)] = {
+                               df: DataFrame, partitionCol: String,
+                               statsCol: Option[String]): Seq[LogEntry] = {
     val commitRel = f"data/c$version%05d"
     val commitDir = s"$path/$commitRel"
     df.withColumn(PartDir, col(partitionCol))
@@ -197,19 +217,35 @@ object VersionedTable {
         out += ((s"$commitRel/${p.getParent.getName}/${p.getName}", partVal))
       }
     }
-    out.result()
+    val listed = out.result()
+    val stats: Map[String, (Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        spark.read.parquet(listed.map { case (rel, _) => s"$path/$rel" }: _*)
+          .groupBy(regexp_extract(col("_metadata.file_path"), "data/.+", 0)
+            .as("__f"))
+          .agg(min(col(c).cast("long")).as("__mn"),
+            max(col(c).cast("long")).as("__mx"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
+    listed.map { case (rel, part) =>
+      val st = stats.get(rel)
+      LogEntry(version, "add", rel, part, st.map(_._1), st.map(_._2))
+    }
   }
 
   /** Atomic manifest publish: temp parquet → rename into _log/. */
   private def writeManifest(spark: SparkSession, path: String, version: Int,
-                            adds: Seq[(String, String)],
+                            adds: Seq[LogEntry],
                             removes: Seq[(String, String)]): Unit = {
     import spark.implicits._
     val rows =
-      adds.map { case (f, p) => (version, "add", f, p) } ++
-      removes.map { case (f, p) => (version, "remove", f, p) }
+      adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax)) ++
+      removes.map { case (f, p) =>
+        (version, "remove", f, p, None: Option[Long], None: Option[Long]) }
     val tmp = s"$path/_logtmp_v$version"
-    rows.toDF("version", "action", "file", "part")
+    rows.toDF("version", "action", "file", "part", "smin", "smax")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -222,12 +258,30 @@ object VersionedTable {
     f.delete(new Path(tmp), true)
   }
 
-  /** Creates the table as version 0. */
+  /** Creates the table as version 0. `statsCol` declares a column whose
+    * per-file min/max every commit records in the manifest (pass the same
+    * value to later commits — the table's metric contract). */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             partitionCol: String): Commit = {
-    val adds = writeCommitFiles(spark, path, 0, df, partitionCol)
+             partitionCol: String, statsCol: Option[String] = None): Commit = {
+    val adds = writeCommitFiles(spark, path, 0, df, partitionCol, statsCol)
     writeManifest(spark, path, 0, adds, Nil)
     Commit(0, adds.size, 0)
+  }
+
+  /** Snapshot read pruned by the manifest's column metrics: only files
+    * whose [smin, smax] intersects [lo, hi] are handed to the reader —
+    * file skipping decided entirely from the log, no footer reads. Files
+    * without recorded stats are kept (conservative). The range predicate
+    * is NOT re-applied to rows — callers compose their own filter (which
+    * also lets Catalyst push it into the pruned scan). */
+  def readRange(spark: SparkSession, path: String, version: Int,
+                lo: Long, hi: Long): DataFrame = {
+    val files = liveEntries(spark, path, version).collect {
+      case e if e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo) =>
+        s"$path/${e.file}"
+    }
+    if (files.isEmpty) read(spark, path, version, Some(Set.empty))
+    else spark.read.parquet(files: _*)
   }
 
   /** Blind append as a new commit — streaming ingest's natural write mode:
@@ -236,10 +290,11 @@ object VersionedTable {
     * columns than earlier commits (schema widening); snapshot reads pass
     * `mergeSchema = true` to surface them, with older rows reading null. */
   def appendCommit(spark: SparkSession, path: String, df: DataFrame,
-                   partitionCol: String): Commit = {
+                   partitionCol: String,
+                   statsCol: Option[String] = None): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"appendCommit: $path has no version 0 — create() first")
-    val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol)
+    val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol, statsCol)
     writeManifest(spark, path, cur + 1, adds, Nil)
     Commit(cur + 1, adds.size, 0)
   }
@@ -250,7 +305,8 @@ object VersionedTable {
     * [[MergeSink.mergeInto]]'s. */
   def mergeCommit(spark: SparkSession, path: String, changes: DataFrame,
                   keyCols: Seq[String], partitionCol: String,
-                  opCol: String = "op", seqCol: String = "seq"): Commit = {
+                  opCol: String = "op", seqCol: String = "seq",
+                  statsCol: Option[String] = None): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"mergeCommit: $path has no version 0 — create() first")
     val affected = changes.select(col(partitionCol).cast("string")).distinct()
@@ -265,7 +321,8 @@ object VersionedTable {
       target, changes, keyCols, partitionCol, opCol, seqCol, None)
     val newV = cur + 1
     try {
-      val adds = writeCommitFiles(spark, path, newV, merged, partitionCol)
+      val adds = writeCommitFiles(spark, path, newV, merged, partitionCol,
+        statsCol)
       writeManifest(spark, path, newV, adds, removes)
       Commit(newV, adds.size, removes.size)
     } finally MergeSink.dropCheckpoint(merged)

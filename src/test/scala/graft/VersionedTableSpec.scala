@@ -181,6 +181,33 @@ class VersionedTableSpec extends AnyFunSuite {
       .columns.contains("tag"))
   }
 
+  test("manifest column metrics prune files; checkpoint preserves them") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    // two appends of disjoint k-ranges → per-(partition, commit) files with
+    // disjoint [smin, smax]
+    VersionedTable.create(spark, dir,
+      baseDf.filter($"k" <= 15), "p", Some("k"))
+    VersionedTable.appendCommit(spark, dir,
+      baseDf.filter($"k" > 15), "p", Some("k"))
+    val entries = VersionedTable.liveEntries(spark, dir, 1)
+    assert(entries.forall(e => e.smin.nonEmpty && e.smax.nonEmpty))
+    val pruned = VersionedTable.readRange(spark, dir, 1, 20L, 25L)
+    assert(pruned.inputFiles.length < entries.size)
+    // lossless: pruned read + residual filter ≡ full read + filter
+    val full = VersionedTable.read(spark, dir, 1)
+      .filter($"k".between(20, 25)).select($"k").collect().map(_.getLong(0)).toSet
+    val viaPruned = pruned
+      .filter($"k".between(20, 25)).select($"k").collect().map(_.getLong(0)).toSet
+    assert(viaPruned == full && full == (20L to 25L).toSet)
+    // checkpoint carries the stats through replay (entries re-stamped with
+    // the checkpoint's version — compare the stable fields)
+    VersionedTable.checkpoint(spark, dir, 1)
+    val afterCk = VersionedTable.liveEntries(spark, dir, 1)
+    def key(e: graft.sources.VersionedTable.LogEntry) =
+      (e.file, e.part, e.smin, e.smax)
+    assert(afterCk.map(key).toSet == entries.map(key).toSet)
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
