@@ -215,10 +215,32 @@ object Etl {
           ($"ts_us" + ($"event_id" % 3600 + 60) * 1000000L).as("end_us"))
       val pts = iv.select($"event_type", $"start_us".as("t"), lit(1L).as("delta"))
         .unionByName(iv.select($"event_type", $"end_us".as("t"), lit(-1L).as("delta")))
-      val sweep = Window.partitionBy($"event_type").orderBy($"t", $"delta")
-      val run = pts.withColumn("conc", sum($"delta").over(sweep))
-        .withColumn("peak", max($"conc").over(Window.partitionBy($"event_type")))
-      run.filter($"conc" === $"peak")
+      // Two-pass bucketed sweep (r8; replaces the single ordered window per
+      // type, whose parallelism was capped at |event_type| = 5 — the one
+      // >20x sf0.1→sf10 ratio in the round-8 scale audit). Endpoints are
+      // DELTAS, so the running concurrency at any instant decomposes into
+      // (prefix of whole earlier time buckets) + (running sum within the
+      // bucket): pass 1 is an ordered window per (type, 6h-bucket) — time-
+      // range parallelism that grows with the data — and the carry is a
+      // prefix over per-bucket totals, a (types × buckets) relation that
+      // stays broadcast-tiny at any SF (buckets scale with the time span,
+      // not the row count). Same (t, delta) range-frame tie semantics as
+      // the single window, so identical peaks; peak detection is a map-
+      // side-combinable groupBy + broadcast join, not a full-data window.
+      val bUs = 21600L * 1000000L
+      val bkt = pts.withColumn("bkt", expr(s"t div ${bUs}L"))
+      val wLocal = Window.partitionBy($"event_type", $"bkt").orderBy($"t", $"delta")
+      val local = bkt.withColumn("cl", sum($"delta").over(wLocal))
+      val wPre = Window.partitionBy($"event_type").orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bkt.groupBy($"event_type", $"bkt").agg(sum($"delta").as("tot"))
+        .withColumn("pre", coalesce(sum($"tot").over(wPre), lit(0L)))
+        .select($"event_type", $"bkt", $"pre")
+      val run = local.join(broadcast(pre), Seq("event_type", "bkt"))
+        .withColumn("conc", $"cl" + $"pre")
+      val peaks = run.groupBy($"event_type").agg(max($"conc").as("peak"))
+      run.join(broadcast(peaks), Seq("event_type"))
+        .filter($"conc" === $"peak")
         .groupBy($"event_type")
         .agg(max($"peak").as("peak"), min($"t").as("first_peak_us"))
         .orderBy("event_type")
