@@ -240,10 +240,17 @@ object VersionedTable {
                             adds: Seq[LogEntry],
                             removes: Seq[(String, String)]): Unit = {
     import spark.implicits._
-    val rows =
+    val fileOps =
       adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax)) ++
       removes.map { case (f, p) =>
         (version, "remove", f, p, None: Option[Long], None: Option[Long]) }
+    // an empty commit still carries one `noop` row: every manifest names
+    // its version, so any reader deriving the version set from the log
+    // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
+    // filters on add/remove and ignores it
+    val rows = if (fileOps.nonEmpty) fileOps
+      else Seq((version, "noop", null: String, null: String,
+        None: Option[Long], None: Option[Long]))
     val tmp = s"$path/_logtmp_v$version"
     rows.toDF("version", "action", "file", "part", "smin", "smax")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -313,7 +320,15 @@ object VersionedTable {
       .collect().map(_.getString(0)).toSeq
     require(!affected.contains(null),
       s"mergeCommit: changes.$partitionCol must be non-null")
-    if (affected.isEmpty) return Commit(cur, 0, 0)
+    if (affected.isEmpty) {
+      // an empty change batch still commits (an empty manifest): versions
+      // stay DENSE, so read(v) is well-defined for every v ≤ latest — the
+      // same contract as Delta, where every transaction takes a version.
+      // (Replay reads manifests by explicit name; a version hole would be
+      // indistinguishable from log corruption.)
+      writeManifest(spark, path, cur + 1, Nil, Nil)
+      return Commit(cur + 1, 0, 0)
+    }
     val affectedSet = affected.toSet
     val removes = liveFiles(spark, path, cur).filter(f => affectedSet(f._2))
     val target = read(spark, path, cur, Some(affectedSet))

@@ -56,7 +56,13 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_ann_lsh_multiprobe", "agg_hll_distinct_bound",
     "agg_heavy_hitters_bound", "sim_ann_ivf_filtered",
     "pipe_hybrid_retrieval", "sim_ann_ivf_batch",
-    "etl_compact_small_files")
+    "etl_compact_small_files",
+    // versioned-table rows: re-entry must rebuild the same log state
+    // (create + merges + vacuum are guarded but the READ path replays
+    // manifests every call), and the skipping row's file counts must
+    // hold across repeats
+    "etl_time_travel", "etl_vacuum_retention", "etl_append_evolve",
+    "etl_manifest_skipping")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

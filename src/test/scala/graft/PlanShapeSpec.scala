@@ -60,6 +60,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashShuffles == 0, s"chunking must not hash-shuffle:\n${p.take(800)}")
   }
 
+  test("concurrency sweep windows partition by (type, bucket), never type alone") {
+    val p = plan("etl_max_concurrency")
+    // the running-sum window must carry the time bucket in its partition
+    // spec — a regression to the 5-way event_type-only window is the
+    // single-task-per-type shape the round-8 rewrite removed
+    assert(p.contains("windowspecdefinition(event_type"), p.take(800))
+    assert(p.contains("windowspecdefinition(event_type#") &&
+      p.contains(", bkt#"), "running-sum window lost its bucket key")
+    // the bucket-prefix carry and peak lookup ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "prefix/peak must broadcast, not shuffle the endpoint set")
+  }
+
   test("DPP graded query plants a dynamicpruning subquery on the fact scan") {
     val df = SparkEntry.queries("join_dpp_partitioned")(spark, TestSpark.sfDir)
     assert(df.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),

@@ -208,6 +208,15 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(afterCk.map(key).toSet == entries.map(key).toSet)
   }
 
+  test("empty change batch still takes a version (dense log, Delta contract)") {
+    val dir = newTable()
+    val c = VersionedTable.mergeCommit(spark, dir,
+      changes(Seq.empty), Seq("k"), "p")
+    assert(c.version == 1 && c.filesAdded == 0 && c.filesRemoved == 0)
+    assert(VersionedTable.latestVersion(spark, dir) == 1)
+    assert(state(dir, 1) == state(dir, 0))
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
