@@ -217,6 +217,54 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(state(dir, 1) == state(dir, 0))
   }
 
+  test("versioned commits restart from a stream checkpoint: history converges") {
+    // foreachBatch + mergeCommit across a restart: the source offsets in
+    // the stream checkpoint prevent batch loss and duplication, so the
+    // restarted table's WHOLE VERSION HISTORY — not just the final state —
+    // equals an uninterrupted run's. (After a mid-commit crash the replayed
+    // batch would re-commit as a new version with the same content;
+    // last-writer-wins makes that content-idempotent. A clean stop replays
+    // nothing, so even the version numbering matches.)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft_vt_ckpt").toString
+    def start(mem: MemoryStream[(Long, Long, String, String)],
+              dir: String, ckpt: String) =
+      mem.toDF().toDF("k", "v", "p", "op").withColumn("seq", lit(1L))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            VersionedTable.mergeCommit(b.sparkSession, dir, b, Seq("k"), "p")
+          ()
+        }.start()
+    val b1 = Seq((1L, 501L, "p0", "U"), (31L, 502L, "p1", "U"))
+    val b2 = Seq((2L, 0L, "p1", "D"), (31L, 503L, "p1", "U"))
+
+    val t1 = s"$root/t1"
+    VersionedTable.create(spark, t1, baseDf, "p")
+    val m1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = start(m1, t1, s"$root/ckpt")
+    m1.addData(b1: _*); q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    m1.addData(b2: _*) // lands while the query is DOWN
+    val q1b = start(m1, t1, s"$root/ckpt")
+    q1b.processAllAvailable(); q1b.stop(); q1b.awaitTermination()
+
+    val t2 = s"$root/t2"
+    VersionedTable.create(spark, t2, baseDf, "p")
+    val m2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = start(m2, t2, s"$root/ckpt2")
+    m2.addData(b1: _*); q2.processAllAvailable()
+    m2.addData(b2: _*); q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+    assert(VersionedTable.latestVersion(spark, t1) ==
+      VersionedTable.latestVersion(spark, t2))
+    (0 to VersionedTable.latestVersion(spark, t1)).foreach { v =>
+      assert(state(t1, v) == state(t2, v), s"version $v diverged")
+    }
+    val fin = state(t1, VersionedTable.latestVersion(spark, t1))
+    assert(fin(31L) == 503L && !fin.contains(2L) && fin(1L) == 501L)
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
