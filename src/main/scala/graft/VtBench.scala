@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the VersionedTable log layer's three cost claims:
+  *
+  *  1. SNAPSHOT-READ OVERHEAD — reading the latest snapshot through the
+  *     manifest (explicit leaf files) vs a plain directory read of the
+  *     same files: the log adds a driver-side manifest read and skips the
+  *     directory listing; the scan itself is identical.
+  *  2. CHECKPOINT REPLAY — resolving the live set of a table with many
+  *     commits, from-scratch (every manifest) vs after checkpoint()
+  *     (checkpoint + tail). This is the log-growth control, measured.
+  *  3. MERGE-COMMIT PREMIUM — a versioned mergeCommit vs MergeSink's
+  *     in-place mergeInto on the same change batch: the same COW dataflow
+  *     plus manifest bookkeeping; the delta is the price of time travel.
+  *
+  * Run: `sbt "runMain graft.VtBench [n] [commits]"`.
+  */
+object VtBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 4000000L
+    val commits = if (args.length > 1) args(1).toInt else 120
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def base = spark.range(n).select(
+      $"id".as("k"), ($"id" * 7 % 1000003).as("v"),
+      (($"id" * 2654435761L) % 50).cast("string").as("p"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_vtb").toString
+
+    // 1. snapshot-read overhead vs plain directory read
+    val vt = s"$root/vt"
+    sources.VersionedTable.create(spark, vt, base, "p")
+    val plain = s"$root/plain"
+    base.repartition($"p").write.partitionBy("p").mode("overwrite").parquet(plain)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum($"k"), sum($"v")).collect().head
+    def min2[A](f: => A): Double = { val a = timed(f)._1; math.min(a, timed(f)._1) }
+    val (tResolve, _) = timed(sources.VersionedTable.liveFiles(spark, vt, 0))
+    val tVtRead = min2(agg(sources.VersionedTable.read(spark, vt, 0)))
+    val tPlain = min2(agg(spark.read.parquet(plain)))
+    require(agg(sources.VersionedTable.read(spark, vt, 0)) ==
+      agg(spark.read.parquet(plain)), "snapshot read diverged")
+    println(f"[vtbench] manifest_resolve_s=$tResolve%.2f " +
+      f"snapshot_read_s=$tVtRead%.2f plain_read_s=$tPlain%.2f " +
+      f"(resolve is a FIXED driver cost, not per-byte)")
+
+    // 2. checkpoint replay on a long commit chain (tiny appends — the cost
+    // under measurement is log replay, not data)
+    val chain = s"$root/chain"
+    sources.VersionedTable.create(spark, chain,
+      Seq((0L, 0L, "p0")).toDF("k", "v", "p"), "p")
+    (1 to commits).foreach { i =>
+      sources.VersionedTable.appendCommit(spark, chain,
+        Seq((i.toLong, i.toLong, s"p${i % 8}")).toDF("k", "v", "p"), "p")
+    }
+    val (tScratch, livesA) = timed(
+      sources.VersionedTable.liveFiles(spark, chain, commits))
+    sources.VersionedTable.checkpoint(spark, chain, commits)
+    val (tCkpt, livesB) = timed(
+      sources.VersionedTable.liveFiles(spark, chain, commits))
+    require(livesA.toSet == livesB.toSet, "checkpoint replay diverged")
+    println(f"[vtbench] commits=$commits replay_scratch_s=$tScratch%.2f " +
+      f"replay_checkpoint_s=$tCkpt%.2f speedup=${tScratch / tCkpt}%.1fx")
+
+    // 3. merge-commit premium vs in-place MergeSink
+    def changes = base.filter($"p" === "3" && $"k" % 100 === 0)
+      .select($"k", ($"v" + 1).as("v"), $"p", lit("U").as("op"), lit(1L).as("seq"))
+    // re-applying the same upsert batch does identical work (same affected
+    // slice rewritten), so min-of-2 removes first-touch warmth skew
+    val inPlace = s"$root/inplace"
+    base.repartition($"p").write.partitionBy("p").mode("overwrite").parquet(inPlace)
+    val tSink = min2(
+      sources.MergeSink.mergeInto(spark, inPlace, changes, Seq("k"), "p"))
+    val tVtMerge = min2(
+      sources.VersionedTable.mergeCommit(spark, vt, changes, Seq("k"), "p"))
+    println(f"[vtbench] merge_inplace_s=$tSink%.2f merge_versioned_s=$tVtMerge%.2f " +
+      f"premium=${(tVtMerge / tSink - 1) * 100}%.0f%%")
+    spark.stop()
+  }
+}
