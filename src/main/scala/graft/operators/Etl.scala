@@ -651,6 +651,33 @@ object Etl {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // OPTIMIZE as a commit: the fragmented table (create + 5 appends —
+    // every month dir holds a file per commit, the micro-batch-ingest
+    // pathology, here INSIDE the log) compacts to one file per partition
+    // in commit 6, with the originals removed from the manifest but kept
+    // on disk — so the graded row reads BOTH the pre-optimize and
+    // post-optimize snapshots: identical count/xor (compaction changed
+    // bytes' layout, not one row), live file count collapsed 6×, and the
+    // fragmented history still time-travels. In-place compaction (the
+    // etl_compact_small_files row) cannot keep that history; this is
+    // Delta's OPTIMIZE semantics. Oracle: file counts from manifest
+    // replay, data from the base table — both per version.
+    "etl_optimize_commit" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      val post = VersionedTable.latestVersion(s, vtOptPath)
+      val pre = post - 1
+      Seq(pre, post).map { v =>
+        val nf = VersionedTable.liveFiles(s, vtOptPath, v).size.toLong
+        VersionedTable.read(s, vtOptPath, v)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .select(lit(v).as("version"), lit(nf).as("n_files"),
+            $"n_rows", $"xor_key")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // File skipping from manifest column metrics (Iceberg-style): the
     // monotonic-ingest table records per-file o_orderkey min/max in its
     // manifests; a key-range probe prunes the file list FROM THE LOG —
@@ -855,6 +882,7 @@ object Etl {
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
   private[graft] val vtSeqPath = s"${graft.fixtureRoot}/vt_orders_seq"
+  private[graft] val vtOptPath = s"${graft.fixtureRoot}/vt_orders_opt"
   private val vtWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -920,6 +948,18 @@ object Etl {
             app.filter($"o_orderkey" > ch * i && $"o_orderkey" <= hiB),
             "pmonth", Some("o_orderkey"))
         }
+        // fifth table: micro-batch-fragmented ingest (6 key-modulus
+        // appends — every month dir collects a file per commit), then
+        // OPTIMIZE as commit 6
+        val opt = app.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-12")
+        fs.delete(new org.apache.hadoop.fs.Path(vtOptPath), true)
+        VersionedTable.create(s, vtOptPath,
+          opt.filter($"o_orderkey" % 6 === 0), "pmonth")
+        (1 to 5).foreach { i =>
+          VersionedTable.appendCommit(s, vtOptPath,
+            opt.filter($"o_orderkey" % 6 === i), "pmonth")
+        }
+        VersionedTable.optimizeCommit(s, vtOptPath, "pmonth")
         vtWrittenFor.set(d)
       }
     }
@@ -977,6 +1017,28 @@ object Etl {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
         |  COUNT(src) AS n_src
         |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // File counts replayed from the manifest log; row content from the
+    // base table — identical for both versions, which is the whole claim.
+    "etl_optimize_commit" ->
+      s"""WITH log AS (
+         |  SELECT version, action, file
+         |  FROM read_parquet('$vtOptPath/_log/*.parquet')),
+         |vs AS (SELECT 5 AS v UNION ALL SELECT 6),
+         |live AS (
+         |  SELECT vs.v, a.file FROM vs
+         |  JOIN log a ON a.action = 'add' AND a.version <= vs.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM log r
+         |    WHERE r.action = 'remove' AND r.file = a.file
+         |      AND r.version <= vs.v)),
+         |counts AS (SELECT v, COUNT(*) AS n_files FROM live GROUP BY v),
+         |data AS (
+         |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key
+         |  FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+         |    AND strftime(o_orderdate, '%Y-%m') <= '1997-12')
+         |SELECT c.v AS version, c.n_files, d.n_rows, d.xor_key
+         |FROM counts c, data d ORDER BY version""".stripMargin,
     // Scan count derived from the manifest's per-file intervals; row
     // aggregate derived from the FULL base table — the engine's pruned
     // read must agree with both at once.

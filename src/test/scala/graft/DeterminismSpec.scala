@@ -62,7 +62,7 @@ class DeterminismSpec extends AnyFunSuite {
     // manifests every call), and the skipping row's file counts must
     // hold across repeats
     "etl_time_travel", "etl_vacuum_retention", "etl_append_evolve",
-    "etl_manifest_skipping")
+    "etl_manifest_skipping", "etl_optimize_commit")
 
   test("tie-prone queries are stable across repeated execution") {
     tieProne.foreach { name =>

@@ -265,6 +265,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(fin(31L) == 503L && !fin.contains(2L) && fin(1L) == 501L)
   }
 
+  test("optimize compacts as a commit; history survives until vacuum") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf.filter($"k" % 2 === 0), "p")
+    VersionedTable.appendCommit(spark, dir, baseDf.filter($"k" % 2 === 1), "p")
+    val preFiles = VersionedTable.liveFiles(spark, dir, 1).size // 2 per part
+    val before = state(dir, 1)
+    val c = VersionedTable.optimizeCommit(spark, dir, "p")
+    assert(c.filesRemoved == preFiles && c.filesAdded == 3) // one per part
+    assert(state(dir, 2) == before, "optimize must not change content")
+    assert(state(dir, 1) == before, "pre-optimize snapshot still readable")
+    // vacuum to the optimized version reclaims the fragments
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(deleted.size == preFiles, s"fragments not reclaimed: $deleted")
+    assert(state(dir, 2) == before, "optimized snapshot intact after vacuum")
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
