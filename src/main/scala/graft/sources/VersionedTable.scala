@@ -331,7 +331,10 @@ object VersionedTable {
     }
     val affectedSet = affected.toSet
     val removes = liveFiles(spark, path, cur).filter(f => affectedSet(f._2))
-    val target = read(spark, path, cur, Some(affectedSet))
+    // mergeSchema: the affected slice may span commits on both sides of a
+    // schema widening — without it the reader adopts one file's schema and
+    // silently DROPS the late column from the other files' rows
+    val target = read(spark, path, cur, Some(affectedSet), mergeSchema = true)
     val merged = MergeSink.mergeDataflow(
       target, changes, keyCols, partitionCol, opCol, seqCol, None)
     val newV = cur + 1
@@ -362,7 +365,9 @@ object VersionedTable {
       writeManifest(spark, path, cur + 1, Nil, Nil)
       return Commit(cur + 1, 0, 0)
     }
-    val target = read(spark, path, cur, partValues)
+    // mergeSchema for the same reason as mergeCommit: compacting files
+    // from both sides of a schema widening must keep the late column
+    val target = read(spark, path, cur, partValues, mergeSchema = true)
     val newV = cur + 1
     val adds = writeCommitFiles(spark, path, newV, target, partitionCol, statsCol)
     writeManifest(spark, path, newV, adds, removes)

@@ -281,6 +281,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(state(dir, 2) == before, "optimized snapshot intact after vacuum")
   }
 
+  test("merge and optimize across a schema widening keep the late column") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf.filter($"k" <= 15), "p")
+    VersionedTable.appendCommit(spark, dir,
+      baseDf.filter($"k" > 15).withColumn("tag", lit("late")), "p")
+    // merge touches partitions holding BOTH pre- and post-widening files
+    VersionedTable.mergeCommit(spark, dir,
+      Seq((1L, 999L, "p0", null: String, "U"))
+        .toDF("k", "v", "p", "tag", "op").withColumn("seq", lit(1L)),
+      Seq("k"), "p")
+    val v2 = VersionedTable.read(spark, dir, 2, mergeSchema = true)
+    assert(v2.filter($"tag" === "late").count() == 15,
+      "merge across the widening dropped the late column")
+    assert(v2.filter($"k" === 1L).select($"v").head.getLong(0) == 999L)
+    // optimize the whole table: compacted files must still carry the column
+    VersionedTable.optimizeCommit(spark, dir, "p")
+    val v3 = VersionedTable.read(spark, dir, 3) // post-optimize: one schema
+    assert(v3.filter($"tag" === "late").count() == 15,
+      "optimize across the widening dropped the late column")
+    assert(v3.count() == 30)
+  }
+
   test("conflicting change batches resolve by seq within a commit") {
     val dir = newTable()
     val c = Seq((3L, 1L, "p2", "U", 1L), (3L, 77L, "p2", "U", 2L))
