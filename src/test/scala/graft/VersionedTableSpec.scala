@@ -102,8 +102,12 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     fs.rename(src, orphan)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_orphantmp"), true)
+    // a LATER successful commit ages the orphan past the latest manifest —
+    // only then is it distinguishable from an in-flight commit's files
+    Thread.sleep(15)
+    VersionedTable.mergeCommit(spark, dir, changes(Seq.empty), Seq("k"), "p")
 
-    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 3)
     // exactly: v0's original p0 file (superseded at v1, unreferenced by v1/v2)
     // and the orphan. v0's p1 file is NOT deletable — v1 still references it.
     assert(deleted.exists(_.contains("c99999")), s"orphan not vacuumed: $deleted")
@@ -309,5 +313,228 @@ class VersionedTableSpec extends AnyFunSuite {
       .toDF("k", "v", "p", "op", "seq")
     VersionedTable.mergeCommit(spark, dir, c, Seq("k"), "p")
     assert(state(dir, 1)(3L) == 77L)
+  }
+
+  // ---- optimistic concurrency ----
+
+  test("two racing appends: exactly one wins each version, no lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = newTable()
+    val a = Future(VersionedTable.appendCommit(spark, dir,
+      Seq((1001L, 1L, "p0")).toDF("k", "v", "p"), "p"))
+    val b = Future(VersionedTable.appendCommit(spark, dir,
+      Seq((1002L, 2L, "p1")).toDF("k", "v", "p"), "p"))
+    val versions = Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+      .map(_.version).sorted
+    assert(versions == Seq(1, 2), s"racing appends got versions $versions")
+    val fin = state(dir, 2)
+    assert(fin.contains(1001L) && fin.contains(1002L) && fin.size == 32,
+      "one append's rows were lost")
+  }
+
+  test("losing append rebases to the next version, reusing its files") {
+    val dir = newTable()
+    // stale writer: data files written against readVersion=0...
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 1,
+      Seq((2001L, 1L, "p0")).toDF("k", "v", "p"), "p", None)
+    // ...but a concurrent append claims v1 first
+    VersionedTable.appendCommit(spark, dir,
+      Seq((2002L, 2L, "p1")).toDF("k", "v", "p"), "p")
+    val c = VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, Nil,
+      None, "append", None)
+    assert(c.version == 2, "blind append must rebase, not abort")
+    val fin = state(dir, 2)
+    assert(fin.contains(2001L) && fin.contains(2002L))
+  }
+
+  test("stale merge aborts when a concurrent commit touched its partitions") {
+    val dir = newTable()
+    // stale merge's rewrite of p0, computed against v0
+    val staleOut = VersionedTable.read(spark, dir, 0, Some(Set("p0")))
+      .withColumn("v", $"v" + 1000L)
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 1, staleOut, "p", None)
+    val removes = VersionedTable.liveFiles(spark, dir, 0).filter(_._2 == "p0")
+    // winner lands a merge on the SAME partition first
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 555L, "p0", "U"))), Seq("k"), "p")
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, removes,
+        Some(Set("p0")), "merge", None)
+    }
+    // the loser's never-published files were cleaned up
+    val attemptDir = adds.head.file.split('/').take(2).mkString("/")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/$attemptDir")),
+      "aborted attempt's files must be deleted")
+    // and the winner's update survived
+    assert(state(dir, 1)(1L) == 555L)
+  }
+
+  test("stale merge on DISJOINT partitions rebases and lands") {
+    val dir = newTable()
+    val staleOut = VersionedTable.read(spark, dir, 0, Some(Set("p2")))
+      .withColumn("v", $"v" + 1000L)
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 1, staleOut, "p", None)
+    val removes = VersionedTable.liveFiles(spark, dir, 0).filter(_._2 == "p2")
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 555L, "p0", "U"))), Seq("k"), "p") // winner: p0 only
+    val c = VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, removes,
+      Some(Set("p2")), "merge", None)
+    assert(c.version == 2)
+    val fin = state(dir, 2)
+    assert(fin(1L) == 555L, "winner's p0 update lost")
+    assert(fin(3L) == 1020L, "rebased p2 rewrite lost") // k=3 → id=2 → p2, v=20
+  }
+
+  test("vacuum never reaps an in-flight commit's unpublished files") {
+    val dir = newTable()
+    Thread.sleep(15) // files below must be strictly newer than v0's manifest
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 1,
+      Seq((3001L, 1L, "p0")).toDF("k", "v", "p"), "p", None)
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(deleted.isEmpty, s"vacuum reaped in-flight files: $deleted")
+    // the in-flight commit can still publish and read back
+    val c = VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, Nil,
+      None, "append", None)
+    assert(state(dir, c.version).contains(3001L))
+  }
+
+  // ---- merge-on-read deletion vectors ----
+
+  test("deleteCommit writes tombstones, not partition rewrites") {
+    val dir = newTable()
+    val c = VersionedTable.deleteCommit(spark, dir,
+      Seq((2L, "p1"), (5L, "p1")).toDF("k", "p"), "p")
+    assert(c.filesAdded == 1 && c.filesRemoved == 0,
+      "a DV delete must add one tombstone file and rewrite nothing")
+    val v1 = state(dir, 1)
+    assert(!v1.contains(2L) && !v1.contains(5L) && v1.size == 28)
+    assert(state(dir, 0).size == 30, "time travel past the delete broken")
+    // merge-on-read: every v0 data file is still live at v1
+    assert(VersionedTable.liveFiles(spark, dir, 1).toSet ==
+      VersionedTable.liveFiles(spark, dir, 0).toSet)
+    // a tombstone suppresses its key snapshot-wide until materialization
+    VersionedTable.appendCommit(spark, dir,
+      Seq((2L, 7L, "p1")).toDF("k", "v", "p"), "p")
+    assert(!state(dir, 2).contains(2L),
+      "documented semantics: re-insert of a tombstoned key needs merge/optimize first")
+    // optimize materializes the DV and retires the tombstone
+    VersionedTable.optimizeCommit(spark, dir, "p")
+    assert(VersionedTable.liveEntries(spark, dir, 3).forall(_.action == "add"))
+    assert(state(dir, 3) == state(dir, 2), "materialization changed content")
+    VersionedTable.appendCommit(spark, dir,
+      Seq((2L, 8L, "p1")).toDF("k", "v", "p"), "p")
+    assert(state(dir, 4)(2L) == 8L, "post-materialization re-insert visible")
+  }
+
+  test("mergeCommit materializes and retires its partitions' tombstones") {
+    val dir = newTable()
+    VersionedTable.deleteCommit(spark, dir, Seq((2L, "p1")).toDF("k", "p"), "p")
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((8L, 888L, "p1", "U"))), Seq("k"), "p")
+    val entries = VersionedTable.liveEntries(spark, dir, 2)
+    assert(entries.forall(_.action == "add"), "p1's tombstone must retire")
+    val v2 = state(dir, 2)
+    assert(!v2.contains(2L) && v2(8L) == 888L && v2.size == 29)
+  }
+
+  test("readRange applies tombstones") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf, "p", Some("k"))
+    VersionedTable.deleteCommit(spark, dir, Seq((22L, "p0")).toDF("k", "p"), "p")
+    val ks = VersionedTable.readRange(spark, dir, 1, 20L, 25L)
+      .filter($"k".between(20, 25)).select($"k")
+      .collect().map(_.getLong(0)).toSet
+    assert(ks == Set(20L, 21L, 23L, 24L, 25L))
+  }
+
+  // ---- change data feed ----
+
+  test("changes() derives row-level inserts and deletes per version") {
+    val dir = newTable()
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 999L, "p0", "U"), (100L, 1000L, "p1", "U"))),
+      Seq("k"), "p")                                         // v1: update + insert
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((2L, 0L, "p1", "D"))), Seq("k"), "p")      // v2: delete
+    def cdf(from: Int, to: Int) =
+      VersionedTable.changes(spark, dir, from, to)
+        .select($"_commit_version", $"_change_type", $"k", $"v")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(cdf(1, 1) == Set((1, "insert", 1L, 999L), (1, "insert", 100L, 1000L),
+      (1, "delete", 1L, 0L)),
+      "an update must appear as new-image insert + old-image delete")
+    assert(cdf(2, 2) == Set((2, "delete", 2L, 10L)))
+    assert(cdf(0, 0).size == 30 && cdf(0, 0).forall(_._2 == "insert"))
+    assert(cdf(1, 2).size == 4)
+  }
+
+  test("changes() across a deletion-vector commit and an optimize") {
+    val dir = newTable()
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((2L, "p1"), (5L, "p1")).toDF("k", "p"), "p")       // v1: DV
+    VersionedTable.optimizeCommit(spark, dir, "p")           // v2: materialize
+    val rows = VersionedTable.changes(spark, dir, 1, 2)
+      .select($"_commit_version", $"_change_type", $"k", $"v")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // DV commit: deletes = prior-snapshot images of the tombstoned keys;
+    // optimize: content-neutral, nets to ZERO rows (tomb retirement is
+    // metadata-only)
+    assert(rows == Set((1, "delete", 2L, 10L), (1, "delete", 5L, 40L)))
+  }
+
+  test("empty commit yields an empty CDF slice") {
+    val dir = newTable()
+    VersionedTable.mergeCommit(spark, dir, changes(Seq.empty), Seq("k"), "p")
+    assert(VersionedTable.changes(spark, dir, 1, 1).count() == 0)
+  }
+
+  // ---- commit metadata + timestamp time travel ----
+
+  test("history records ts and operation; readAsOf resolves by timestamp") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf, "p", ts = Some(1000L))
+    VersionedTable.appendCommit(spark, dir,
+      Seq((4001L, 1L, "p0")).toDF("k", "v", "p"), "p", ts = Some(2000L))
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((4001L, "p0")).toDF("k", "p"), "p", ts = Some(3000L))
+    val h = VersionedTable.history(spark, dir)
+      .select($"version", $"ts", $"operation").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(h == Seq((0, 1000L, "create"), (1, 2000L, "append"),
+      (2, 3000L, "delete")))
+    assert(VersionedTable.versionAsOf(spark, dir, 2500L) == 1)
+    assert(VersionedTable.versionAsOf(spark, dir, 2000L) == 1)
+    assert(VersionedTable.versionAsOf(spark, dir, 99999L) == 2)
+    assert(VersionedTable.readAsOf(spark, dir, 2500L)
+      .filter($"k" === 4001L).count() == 1)
+    assert(VersionedTable.readAsOf(spark, dir, 3000L)
+      .filter($"k" === 4001L).count() == 0)
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, dir, 999L)
+    }
+  }
+
+  test("empty old snapshot never exposes a later commit's columns") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf, "p")
+    // v1 empties p1 entirely; v2 widens the schema
+    val allP1 = baseDf.filter($"p" === "p1")
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    VersionedTable.mergeCommit(spark, dir, allP1, Seq("k"), "p")
+    VersionedTable.appendCommit(spark, dir,
+      Seq((5001L, 1L, "p0", "w")).toDF("k", "v", "p", "late"), "p")
+    // empty slice of v1 takes its schema from v1's OWN live set
+    val emptySlice = VersionedTable.read(spark, dir, 1, Some(Set("p1")),
+      mergeSchema = true)
+    assert(emptySlice.count() == 0)
+    assert(!emptySlice.columns.contains("late"),
+      "v1's empty slice leaked v2's column")
+    assert(emptySlice.columns.toSet == Set("k", "v", "p"))
   }
 }
