@@ -754,6 +754,104 @@ object Etl {
         .orderBy("version")
     }),
 
+    // Merge-on-read deletion vectors vs copy-on-write, graded as ONE row:
+    // two tables share the same logical history (create, price-update
+    // merge), then the same delete batch lands as a COW partition rewrite
+    // in one and as a deleteCommit TOMBSTONE in the other. The data
+    // aggregate must be IDENTICAL for both variants (the oracle computes
+    // it once — hash equality proves the merge-on-read read path), while
+    // the per-variant file counts come from the two manifests: COW writes
+    // one rewritten file per affected partition and removes the originals;
+    // DV writes one tiny tombstone file per affected partition and removes
+    // NOTHING — the write-amplification gap that decides a 1-row delete's
+    // cost at 100 TB (a partition rewrite vs a key list).
+    "etl_delete_vectors" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      Seq(("cow", vtPath), ("dv", vtDvPath)).map { case (variant, p) =>
+        val h = VersionedTable.history(s, p).filter($"version" === 2)
+          .select(($"n_added" + $"n_tombstones").as("fw"), $"n_removed")
+          .collect()(0)
+        val nLive = VersionedTable.liveFiles(s, p, 2).size.toLong
+        VersionedTable.read(s, p, 2)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"))
+          .select(lit(variant).as("variant"),
+            lit(h.getLong(0)).as("files_written"),
+            lit(h.getLong(1)).as("files_removed"),
+            lit(nLive).as("n_data_files_live"),
+            $"n_rows", $"xor_key", $"sum_price_c")
+      }.reduce(_ unionByName _).orderBy("variant")
+    }),
+
+    // Change data feed OUT of the versioned table: row-level per-version
+    // diffs derived from the manifest file sets (EXCEPT ALL of added vs
+    // removed files — unchanged rows net out, an update appears as
+    // new-image insert + old-image delete). The oracle reconstructs each
+    // commit's logical delta declaratively from the base table, so
+    // over-reporting (unchanged rows leaking into the feed), under-
+    // reporting, or wrong images fail the hash. This completes the CDC
+    // loop: stream_cdc_apply flows changes IN; this row flows them OUT.
+    "etl_cdf_rows" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      graft.sources.VersionedTable.changes(s, vtPath, 1, 2)
+        .select($"_commit_version".as("version"),
+          $"_change_type".as("change_type"), $"o_orderkey", $"price_c")
+        .groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .orderBy("version", "change_type")
+    }),
+
+    // Timestamp time travel + commit metadata: each commit records a
+    // caller-supplied ts and its operation in the manifest; readAsOf
+    // resolves a probe ts to the greatest version at-or-before it. The
+    // oracle resolves the SAME probes from the raw _log parquets and
+    // reconstructs each snapshot from the base table — wrong resolution
+    // (off-by-one at exact-match probes), wrong metadata, or wrong
+    // snapshot content all fail the hash.
+    "etl_time_travel_ts" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      val ops = VersionedTable.history(s, vtTsPath)
+        .select($"version", $"operation").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      Seq(1000L, 1500L, 2000L, 2999L, 3000L, 9999L).map { p =>
+        val v = VersionedTable.versionAsOf(s, vtTsPath, p)
+        VersionedTable.readAsOf(s, vtTsPath, p)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .select(lit(p).as("probe_ts"), lit(v).as("version"),
+            lit(ops(v)).as("operation"), $"n_rows", $"xor_key")
+      }.reduce(_ unionByName _).orderBy("probe_ts")
+    }),
+
+    // Optimistic concurrency, graded end-to-end: the fixture RACES two
+    // appendCommit writers (real threads, no orchestration) against the
+    // same table — the conditional manifest publish guarantees exactly one
+    // wins each version and the loser rebases, so the final log has
+    // exactly 3 versions and the final snapshot the union of all three
+    // writes, REGARDLESS of which writer won the race. The pre-fix
+    // protocol (rename-overwrite) would lose one append entirely — both
+    // the version count and the row aggregate would miss.
+    "etl_concurrent_commits" -> ((s, d) => {
+      import s.implicits._
+      writeConcurrentFixture(s, d)
+      import graft.sources.VersionedTable
+      val latest = VersionedTable.latestVersion(s, vtCcPath)
+      VersionedTable.read(s, vtCcPath, latest)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .select(lit(latest + 1L).as("n_versions"), $"n_rows", $"xor_key",
+          $"sum_price_c")
+    }),
+
     // Order-independent table checksum — the migration/replication
     // validation op: hash a canonical serialization of every row, reduce
     // with XOR (commutative + associative, so partitioning/order can't
@@ -883,6 +981,45 @@ object Etl {
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
   private[graft] val vtSeqPath = s"${graft.fixtureRoot}/vt_orders_seq"
   private[graft] val vtOptPath = s"${graft.fixtureRoot}/vt_orders_opt"
+  private[graft] val vtDvPath = s"${graft.fixtureRoot}/vt_orders_dv"
+  private[graft] val vtTsPath = s"${graft.fixtureRoot}/vt_orders_ts"
+  private[graft] val vtCcPath = s"${graft.fixtureRoot}/vt_orders_cc"
+  private val ccWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Creates a versioned table, then RACES two appendCommit writers on
+    * real threads with no coordination beyond the commit protocol itself.
+    * Both must land (as versions 1 and 2 in either order): the content is
+    * deterministic even though the winner isn't. */
+  private[graft] def writeConcurrentFixture(s: org.apache.spark.sql.SparkSession,
+                                            d: String): Unit =
+    if (ccWrittenFor.get() != d) ccWrittenFor.synchronized {
+      if (ccWrittenFor.get() != d) {
+        import s.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.sources.VersionedTable
+        val fs = new org.apache.hadoop.fs.Path(graft.fixtureRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val app = Tables.orders(s, d).select(
+          $"o_orderkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+          date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+        fs.delete(new org.apache.hadoop.fs.Path(vtCcPath), true)
+        VersionedTable.create(s, vtCcPath,
+          app.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-06"), "pmonth")
+        val a = Future(VersionedTable.appendCommit(s, vtCcPath,
+          app.filter($"pmonth" >= "1997-07" && $"pmonth" <= "1997-09"), "pmonth"))
+        val b = Future(VersionedTable.appendCommit(s, vtCcPath,
+          app.filter($"pmonth" >= "1997-10" && $"pmonth" <= "1997-12"), "pmonth"))
+        val versions = Await.result(Future.sequence(Seq(a, b)), 10.minutes)
+          .map(_.version).sorted
+        require(versions == Seq(1, 2),
+          s"concurrent appends took versions $versions — lost update?")
+        ccWrittenFor.set(d)
+      }
+    }
   private val vtWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -960,6 +1097,32 @@ object Etl {
             opt.filter($"o_orderkey" % 6 === i), "pmonth")
         }
         VersionedTable.optimizeCommit(s, vtOptPath, "pmonth")
+        // sixth table: merge-on-read deletion vectors — SAME logical
+        // history as vtPath (create, price-update merge), but the delete
+        // batch lands as deleteCommit tombstones instead of a COW rewrite.
+        // Latest snapshots must hash-match (DV read ≡ COW result); the
+        // manifests prove the write-amplification gap (tombstone files
+        // added vs partitions rewritten).
+        fs.delete(new org.apache.hadoop.fs.Path(vtDvPath), true)
+        VersionedTable.create(s, vtDvPath, base, "pmonth")
+        VersionedTable.mergeCommit(s, vtDvPath, changes1, Seq("o_orderkey"),
+          "pmonth")
+        VersionedTable.deleteCommit(s, vtDvPath,
+          changes2.select($"o_orderkey", $"pmonth"), "pmonth")
+        // seventh table: commit metadata + timestamp time travel — three
+        // commits with caller-supplied (deterministic) ts values
+        val ts = base.drop("o_custkey")
+        fs.delete(new org.apache.hadoop.fs.Path(vtTsPath), true)
+        VersionedTable.create(s, vtTsPath,
+          ts.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-06"),
+          "pmonth", ts = Some(1000L))
+        VersionedTable.appendCommit(s, vtTsPath,
+          ts.filter($"pmonth" >= "1997-07" && $"pmonth" <= "1997-09"),
+          "pmonth", ts = Some(2000L))
+        VersionedTable.deleteCommit(s, vtTsPath,
+          ts.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-09" &&
+            $"o_orderkey" % 10 === 7)
+            .select($"o_orderkey", $"pmonth"), "pmonth", ts = Some(3000L))
         vtWrittenFor.set(d)
       }
     }
@@ -1097,6 +1260,133 @@ object Etl {
          |  CASE WHEN COUNT(DISTINCT file) = COUNT(DISTINCT pfile)
          |       THEN CAST(SUM(price_c) AS BIGINT) ELSE -1 END AS sum_price_c
          |FROM j GROUP BY v ORDER BY v""".stripMargin,
+    // One data aggregate (computed once — both variants must equal it:
+    // merge-on-read ≡ copy-on-write) + per-variant file counts replayed
+    // from each table's own manifest log.
+    "etl_delete_vectors" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+         |      AS price_c,
+         |    strftime(o_orderdate, '%Y-%m') AS pmonth
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 10 = 3
+         |              AND pmonth >= '1996-01' AND pmonth <= '1996-12'
+         |         THEN price_c + 111 ELSE price_c END AS price_c
+         |  FROM base
+         |  WHERE NOT (o_orderkey % 100 = 42
+         |             AND pmonth >= '1996-03' AND pmonth <= '1996-06')),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+         |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+         |  FROM v2),
+         |cowlog AS (SELECT version, action, file
+         |           FROM read_parquet('$vtPath/_log/*.parquet')),
+         |dvlog AS (SELECT version, action, file
+         |          FROM read_parquet('$vtDvPath/_log/*.parquet')),
+         |stats AS (
+         |  SELECT 'cow' AS variant,
+         |    (SELECT COUNT(*) FROM cowlog
+         |     WHERE version = 2 AND action IN ('add', 'tomb')) AS files_written,
+         |    (SELECT COUNT(*) FROM cowlog
+         |     WHERE version = 2 AND action = 'remove') AS files_removed,
+         |    (SELECT COUNT(*) FROM cowlog a
+         |     WHERE a.action = 'add' AND a.version <= 2
+         |       AND a.file NOT IN (SELECT file FROM cowlog r
+         |                          WHERE r.action = 'remove' AND r.version <= 2))
+         |      AS n_data_files_live
+         |  UNION ALL
+         |  SELECT 'dv',
+         |    (SELECT COUNT(*) FROM dvlog
+         |     WHERE version = 2 AND action IN ('add', 'tomb')),
+         |    (SELECT COUNT(*) FROM dvlog
+         |     WHERE version = 2 AND action = 'remove'),
+         |    (SELECT COUNT(*) FROM dvlog a
+         |     WHERE a.action = 'add' AND a.version <= 2
+         |       AND a.file NOT IN (SELECT file FROM dvlog r
+         |                          WHERE r.action = 'remove' AND r.version <= 2)))
+         |SELECT s.variant, s.files_written, s.files_removed,
+         |  s.n_data_files_live, a.n_rows, a.xor_key, a.sum_price_c
+         |FROM stats s, agg a ORDER BY s.variant""".stripMargin,
+    // Each commit's logical row-level delta, reconstructed declaratively
+    // from the base table: v1's update batch appears as new-image inserts
+    // + old-image deletes; v2's delete batch as deletes only. Unchanged
+    // rows of the rewritten partitions must NOT appear — the EXCEPT ALL
+    // netting is exactly what's being graded.
+    "etl_cdf_rows" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 10 = 3
+        |    AND pmonth >= '1996-01' AND pmonth <= '1996-12'),
+        |del AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 100 = 42
+        |    AND pmonth >= '1996-03' AND pmonth <= '1996-06'),
+        |u AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, o_orderkey,
+        |    price_c + 111 AS price_c FROM upd
+        |  UNION ALL SELECT 1, 'delete', o_orderkey, price_c FROM upd
+        |  UNION ALL SELECT 2, 'delete', o_orderkey, price_c FROM del)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
+    // Probe resolution replayed from the raw manifest metadata (ts, op per
+    // version); snapshot content reconstructed from the base table.
+    "etl_time_travel_ts" ->
+      s"""WITH app AS (
+         |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS pmonth
+         |  FROM orders),
+         |probes(probe_ts) AS (
+         |  VALUES (1000), (1500), (2000), (2999), (3000), (9999)),
+         |log AS (
+         |  SELECT DISTINCT version, ts, op
+         |  FROM read_parquet('$vtTsPath/_log/*.parquet')),
+         |res AS (
+         |  SELECT CAST(p.probe_ts AS BIGINT) AS probe_ts,
+         |    (SELECT MAX(version) FROM log WHERE ts <= p.probe_ts) AS version
+         |  FROM probes p),
+         |snap AS (
+         |  SELECT 0 AS v, o_orderkey FROM app
+         |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-06'
+         |  UNION ALL
+         |  SELECT 1, o_orderkey FROM app
+         |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+         |  UNION ALL
+         |  SELECT 2, o_orderkey FROM app
+         |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+         |    AND o_orderkey % 10 <> 7),
+         |agg AS (
+         |  SELECT v, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key
+         |  FROM snap GROUP BY v)
+         |SELECT r.probe_ts, r.version, l.op AS operation, a.n_rows, a.xor_key
+         |FROM res r
+         |JOIN log l ON l.version = r.version
+         |JOIN agg a ON a.v = r.version
+         |ORDER BY r.probe_ts""".stripMargin,
+    // The raced writers' union, plus the version count the race must
+    // produce (3 = create + both appends, no lost update).
+    "etl_concurrent_commits" ->
+      """WITH app AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders)
+        |SELECT CAST(3 AS BIGINT) AS n_versions, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM app
+        |WHERE pmonth >= '1997-01' AND pmonth <= '1997-12'""".stripMargin,
     // Re-reads both engine-written layouts with filename=true — DuckDB
     // counts the same on-disk files Spark's _metadata column saw, so the
     // compare grades the physical compaction effect, not a simulation.

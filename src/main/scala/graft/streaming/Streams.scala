@@ -687,10 +687,120 @@ object Streams {
         .orderBy($"cid")
       cent.unpersist()
       out
+    }),
+
+    // 16th streaming oracle: CHANGE DATA FEED OUT of the versioned table —
+    // the second half of the lakehouse loop (stream_cdc_apply flows
+    // changes IN; this streams them back OUT). The table's `_log`
+    // directory IS the stream: each published manifest is one new file, so
+    // a plain file source watching `_log` delivers commits in order
+    // (maxFilesPerTrigger=1 ⇒ provably one microbatch per commit). Each
+    // microbatch derives its commit's row-level diff with
+    // VersionedTable.changes and lands it in an idempotent per-version
+    // sink directory (overwrite of v=<n> — a replayed batch rewrites the
+    // same dir, the standard foreachBatch exactly-once recipe). Graded
+    // twice over: per-(version, change_type) aggregates must match the
+    // declarative deltas, AND the feed must be COMPLETE — replaying
+    // inserts EXCEPT ALL deletes from the sink alone must reconstruct the
+    // final snapshot (the `replayed_final` row). At scale this is the
+    // downstream-materialized-view primitive: consumers keep sync'd
+    // replicas from the feed without ever re-reading the table.
+    "stream_cdf_replay" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Etl.writeVersionedFixture(s, d)
+      val vt = graft.operators.Etl.vtPath
+      val root = s"${graft.fixtureRoot}/stream_cdf_replay"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val sink = s"$root/sink"
+      val manifestSchema = StructType(Seq(
+        StructField("version", IntegerType), StructField("action", StringType),
+        StructField("file", StringType), StructField("part", StringType),
+        StructField("smin", LongType), StructField("smax", LongType),
+        StructField("ts", LongType), StructField("op", StringType)))
+      val q = s.readStream.schema(manifestSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$vt/_log")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val versions = batch.select("version").distinct()
+            .collect().map(_.getInt(0)).sorted
+          versions.foreach { v =>
+            graft.sources.VersionedTable.changes(batch.sparkSession, vt, v, v)
+              .select(col("_commit_version").as("version"),
+                col("_change_type").as("change_type"),
+                col("o_orderkey"), col("price_c"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$sink/v=$v")
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val feed = s.read.parquet(sink)
+        .select($"version", $"change_type", $"o_orderkey", $"price_c")
+      val perVersion = feed.groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+      val replayed = feed.filter($"change_type" === "insert")
+        .select($"o_orderkey", $"price_c")
+        .exceptAll(feed.filter($"change_type" === "delete")
+          .select($"o_orderkey", $"price_c"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .select(lit(-1).as("version"), lit("replayed_final").as("change_type"),
+          $"n_rows", $"xor_key", $"sum_price_c")
+      perVersion.unionByName(replayed).orderBy("version", "change_type")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Per-commit deltas reconstructed declaratively from the base table
+    // (v0 create = all inserts; v1 update = new-image inserts + old-image
+    // deletes; v2 delete = deletes), plus the replay-completeness row: the
+    // final state derived from the FEED ALONE must equal the latest
+    // snapshot's reconstruction.
+    "stream_cdf_replay" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 10 = 3
+        |    AND pmonth >= '1996-01' AND pmonth <= '1996-12'),
+        |del AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 100 = 42
+        |    AND pmonth >= '1996-03' AND pmonth <= '1996-06'),
+        |feed AS (
+        |  SELECT 0 AS version, 'insert' AS change_type, o_orderkey, price_c
+        |  FROM base
+        |  UNION ALL SELECT 1, 'insert', o_orderkey, price_c + 111 FROM upd
+        |  UNION ALL SELECT 1, 'delete', o_orderkey, price_c FROM upd
+        |  UNION ALL SELECT 2, 'delete', o_orderkey, price_c FROM del),
+        |fin AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |              AND pmonth >= '1996-01' AND pmonth <= '1996-12'
+        |         THEN price_c + 111 ELSE price_c END AS price_c
+        |  FROM base
+        |  WHERE NOT (o_orderkey % 100 = 42
+        |             AND pmonth >= '1996-03' AND pmonth <= '1996-06')),
+        |u AS (
+        |  SELECT version, change_type, COUNT(*) AS n_rows,
+        |    bit_xor(o_orderkey) AS xor_key,
+        |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |  FROM feed GROUP BY version, change_type
+        |  UNION ALL
+        |  SELECT -1, 'replayed_final', COUNT(*), bit_xor(o_orderkey),
+        |    CAST(SUM(price_c) AS BIGINT)
+        |  FROM fin)
+        |SELECT * FROM u ORDER BY version, change_type""".stripMargin,
     // Byte-identical to sim_ann_ivf_incremental's oracle: the streaming
     // path must land EXACTLY where the batch append path lands (frozen
     // base-trained centroids, two-level assignment, per-list occupancy) —
