@@ -259,6 +259,26 @@ object AnnSearch {
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
     val (coarse, f2g) = coarseFine(cent, nCoarse)
     val vf = assignTwoLevel(eq, coarse, f2g, idCol)
+    ivfServe(vf, cent, embeddings, queryDf, k, nProbe, nCoarse, gProbe,
+      excludeId, idCol, vecCol, allowed)
+  }
+
+  /** The IVF READ PATH alone — serve one query from a PREBUILT index:
+    * `vf` = the inverted file (idCol, cid), `cent` = the trained centroid
+    * artifact (cid, cv, __cn2), both typically read back from storage (a
+    * plain parquet or a pinned [[graft.sources.VersionedTable]] version —
+    * reproducible serving). No training and no corpus assignment happen
+    * here: cost = probe selection over ≤nC centroid rows + the exact
+    * rerank of the probed lists, which is the serving economics a
+    * persisted index exists to buy. Derivation (probe ranking, integer
+    * scores, tie-breaks) is byte-identical to [[ivfTopK]]'s — ivfTopK IS
+    * build + this. */
+  def ivfServe(vf: DataFrame, cent: DataFrame, embeddings: DataFrame,
+               queryDf: DataFrame, k: Int, nProbe: Int, nCoarse: Int,
+               gProbe: Int, excludeId: Long = -1L,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               allowed: Option[DataFrame] = None): DataFrame = {
+    val (coarse, f2g) = coarseFine(cent, nCoarse)
     // Query probes: gProbe coarse cells, then nProbe fine lists among them.
     val q = queryDf.select(col("qv"),
       expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))

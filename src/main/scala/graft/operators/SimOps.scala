@@ -269,6 +269,48 @@ object SimOps {
         AnnSearch.autoTrainN(baseN, nC))
     }),
 
+    // VERSIONED index serving — reproducible ANN: the index artifact
+    // (frozen centroids + the inverted file as a VersionedTable) is built
+    // ONCE by the fixture (v0 = the bottom-90% base, v1 = appendCommit of
+    // the top decile assigned against the frozen centroids — index
+    // maintenance as a log commit). The graded row then (a) SERVES the
+    // query from the PINNED v0 snapshot through AnnSearch.ivfServe — the
+    // read path alone, no training, no corpus assignment — and the result
+    // must equal the from-scratch base-corpus derivation (the oracle
+    // recomputes it); and (b) diffs v1 against v0 through the log: the
+    // delta must be EXACTLY the appended decile's rows (xor of ids, count,
+    // zero removals). Together: a pinned index version answers queries
+    // reproducibly forever (training data's "which index built this
+    // dataset" question), and maintenance commits touch nothing existing.
+    "sim_ann_ivf_versioned" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AnnSearch
+      import graft.sources.VersionedTable
+      writeAnnVtFixture(s, d)
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val baseN = n * 9 / 10
+      val nC = AnnSearch.autoCentroids(baseN)
+      val nG = AnnSearch.autoCoarse(nC)
+      val inverted = s"$annVtRoot/inverted"
+      val cent = s.read.parquet(s"$annVtRoot/centroids")
+      val vf0 = VersionedTable.read(s, inverted, 0).select($"vec_id", $"cid")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val serve = AnnSearch.ivfServe(vf0, cent, e, q, 20,
+          nProbe = math.max(2, nC / 8), nCoarse = nG,
+          gProbe = math.max(2, nG / 4), excludeId = 0L)
+        .select(lit("serve_v0").as("section"), $"vec_id".as("a"),
+          round($"cos" * 1000000).cast("long").as("b"))
+      val v1 = VersionedTable.read(s, inverted, 1).select($"vec_id", $"cid")
+      val diff = v1.exceptAll(vf0)
+        .agg(count(lit(1)).as("n_added"),
+          expr("bit_xor(vec_id)").as("xor_added"))
+        .crossJoin(vf0.exceptAll(v1).agg(count(lit(1)).as("n_removed")))
+        .select(lit("diff_v0_v1").as("section"), $"xor_added".as("a"),
+          ($"n_added" * 1000000L + $"n_removed").as("b"))
+      serve.unionByName(diff).orderBy($"section", $"b".desc, $"a".asc)
+    }),
+
     // J8: Scala UDF surface — integer Chebyshev distance on synthesized
     // coords (exact integer math; the oracle replicates the formula).
     "udf_scalar_demo" -> ((s, d) => {
@@ -324,6 +366,50 @@ object SimOps {
         .orderBy("seg")
     })
   )
+
+  private[graft] val annVtRoot = s"${graft.fixtureRoot}/ann_vt"
+  private val annVtWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Builds the persisted, versioned ANN index artifact: frozen centroids
+    * (trained on the bottom-90% base, written as a plain parquet — they
+    * never change once trained) and the inverted file as a VersionedTable
+    * (v0 = base assignment, v1 = appendCommit of the top decile assigned
+    * against the FROZEN centroids — the same maintenance contract as
+    * sim_ann_ivf_incremental, now as a log commit with time travel). */
+  private def writeAnnVtFixture(s: org.apache.spark.sql.SparkSession,
+                                d: String): Unit =
+    if (annVtWrittenFor.get() != d) annVtWrittenFor.synchronized {
+      if (annVtWrittenFor.get() != d) {
+        import graft.functions.AnnSearch
+        import graft.sources.VersionedTable
+        val fs = new org.apache.hadoop.fs.Path(graft.fixtureRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(annVtRoot), true)
+        val e = Tables.embeddings(s, d)
+        val n = e.count()
+        val baseN = n * 9 / 10
+        val nC = AnnSearch.autoCentroids(baseN)
+        val nG = AnnSearch.autoCoarse(nC)
+        val eq = AnnSearch.quantize(e, "vec_id", "embedding")
+        val base = eq.filter(col("vec_id") < baseN)
+        val cent = AnnSearch.trainCentroids(base, nC,
+          AnnSearch.autoTrainN(baseN, nC), "vec_id")
+        val (coarse, f2g) = AnnSearch.coarseFine(cent, nG)
+        cent.write.mode("overwrite").parquet(s"$annVtRoot/centroids")
+        VersionedTable.create(s, s"$annVtRoot/inverted",
+          AnnSearch.assignTwoLevel(base, coarse, f2g, "vec_id")
+            .withColumn("pcid", col("cid").cast("string")),
+          "pcid", ts = Some(1000L))
+        VersionedTable.appendCommit(s, s"$annVtRoot/inverted",
+          AnnSearch.assignTwoLevel(eq.filter(col("vec_id") >= baseN),
+            coarse, f2g, "vec_id")
+            .withColumn("pcid", col("cid").cast("string")),
+          "pcid", ts = Some(2000L))
+        cent.unpersist()
+        annVtWrittenFor.set(d)
+      }
+    }
 
   val oracleSql: Map[String, String] = Map(
     // Replicates AnnSearch end-to-end: ±1 weights from md5("42:t:b:i")
@@ -510,6 +596,112 @@ object SimOps {
         |  ORDER BY c DESC, a.vec_id ASC LIMIT 20)
         |SELECT vec_id, CAST(round(c * 1000000) AS BIGINT) AS cos_e6
         |FROM rerank ORDER BY cos_e6 DESC, vec_id ASC""".stripMargin,
+    // sim_ann_ivf's full derivation at BASE sizing (n → 90% of the
+    // corpus, vectors restricted to the base prefix): serving from the
+    // pinned v0 index must reproduce exactly the from-scratch base
+    // build's answer. The diff section is declarative: an appendCommit's
+    // delta is the decile's rows and nothing else (xor/count over
+    // [baseN, n), zero removals).
+    "sim_ann_ivf_versioned" ->
+      """WITH p0 AS (SELECT COUNT(*) * 9 // 10 AS n FROM embeddings),
+        |p1 AS (SELECT n,
+        |  CAST(GREATEST(8, LEAST(4096, CEIL(SQRT(n)))) AS BIGINT) AS nc FROM p0),
+        |p AS (SELECT n, nc,
+        |  CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) AS ng,
+        |  LEAST(n, 32 * nc) AS tn,
+        |  GREATEST(2, nc // 8) AS np,
+        |  GREATEST(2, CAST(GREATEST(4, LEAST(64, CEIL(SQRT(nc)))) AS BIGINT) // 4) AS gp
+        |  FROM p1),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS q
+        |  FROM embeddings, p0 WHERE vec_id < p0.n),
+        |seeds AS (
+        |  SELECT vec_id AS cid, q AS cv,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM e, p WHERE vec_id < p.nc),
+        |ta AS (
+        |  SELECT cid, q FROM (
+        |    SELECT s.cid, t.q, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(t.q, s.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - s.cn2 DESC, s.cid ASC) AS rn
+        |    FROM e t CROSS JOIN seeds s, p WHERE t.vec_id < p.tn) x
+        |  WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, floor(SUM(x) / COUNT(*)) AS cx FROM (
+        |      SELECT cid, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        |      FROM ta) d
+        |    GROUP BY cid, pos) y
+        |  GROUP BY cid),
+        |centn AS (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn2
+        |  FROM cent),
+        |coarse AS (
+        |  SELECT cid AS gid, cv AS gv, cn2 AS gn2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM centn) z, p
+        |  WHERE rn <= p.ng),
+        |f2g AS (
+        |  SELECT cid, cv, cn2, gid FROM (
+        |    SELECT c.cid, c.cv, c.cn2, g.gid,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(c.cv, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM centn c CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vg AS (
+        |  SELECT vec_id, q, gid FROM (
+        |    SELECT e.vec_id, e.q, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(e.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM e CROSS JOIN coarse g) x
+        |  WHERE rn = 1),
+        |vf AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, f.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        2 * list_reduce(list_transform(list_zip(v.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |          - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM vg v JOIN f2g f ON v.gid = f.gid) x
+        |  WHERE rn = 1),
+        |qq AS (SELECT q, v AS qv FROM e WHERE vec_id = 0),
+        |qg AS (
+        |  SELECT gid FROM (
+        |    SELECT g.gid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, g.gv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - g.gn2 DESC, g.gid ASC) AS rn
+        |    FROM coarse g, qq) x, p
+        |  WHERE rn <= p.gp),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT f.cid, row_number() OVER (ORDER BY
+        |      2 * list_reduce(list_transform(list_zip(qq.q, f.cv), z -> z[1] * z[2]), (a, b) -> a + b)
+        |        - f.cn2 DESC, f.cid ASC) AS rn
+        |    FROM f2g f JOIN qg ON f.gid = qg.gid, qq) x, p
+        |  WHERE rn <= p.np),
+        |rerank AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qq.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(qq.qv, x -> x * x), (x, y) -> x + y))) AS c
+        |  FROM vf
+        |  JOIN probe pr ON vf.cid = pr.cid
+        |  JOIN e a ON a.vec_id = vf.vec_id, qq
+        |  WHERE a.vec_id <> 0
+        |  ORDER BY c DESC, a.vec_id ASC LIMIT 20),
+        |sel AS (
+        |  SELECT 'serve_v0' AS section, vec_id AS a,
+        |    CAST(round(c * 1000000) AS BIGINT) AS b
+        |  FROM rerank),
+        |diff AS (
+        |  SELECT 'diff_v0_v1' AS section, bit_xor(vec_id) AS a,
+        |    CAST(COUNT(*) * 1000000 AS BIGINT) AS b
+        |  FROM embeddings, p0 WHERE vec_id >= p0.n)
+        |SELECT section, a, b FROM (
+        |  SELECT * FROM sel UNION ALL SELECT * FROM diff) u
+        |ORDER BY section, b DESC, a ASC""".stripMargin,
     // sim_ann_ivf's derivation with a (qid) dimension threaded through
     // the probe selection and rerank: qq holds the 4-query batch, every
     // probe/rank window partitions by qid, and the final rank runs on
