@@ -72,7 +72,14 @@ object Bench {
         .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Scale-probe subset (SPARK_GRAFT_BENCH_ONLY=name1,name2): heavy-tail
+    // runs at sf30 re-time only the queries worth the wall-clock.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -87,6 +87,32 @@ object VtBench {
       sources.VersionedTable.mergeCommit(spark, vt, changes, Seq("k"), "p"))
     println(f"[vtbench] merge_inplace_s=$tSink%.2f merge_versioned_s=$tVtMerge%.2f " +
       f"premium=${(tVtMerge / tSink - 1) * 100}%.0f%%")
+
+    // 4. merge-on-read delete vs COW on the skewed worst case: ONE row per
+    // partition (50 partitions) — COW rewrites all 50 partitions to delete
+    // 50 rows; the deletion vector writes 50-row tombstone files and
+    // touches no data. Also prices the read side: the DV read pays the
+    // tombstone anti-join until a merge/optimize materializes it.
+    val delKeys = base.groupBy($"p").agg(min($"k").as("k")).select($"k", $"p")
+    val vtCow = s"$root/vtcow"
+    val vtDv = s"$root/vtdv"
+    sources.VersionedTable.create(spark, vtCow, base, "p")
+    sources.VersionedTable.create(spark, vtDv, base, "p")
+    val (tCowDel, cCow) = timed(sources.VersionedTable.mergeCommit(
+      spark, vtCow, delKeys.withColumn("v", lit(0L))
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L)),
+      Seq("k"), "p"))
+    val (tDvDel, cDv) = timed(
+      sources.VersionedTable.deleteCommit(spark, vtDv, delKeys, "p"))
+    val tCowRead = min2(agg(sources.VersionedTable.read(spark, vtCow, 1)))
+    val tDvRead = min2(agg(sources.VersionedTable.read(spark, vtDv, 1)))
+    require(agg(sources.VersionedTable.read(spark, vtCow, 1)) ==
+      agg(sources.VersionedTable.read(spark, vtDv, 1)), "DV read diverged from COW")
+    println(f"[vtbench] delete_cow_s=$tCowDel%.2f (files +${cCow.filesAdded} " +
+      f"-${cCow.filesRemoved}) delete_dv_s=$tDvDel%.2f (files +${cDv.filesAdded} " +
+      f"-${cDv.filesRemoved}) write_speedup=${tCowDel / tDvDel}%.1fx " +
+      f"read_cow_s=$tCowRead%.2f read_dv_s=$tDvRead%.2f " +
+      f"read_premium=${(tDvRead / tCowRead - 1) * 100}%.0f%%")
     spark.stop()
   }
 }
