@@ -520,6 +520,23 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("fileSplits spreads a hot partition over several files and tasks") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    // 1000 rows all in ONE partition value — the hot-partition pathology
+    val hot = spark.range(1000)
+      .select(($"id" + 1).as("k"), ($"id" * 10).as("v"), lit("p0").as("p"))
+    VersionedTable.create(spark, dir, hot, "p", fileSplits = 4, statsCol = Some("k"))
+    val entries = VersionedTable.liveEntries(spark, dir, 0)
+    assert(entries.size > 1 && entries.size <= 4,
+      s"expected 2..4 files for the hot partition, got ${entries.size}")
+    assert(entries.forall(_.part == "p0"))
+    // per-file stats recorded for every split; content identical
+    assert(entries.forall(e => e.smin.nonEmpty && e.smax.nonEmpty))
+    assert(VersionedTable.read(spark, dir, 0).count() == 1000)
+    assert(VersionedTable.read(spark, dir, 0)
+      .agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0) == 500500L)
+  }
+
   test("empty old snapshot never exposes a later commit's columns") {
     val dir = Files.createTempDirectory("graft_vt").toString + "/t"
     VersionedTable.create(spark, dir, baseDf, "p")
