@@ -818,12 +818,15 @@ object Etl {
       import s.implicits._
       writeVersionedFixture(s, d)
       import graft.sources.VersionedTable
-      val ops = VersionedTable.history(s, vtTsPath)
-        .select($"version", $"operation").collect()
-        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      // one log read resolves ops AND all probes (versionAsOf per probe
+      // would replay the manifests 6×; the log is driver-side metadata)
+      val hist = VersionedTable.history(s, vtTsPath)
+        .select($"version", $"ts", $"operation").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      val ops = hist.map(h => h._1 -> h._3).toMap
       Seq(1000L, 1500L, 2000L, 2999L, 3000L, 9999L).map { p =>
-        val v = VersionedTable.versionAsOf(s, vtTsPath, p)
-        VersionedTable.readAsOf(s, vtTsPath, p)
+        val v = hist.filter(_._2 <= p).map(_._1).max
+        VersionedTable.read(s, vtTsPath, v)
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(o_orderkey)").as("xor_key"))
           .select(lit(p).as("probe_ts"), lit(v).as("version"),

@@ -726,11 +726,15 @@ object Streams {
           val versions = batch.select("version").distinct()
             .collect().map(_.getInt(0)).sorted
           versions.foreach { v =>
+            // no coalesce: v0's diff is the WHOLE initial snapshot as
+            // inserts — one writer task for it serializes the feed (37 s
+            // vs 13 s at sf10); the per-version dir overwrite stays
+            // idempotent at any file count
             graft.sources.VersionedTable.changes(batch.sparkSession, vt, v, v)
               .select(col("_commit_version").as("version"),
                 col("_change_type").as("change_type"),
                 col("o_orderkey"), col("price_c"))
-              .coalesce(1).write.mode("overwrite").parquet(s"$sink/v=$v")
+              .write.mode("overwrite").parquet(s"$sink/v=$v")
           }
           ()
         }
