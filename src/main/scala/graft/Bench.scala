@@ -30,9 +30,16 @@ object Bench {
     // costs little. On a real cluster this is executors × cores × 2-3.
     val shuffleParts =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Input split size is the OTHER scale knob: a map-side aggregate over
+    // a mostly-unique key (q20's (pk,sk)) gets no reduction, so its hash
+    // map grows with the SPLIT, not the shuffle width — 128 MB splits of
+    // 180M-row lineitem spill ~140 GB at sf30; 32 MB splits fit the map.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
