@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-versioned parquet table: snapshot reads (time travel), atomic
   * commits with optimistic concurrency, row-level deletes via tombstones
@@ -121,9 +122,15 @@ object VersionedTable {
     * the commit's per-file min/max of the table's declared stats column
     * (None when the table tracks none) — Iceberg-style column metrics,
     * enabling [[readRange]] to prune the file list from the log alone,
-    * without opening a single footer. */
+    * without opening a single footer. `fschema` is the JSON of the schema
+    * the file was WRITTEN with (same for every file of a commit) — what
+    * lets snapshot reads compose the union schema from the log instead of
+    * paying a footer read per file under mergeSchema (Delta stores the
+    * schema in the log for the same reason; at 10M files the difference
+    * is 10M footer GETs). */
   final case class LogEntry(version: Int, action: String, file: String,
-                            part: String, smin: Option[Long], smax: Option[Long])
+                            part: String, smin: Option[Long], smax: Option[Long],
+                            fschema: Option[String] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,13 +154,18 @@ object VersionedTable {
       .filter(_ <= version).foldLeft(-1)(math.max)
   }
 
-  private def collectEntries(df: DataFrame): Seq[LogEntry] =
-    df.select("version", "action", "file", "part", "smin", "smax").collect()
+  private def collectEntries(df: DataFrame): Seq[LogEntry] = {
+    val hasSchema = df.columns.contains("fschema")
+    val cols = Seq("version", "action", "file", "part", "smin", "smax") ++
+      (if (hasSchema) Seq("fschema") else Nil)
+    df.select(cols.map(col): _*).collect()
       .map(r => LogEntry(r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
-        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (hasSchema && !r.isNullAt(6)) Some(r.getString(6)) else None))
       .toSeq
+  }
 
   /** Manifest rows of versions in (`from`, `to`] — explicit per-version
     * file list, so replay after a checkpoint reads only the tail. Driver-
@@ -209,9 +221,9 @@ object VersionedTable {
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
     import spark.implicits._
     val rows = liveEntries(spark, path, version)
-      .map(e => (version, e.action, e.file, e.part, e.smin, e.smax))
+      .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema))
     val tmp = s"$path/_ckpttmp_${newToken()}"
-    rows.toDF("version", "action", "file", "part", "smin", "smax")
+    rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -334,10 +346,39 @@ object VersionedTable {
             fp.substring(i) -> (r.getLong(1), r.getLong(2))
           }.toMap
     }
+    val schemaJson = df.schema.json
     listed.map { case (rel, part) =>
       val st = stats.get(rel)
-      LogEntry(version, "add", rel, part, st.map(_._1), st.map(_._2))
+      LogEntry(version, "add", rel, part, st.map(_._1), st.map(_._2),
+        Some(schemaJson))
     }
+  }
+
+  /** Union schema of the entries' RECORDED write schemas, merged by field
+    * name in commit order (a later commit's new columns append; all fields
+    * nullable since older files lack the late ones). None when any entry
+    * predates schema recording or two commits disagree on a field's type —
+    * callers then fall back to footer-based resolution. This is what makes
+    * a snapshot read schema-complete with ZERO footer reads. */
+  private def unionSchemaOf(entries: Seq[LogEntry]): Option[StructType] = {
+    if (entries.isEmpty || entries.exists(_.fschema.isEmpty)) return None
+    val jsons = entries.sortBy(_.version).map(_.fschema.get).distinct
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    jsons.foreach { j =>
+      val st = DataType.fromJson(j) match {
+        case s: StructType => s
+        case _ => return None
+      }
+      st.fields.foreach { f =>
+        out.get(f.name) match {
+          case None => out(f.name) = f.copy(nullable = true)
+          case Some(g) if g.dataType == f.dataType => ()
+          case Some(_) => return None
+        }
+      }
+    }
+    Some(StructType(out.values.toSeq))
   }
 
   /** Atomically claims `_log/vNNNNN.parquet` with the commit's manifest.
@@ -355,21 +396,23 @@ object VersionedTable {
                               opName: String, ts: Option[Long]): Boolean = {
     import spark.implicits._
     val fileOps =
-      adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax)) ++
-      tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax)) ++
+      adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema)) ++
+      tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax, e.fschema)) ++
       removes.map { case (fl, p) =>
-        (version, "remove", fl, p, None: Option[Long], None: Option[Long]) }
+        (version, "remove", fl, p, None: Option[Long], None: Option[Long],
+          None: Option[String]) }
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
     // filters on add/tomb/remove and ignores it
     val rows0 = if (fileOps.nonEmpty) fileOps
       else Seq((version, "noop", null: String, null: String,
-        None: Option[Long], None: Option[Long]))
-    val rows = rows0.map { case (v, a, fl, p, mn, mx) =>
-      (v, a, fl, p, mn, mx, ts, opName) }
+        None: Option[Long], None: Option[Long], None: Option[String]))
+    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc) =>
+      (v, a, fl, p, mn, mx, sc, ts, opName) }
     val tmp = s"$path/_logtmp_${newToken()}"
-    rows.toDF("version", "action", "file", "part", "smin", "smax", "ts", "op")
+    rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
+        "ts", "op")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
