@@ -67,6 +67,22 @@ object Bench {
     // changes, not which query happened to pay a warmup. Repeat execution
     // is safe: DeterminismSpec pins every registry query as
     // repeat-idempotent (fixture writers overwrite their own dirs).
+    // Host-speed calibration: a fixed CPU+shuffle probe timed (min of 2)
+    // and emitted as "calib" in both JSON lines. Round-over-round per-query
+    // comparisons were polluted for three rounds by HOST variation — the
+    // r10 quiet-box triage showed identical code + harness + data running
+    // 35-50% slower than r8's run, uniformly across all 21 untouched TPC-H
+    // keys (no plan regression to find). Dividing a round's per-query times
+    // by its calib factor separates engine changes from box changes.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(64L << 20)
+        .selectExpr("(id * 2654435761) % 1000003 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(k * count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = math.min(calibOnce(), calibOnce())
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val trackSpill = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
     val listener = new SpillListener
@@ -132,7 +148,7 @@ object Bench {
     // compact contract line whose "queries" map holds only the headline
     // TPC-H shapes, and the full map travels on this earlier line + file.
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","calib":$calib,"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(fullLine)
     // Explicit, overridable dump path (CWD depends on how sbt forked us),
     // and a LOUD stderr line on failure — a silently missing dump cost a
@@ -151,7 +167,7 @@ object Bench {
     }
     val headline = results.filter { case (k, _) => k.startsWith("tpch_q") }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${toJson(headline)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"failed":$failedJson,"queries":${toJson(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,6 +113,22 @@ object VtBench {
       f"-${cDv.filesRemoved}) write_speedup=${tCowDel / tDvDel}%.1fx " +
       f"read_cow_s=$tCowRead%.2f read_dv_s=$tDvRead%.2f " +
       f"read_premium=${(tDvRead / tCowRead - 1) * 100}%.0f%%")
+
+    // 5. CDF of a deletion-vector commit: the tombstone branch's diff must
+    // scan only the tombstones' partitions (the prior-snapshot read is
+    // manifest-pruned to them), not the table — before the r10 fix this
+    // was a FULL prior-snapshot read, i.e. a 1-partition delete's CDF cost
+    // O(table). Reported as files-fed-into-the-diff vs live files.
+    val oneDel = base.filter($"p" === "7")
+      .groupBy($"p").agg(max($"k").as("k")).select($"k", $"p")
+    sources.VersionedTable.deleteCommit(spark, vtDv, oneDel, "p") // v2
+    val cdf = sources.VersionedTable.changes(spark, vtDv, 2, 2)
+    val nScan = cdf.inputFiles.length
+    val nLive = sources.VersionedTable.liveEntries(spark, vtDv, 1).size
+    val (tCdf, nCdfRows) = timed(cdf.count())
+    require(nCdfRows == 1L, s"expected 1 deleted image, got $nCdfRows")
+    println(f"[vtbench] cdf_dv_files_scanned=$nScan of_live=$nLive " +
+      f"cdf_dv_s=$tCdf%.2f (diff bounded by the delete's partitions)")
     spark.stop()
   }
 }

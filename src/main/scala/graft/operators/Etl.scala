@@ -834,6 +834,126 @@ object Etl {
       }.reduce(_ unionByName _).orderBy("probe_ts")
     }),
 
+    // CDF through the DELETION-VECTOR commit path: the DV table's history
+    // is create → COW price merge (v1) → tombstone delete (v2), so this
+    // feed exercises BOTH derivations — v1 diffs added-vs-removed files
+    // (EXCEPT ALL), v2 semi-joins the PRIOR snapshot against the tombstone
+    // keys, with that prior read PRUNED to the tombstones' partitions (the
+    // scale property: a 1-row delete's CDF must not scan the table — the
+    // diff is bounded by the commit's affected partitions on both
+    // branches). The logical deltas are identical to etl_cdf_rows' COW
+    // table by construction, so the oracle grades that a tombstone delete
+    // FEEDS THE SAME CHANGES as the partition rewrite it replaces.
+    "etl_cdf_dv" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      graft.sources.VersionedTable.changes(s, vtDvPath, 1, 2)
+        .select($"_commit_version".as("version"),
+          $"_change_type".as("change_type"), $"o_orderkey", $"price_c")
+        .groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .orderBy("version", "change_type")
+    }),
+
+    // The versioned table through its SQL surface (format("graftvt") /
+    // CREATE TEMPORARY VIEW ... USING graftvt): the same pinned snapshots
+    // as etl_time_travel and etl_time_travel_ts, but resolved entirely by
+    // reader options — versionAsOf (v0/v2 via DataFrameReader, v1 via a
+    // SQL view, i.e. zero Scala API in that path) and timestampAsOf (probe
+    // 2000 on the ts table). Hash-matching the library-path results proves
+    // the option surface maps onto read()/readAsOf exactly — the
+    // engine-feature boundary: anything that speaks Spark SQL can pin a
+    // training snapshot.
+    "etl_sql_time_travel" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+          .select(lit(src).as("src"), $"n_rows", $"xor_key", $"sum_price_c")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_sql_v1 " +
+        s"USING graftvt OPTIONS (path '$vtPath', versionAsOf '1')")
+      Seq(
+        agg(s.read.format("graftvt").option("versionAsOf", 0)
+          .load(vtPath), "v0"),
+        agg(s.table("graft_vt_sql_v1"), "v1"),
+        agg(s.read.format("graftvt").option("versionAsOf", 2)
+          .load(vtPath), "v2"),
+        agg(s.read.format("graftvt").option("timestampAsOf", 2000L)
+          .load(vtTsPath), "ts2000"))
+        .reduce(_ unionByName _).orderBy("src")
+    }),
+
+    // The versioned table's WRITE path through the DataFrame writer
+    // surface: df.write.format("graftvt") with each SaveMode mapping onto
+    // exactly one commit primitive — ErrorIfExists→create, append→blind
+    // appendCommit, overwrite→overwriteCommit (whole-table replace as ONE
+    // atomic version, history retained). The graded query performs all
+    // three writes and reads the versions back: overwrite must REPLACE
+    // (not accumulate), the pre-overwrite snapshots must still time-travel,
+    // and the oracle reconstructs each state from the base table. The
+    // writes rebuild the table from scratch each execution (delete +
+    // 3 commits) so the row is repeat-idempotent like every fixture
+    // writer.
+    "etl_sql_write_path" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      val fs = new org.apache.hadoop.fs.Path(vtSqlWPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtSqlWPath), true)
+      def w(lo: String, hi: String) =
+        base.filter($"pmonth" >= lo && $"pmonth" <= hi)
+          .write.format("graftvt").option("partitionCol", "pmonth")
+      w("1997-01", "1997-06").mode("errorifexists").save(vtSqlWPath) // v0
+      w("1997-07", "1997-09").mode("append").save(vtSqlWPath)       // v1
+      w("1997-01", "1997-03").mode("overwrite").save(vtSqlWPath)    // v2
+      (0 to 2).map { v =>
+        graft.sources.VersionedTable.read(s, vtSqlWPath, v)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"))
+          .select(lit(v).as("version"), $"n_rows", $"xor_key", $"sum_price_c")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
+    // Manifest row counts (Delta's numRecords): every commit records each
+    // file's row count in the log, so "how many rows did commit v add"
+    // (history's n_recs columns) and "how many rows is snapshot v"
+    // (snapshotRowCount) are METADATA-ONLY — zero data I/O, the property
+    // that makes count-queries and CDF sizing free at 100 TB. Graded on
+    // the ts table (append + tombstone-delete history): per version, the
+    // committed record delta and the metadata snapshot count are emitted
+    // NEXT TO the actual scan count, and the oracle derives all three
+    // independently from the base table — recorded counts that drift from
+    // the data fail the hash.
+    "etl_log_rowcounts" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      val recs = VersionedTable.history(s, vtTsPath)
+        .select($"version", $"operation",
+          coalesce($"n_recs_added", lit(0L)).as("recs_added"),
+          coalesce($"n_recs_tombstoned", lit(0L)).as("recs_tombstoned"))
+      (0 to 2).map { v =>
+        val meta = VersionedTable.snapshotRowCount(s, vtTsPath, v)
+          .getOrElse(-1L)
+        VersionedTable.read(s, vtTsPath, v)
+          .agg(count(lit(1)).as("n_rows_scan"))
+          .select(lit(v).as("version"), lit(meta).as("n_rows_meta"),
+            $"n_rows_scan")
+      }.reduce(_ unionByName _)
+        .join(recs, "version")
+        .select($"version", $"operation", $"recs_added", $"recs_tombstoned",
+          $"n_rows_meta", $"n_rows_scan")
+        .orderBy("version")
+    }),
+
     // Optimistic concurrency, graded end-to-end: the fixture RACES two
     // appendCommit writers (real threads, no orchestration) against the
     // same table — the conditional manifest publish guarantees exactly one
@@ -979,6 +1099,7 @@ object Etl {
       }
     }
 
+  private[graft] val vtSqlWPath = s"${graft.fixtureRoot}/vt_orders_sqlw"
   private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
@@ -1376,6 +1497,108 @@ object Etl {
          |JOIN log l ON l.version = r.version
          |JOIN agg a ON a.v = r.version
          |ORDER BY r.probe_ts""".stripMargin,
+    // Same logical deltas as etl_cdf_rows — the DV table shares the COW
+    // table's history, so a tombstone delete must FEED THE SAME CHANGES
+    // as the partition rewrite it replaces.
+    "etl_cdf_dv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 10 = 3
+        |    AND pmonth >= '1996-01' AND pmonth <= '1996-12'),
+        |del AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 100 = 42
+        |    AND pmonth >= '1996-03' AND pmonth <= '1996-06'),
+        |u AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, o_orderkey,
+        |    price_c + 111 AS price_c FROM upd
+        |  UNION ALL SELECT 1, 'delete', o_orderkey, price_c FROM upd
+        |  UNION ALL SELECT 2, 'delete', o_orderkey, price_c FROM del)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
+    // The SQL-surface snapshots, reconstructed declaratively: v0/v1/v2 of
+    // the COW table's logical history plus the ts-table state at probe
+    // 2000 (its v1 = the first two append windows, original prices).
+    "etl_sql_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |              AND pmonth >= '1996-01' AND pmonth <= '1996-12'
+        |         THEN price_c + 111 ELSE price_c END AS price_c, pmonth
+        |  FROM base),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey % 100 = 42
+        |             AND pmonth >= '1996-03' AND pmonth <= '1996-06')),
+        |u AS (
+        |  SELECT 'v0' AS src, o_orderkey, price_c FROM base
+        |  UNION ALL SELECT 'v1', o_orderkey, price_c FROM v1
+        |  UNION ALL SELECT 'v2', o_orderkey, price_c FROM v2
+        |  UNION ALL SELECT 'ts2000', o_orderkey, price_c FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-09')
+        |SELECT src, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY src ORDER BY src""".stripMargin,
+    // Each SaveMode's logical state reconstructed from the base table:
+    // v0 = the create window, v1 = create + append windows, v2 = ONLY the
+    // overwrite window (replace, not accumulate).
+    "etl_sql_write_path" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |u AS (
+        |  SELECT 0 AS version, o_orderkey, price_c FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-06'
+        |  UNION ALL SELECT 1, o_orderkey, price_c FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+        |  UNION ALL SELECT 2, o_orderkey, price_c FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03')
+        |SELECT version, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // All three count families (committed deltas, metadata snapshot count,
+    // actual scan count) derived independently from the base table — the
+    // manifest's recorded nrec values must land exactly on them.
+    "etl_log_rowcounts" ->
+      """WITH app AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |c AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM app
+        |     WHERE pmonth >= '1997-01' AND pmonth <= '1997-06') AS c0,
+        |    (SELECT COUNT(*) FROM app
+        |     WHERE pmonth >= '1997-07' AND pmonth <= '1997-09') AS c1,
+        |    (SELECT COUNT(*) FROM app
+        |     WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+        |       AND o_orderkey % 10 = 7) AS cd)
+        |SELECT 0 AS version, 'create' AS operation,
+        |  CAST(c0 AS BIGINT) AS recs_added, CAST(0 AS BIGINT) AS recs_tombstoned,
+        |  CAST(c0 AS BIGINT) AS n_rows_meta, CAST(c0 AS BIGINT) AS n_rows_scan
+        |FROM c
+        |UNION ALL SELECT 1, 'append', CAST(c1 AS BIGINT), 0,
+        |  CAST(c0 + c1 AS BIGINT), CAST(c0 + c1 AS BIGINT) FROM c
+        |UNION ALL SELECT 2, 'delete', 0, CAST(cd AS BIGINT),
+        |  CAST(c0 + c1 - cd AS BIGINT), CAST(c0 + c1 - cd AS BIGINT) FROM c
+        |ORDER BY version""".stripMargin,
     // The raced writers' union, plus the version count the race must
     // produce (3 = create + both appends, no lost update).
     "etl_concurrent_commits" ->

@@ -130,7 +130,8 @@ object VersionedTable {
     * is 10M footer GETs). */
   final case class LogEntry(version: Int, action: String, file: String,
                             part: String, smin: Option[Long], smax: Option[Long],
-                            fschema: Option[String] = None)
+                            fschema: Option[String] = None,
+                            nrec: Option[Long] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,14 +157,18 @@ object VersionedTable {
 
   private def collectEntries(df: DataFrame): Seq[LogEntry] = {
     val hasSchema = df.columns.contains("fschema")
+    val hasNrec = df.columns.contains("nrec")
     val cols = Seq("version", "action", "file", "part", "smin", "smax") ++
-      (if (hasSchema) Seq("fschema") else Nil)
+      (if (hasSchema) Seq("fschema") else Nil) ++
+      (if (hasNrec) Seq("nrec") else Nil)
+    val nrecIdx = if (hasSchema) 7 else 6
     df.select(cols.map(col): _*).collect()
       .map(r => LogEntry(r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
-        if (hasSchema && !r.isNullAt(6)) Some(r.getString(6)) else None))
+        if (hasSchema && !r.isNullAt(6)) Some(r.getString(6)) else None,
+        if (hasNrec && !r.isNullAt(nrecIdx)) Some(r.getLong(nrecIdx)) else None))
       .toSeq
   }
 
@@ -221,9 +226,11 @@ object VersionedTable {
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
     import spark.implicits._
     val rows = liveEntries(spark, path, version)
-      .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema))
+      .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema,
+        e.nrec))
     val tmp = s"$path/_ckpttmp_${newToken()}"
-    rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema")
+    rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
+        "nrec")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -240,13 +247,24 @@ object VersionedTable {
     * non-empty live set (and still on disk) — the schema template for
     * empty-slice reads. Walking DOWN from the requested version (never up)
     * means an empty old snapshot can never expose columns a LATER commit
-    * introduced. */
+    * introduced. One batched manifest read serves EVERY candidate version:
+    * the per-version live sets are derived in memory from that single pass
+    * (a per-version liveEntries replay would cost O(V²) driver-side
+    * manifest reads on a long-lived table — for what is usually the
+    * degenerate empty-slice path). */
   private def schemaTemplateFile(spark: SparkSession, path: String,
                                  version: Int): Option[String] = {
     val f = fs(spark, path)
+    val rows = logRows(spark, path, -1, version)
+    // earliest version at which each file was removed; an add is live at v
+    // iff added at ≤ v and not removed at ≤ v
+    val removedAt = rows.filter(_.action == "remove")
+      .groupBy(_.file).map { case (fl, es) => fl -> es.map(_.version).min }
+    val adds = rows.filter(_.action == "add").sortBy(-_.version)
     (version to 0 by -1).iterator
-      .flatMap(v => liveEntries(spark, path, v)
-        .collectFirst { case e if e.action == "add" => s"$path/${e.file}" })
+      .flatMap(v => adds.find(e =>
+        e.version <= v && removedAt.get(e.file).forall(_ > v))
+        .map(e => s"$path/${e.file}"))
       .find(p => f.exists(new Path(p)))
   }
 
@@ -255,20 +273,28 @@ object VersionedTable {
     * tombstones (same pruning) are applied as a left-anti join on the
     * tombstone files' own columns — merge-on-read. `mergeSchema` tolerates
     * commits that widened the schema (appended columns): missing columns
-    * read back as null in older files. It costs a footer read per file — a
-    * production log would store the schema in the manifest (as Delta does)
-    * instead of re-deriving it; kept simple here since the graded fixtures
-    * are small. */
+    * read back as null in older files. The union schema is composed FROM
+    * THE LOG's recorded write schemas ([[unionSchemaOf]]) whenever every
+    * selected entry carries one — zero footer reads, the property that
+    * matters at 10M files where footer-based mergeSchema costs 10M GETs
+    * (Delta stores the schema in the log for the same reason). Entries
+    * predating schema recording (or disagreeing on a field's type) fall
+    * back to footer-based mergeSchema. */
   def read(spark: SparkSession, path: String, version: Int,
            partValues: Option[Set[String]] = None,
            mergeSchema: Boolean = false): DataFrame = {
     val entries = liveEntries(spark, path, version)
       .filter(e => partValues.forall(_(e.part)))
-    val dataFiles = entries.collect {
-      case e if e.action == "add" => s"$path/${e.file}" }
+    val dataEntries = entries.filter(_.action == "add")
+    val dataFiles = dataEntries.map(e => s"$path/${e.file}")
     val tombFiles = entries.collect {
       case e if e.action == "tomb" => s"$path/${e.file}" }
-    val reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    val logSchema =
+      if (mergeSchema) unionSchemaOf(dataEntries) else None
+    val reader = logSchema match {
+      case Some(u) => spark.read.schema(u)
+      case None => spark.read.option("mergeSchema", mergeSchema.toString)
+    }
     val data =
       if (dataFiles.nonEmpty) reader.parquet(dataFiles: _*)
       else schemaTemplateFile(spark, path, version)
@@ -332,25 +358,38 @@ object VersionedTable {
       }
     }
     val listed = out.result()
-    val stats: Map[String, (Long, Long)] = statsCol match {
-      case None => Map.empty
-      case Some(c) =>
-        spark.read.parquet(listed.map { case (rel, _) => s"$path/$rel" }: _*)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(min(col(c).cast("long")).as("__mn"),
-            max(col(c).cast("long")).as("__mx"))
-          .collect().map { r =>
-            val fp = r.getString(0)
-            val i = fp.indexOf(commitRel)
-            require(i >= 0, s"stats path $fp lacks attempt dir $commitRel")
-            fp.substring(i) -> (r.getLong(1), r.getLong(2))
-          }.toMap
-    }
+    // One read-back pass records per-file metrics for the manifest: row
+    // COUNT always (the scan projects no data columns, so the vectorized
+    // reader answers from row-group metadata — near-free, and it makes
+    // count-only queries and CDF sizing metadata-only downstream, Delta's
+    // numRecords), plus min/max of `statsCol` when the table declares one.
+    // A native writer would emit both during the write; Spark's writer API
+    // does not surface per-task file stats, so the read-back is the honest
+    // path.
+    val statAggs =
+      count(lit(1L)).as("__n") +:
+      statsCol.toSeq.flatMap(c => Seq(
+        min(col(c).cast("long")).as("__mn"),
+        max(col(c).cast("long")).as("__mx")))
+    val stats: Map[String, (Long, Option[Long], Option[Long])] =
+      if (listed.isEmpty) Map.empty // an all-deletes rewrite writes no files
+      else spark.read.parquet(listed.map { case (rel, _) => s"$path/$rel" }: _*)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect().map { r =>
+          val fp = r.getString(0)
+          val i = fp.indexOf(commitRel)
+          require(i >= 0, s"stats path $fp lacks attempt dir $commitRel")
+          val mm =
+            if (statsCol.isEmpty) (None, None)
+            else (Some(r.getLong(2)), Some(r.getLong(3)))
+          fp.substring(i) -> ((r.getLong(1), mm._1, mm._2))
+        }.toMap
     val schemaJson = df.schema.json
     listed.map { case (rel, part) =>
       val st = stats.get(rel)
-      LogEntry(version, "add", rel, part, st.map(_._1), st.map(_._2),
-        Some(schemaJson))
+      LogEntry(version, "add", rel, part, st.flatMap(_._2), st.flatMap(_._3),
+        Some(schemaJson), st.map(_._1))
     }
   }
 
@@ -396,23 +435,26 @@ object VersionedTable {
                               opName: String, ts: Option[Long]): Boolean = {
     import spark.implicits._
     val fileOps =
-      adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema)) ++
-      tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax, e.fschema)) ++
+      adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema,
+        e.nrec)) ++
+      tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax,
+        e.fschema, e.nrec)) ++
       removes.map { case (fl, p) =>
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
-          None: Option[String]) }
+          None: Option[String], None: Option[Long]) }
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
     // filters on add/tomb/remove and ignores it
     val rows0 = if (fileOps.nonEmpty) fileOps
       else Seq((version, "noop", null: String, null: String,
-        None: Option[Long], None: Option[Long], None: Option[String]))
-    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc) =>
-      (v, a, fl, p, mn, mx, sc, ts, opName) }
+        None: Option[Long], None: Option[Long], None: Option[String],
+        None: Option[Long]))
+    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc, nr) =>
+      (v, a, fl, p, mn, mx, sc, nr, ts, opName) }
     val tmp = s"$path/_logtmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
-        "ts", "op")
+        "nrec", "ts", "op")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -462,6 +504,14 @@ object VersionedTable {
     * aborts if any intervening commit touched one of those partitions
     * (our output is stale for them — Delta's conflict semantics), else
     * rebases the SAME data files to the next version (manifest-only). */
+  /** Retries are bounded: each failed claim means ANOTHER writer published
+    * a version, so `maxAttempts` losses in a row is either contention far
+    * past what optimistic concurrency should absorb or a filesystem whose
+    * claim errors rather than returning false — both must surface, not
+    * spin. The per-retry backoff (linear, small) de-synchronizes herds of
+    * blind appenders; a jittered exponential is the production knob. */
+  private val MaxCommitAttempts = 64
+
   private[graft] def commitAttempt(spark: SparkSession, path: String,
                                    readVersion: Int,
                                    adds: Seq[LogEntry], tombs: Seq[LogEntry],
@@ -469,7 +519,16 @@ object VersionedTable {
                                    affected: Option[Set[String]],
                                    opName: String, ts: Option[Long]): Commit = {
     var v = readVersion + 1
+    var attempts = 0
     while (!publishIfAbsent(spark, path, v, adds, tombs, removes, opName, ts)) {
+      attempts += 1
+      if (attempts >= MaxCommitAttempts) {
+        cleanupAttempt(spark, path, adds ++ tombs)
+        throw new ConcurrentModificationException(
+          s"commit at $path lost the version race $attempts times " +
+          s"(last tried v$v) — contention beyond optimistic-commit limits " +
+          "or a claim mechanism that cannot report loss")
+      }
       val latest = math.max(latestVersion(spark, path), v)
       affected.foreach { parts =>
         val clash = logRows(spark, path, readVersion, latest)
@@ -481,6 +540,7 @@ object VersionedTable {
             s"touched partitions ${clash.map(_.part).distinct.take(5).mkString(", ")}")
         }
       }
+      if (attempts > 1) Thread.sleep(math.min(100L, 5L * attempts))
       v = latest + 1
     }
     Commit(v, adds.size + tombs.size, removes.size)
@@ -546,6 +606,27 @@ object VersionedTable {
     val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol, statsCol,
       fileSplits)
     commitAttempt(spark, path, cur, adds, Nil, Nil, None, "append", ts)
+  }
+
+  /** OVERWRITE as a new commit — SaveMode.Overwrite's semantics inside the
+    * log (Delta's replace): every live entry (data AND tombstones) of the
+    * current snapshot is removed from the manifest and `df` becomes the
+    * whole table, as one atomic version. Old files stay on disk, so TIME
+    * TRAVEL ACROSS THE OVERWRITE works — the property a directory
+    * overwrite destroys. Conflict scope is the union of old and new
+    * partitions (i.e. effectively the table): any concurrent commit
+    * aborts one side, as it must for a whole-table replace. */
+  def overwriteCommit(spark: SparkSession, path: String, df: DataFrame,
+                      partitionCol: String,
+                      statsCol: Option[String] = None,
+                      ts: Option[Long] = None, fileSplits: Int = 1): Commit = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 0, s"overwriteCommit: $path has no version 0 — create() first")
+    val removes = liveEntries(spark, path, cur).map(e => (e.file, e.part))
+    val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol,
+      statsCol, fileSplits)
+    commitAttempt(spark, path, cur, adds, Nil, removes,
+      Some((removes.map(_._2) ++ adds.map(_.part)).toSet), "overwrite", ts)
   }
 
   /** MERGE INTO as a new commit: partition-granularity COW against the
@@ -653,20 +734,46 @@ object VersionedTable {
   }
 
   /** Commit metadata, one row per version: (version, ts, operation, file-op
-    * counts). Driver-resolvable but returned as a DataFrame so it composes
+    * counts, row-count deltas). `n_recs_added`/`n_recs_tombstoned` sum the
+    * manifest's per-file `nrec` — answered from the LOG alone, no data
+    * I/O (what makes "how many rows did commit v add" metadata-only at
+    * 100 TB). Driver-resolvable but returned as a DataFrame so it composes
     * (and grades) like any query. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val latest = latestVersion(spark, path)
     require(latest >= 0, s"history: $path has no log")
     val files = (0 to latest).map(v => f"${logDir(path)}/v$v%05d.parquet")
-    spark.read.parquet(files: _*)
+    val log = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val withNrec =
+      if (log.columns.contains("nrec")) log
+      else log.withColumn("nrec", lit(null).cast("long"))
+    withNrec
       .groupBy(col("version"))
       .agg(first(col("ts"), ignoreNulls = true).as("ts"),
         first(col("op"), ignoreNulls = true).as("operation"),
         sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_added"),
         sum(when(col("action") === "tomb", 1L).otherwise(0L)).as("n_tombstones"),
-        sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removed"))
+        sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("action") === "add", col("nrec"))).as("n_recs_added"),
+        sum(when(col("action") === "tomb", col("nrec")))
+          .as("n_recs_tombstoned"))
       .orderBy("version")
+  }
+
+  /** Snapshot row count answered from the LOG alone: sum of live data
+    * files' `nrec` minus live tombstone files' `nrec`. None when any live
+    * entry predates nrec recording. EXACT when every live tombstone key
+    * matches exactly one live row — the invariant [[deleteCommit]] keys
+    * derived from the table itself satisfy; tombstones written with
+    * unmatched or duplicate keys make this an estimate (Delta keeps DV
+    * cardinality exact by construction; a key-tombstone log trades that
+    * for the O(|keys|) delete). */
+  def snapshotRowCount(spark: SparkSession, path: String,
+                       version: Int): Option[Long] = {
+    val entries = liveEntries(spark, path, version)
+    if (entries.exists(_.nrec.isEmpty)) None
+    else Some(entries.map(e =>
+      if (e.action == "tomb") -e.nrec.get else e.nrec.get).sum)
   }
 
   /** Greatest version whose commit ts ≤ `tsv` — timestamp time travel.
@@ -741,9 +848,18 @@ object VersionedTable {
           s"$path/${e.file}" }
       if (tombF.nonEmpty) {
         // deletion-vector commit: the deleted images are the prior
-        // snapshot's rows matching the new tombstone keys
+        // snapshot's rows matching the new tombstone keys. The prior read
+        // is PRUNED to the tombstones' own partitions (the manifest
+        // records each tombstone file's partition; deleteCommit keys carry
+        // the partition column) — the diff's scan is bounded by the
+        // commit's affected partitions, like the COW branch, instead of a
+        // full prior-snapshot scan (at 100 TB a 1-row delete's CDF must
+        // not read the table).
+        val tombParts = rows.collect {
+          case e if e.action == "tomb" => e.part }.toSet
         val tomb = spark.read.parquet(tombF: _*)
-        val prev = read(spark, path, v - 1, mergeSchema = true)
+        val prev = read(spark, path, v - 1, Some(tombParts),
+          mergeSchema = true)
         Seq(tag(prev.join(tomb, tomb.columns.toSeq, "left_semi"), v, "delete"))
       } else {
         val added = if (addF.isEmpty) None
@@ -770,14 +886,26 @@ object VersionedTable {
   }
 
   /** Deletes every data/tombstone file referenced by NO retained snapshot
-    * (retained = the last `retainLast` versions) AND older than the latest
-    * manifest — the age guard keeps an IN-FLIGHT commit's just-written,
-    * not-yet-published files safe from a concurrent vacuum (they are
-    * unreferenced by construction until their manifest lands, but strictly
-    * newer than every published manifest). `inflightGraceMs` widens that
-    * window for clock skew between writers (object-store deployments pass
-    * hours, Delta-style). Orphans from CRASHED commits age past the next
-    * successful commit's manifest and are then reclaimed. Returns the
+    * (retained = the last `retainLast` versions) AND older than the age
+    * cutoff `min(latest manifest mtime, now - inflightGraceMs)`. The two
+    * legs guard two different in-flight windows:
+    *   - files strictly newer than the latest manifest are a still-running
+    *     commit's unpublished output (it started after the last publish);
+    *   - files older than that manifest can STILL be in flight — a writer
+    *     that loses a version race wrote its data files BEFORE the manifest
+    *     it lost to, and only rebases them to the next version afterwards.
+    *     Nothing on disk distinguishes that rebase-window file from a
+    *     crashed commit's orphan, so the only sound guard is TIME:
+    *     `inflightGraceMs` must exceed the longest interval a writer can
+    *     sit between finishing its data write and publishing its (possibly
+    *     rebased) manifest. Delta's vacuum defaults this to 7 DAYS for the
+    *     same reason; production deployments should pass hours at minimum.
+    * The default 0 keeps vacuum deterministic for tests and maintenance
+    * windows but is ONLY safe when no writer is concurrently committing —
+    * with grace 0, vacuum racing a loser's rebase can reap its unpublished
+    * files and the rebased manifest would then reference deleted data.
+    * Orphans from CRASHED commits age past the grace (and the next
+    * successful commit's manifest) and are then reclaimed. Returns the
     * deleted relative paths. Live data of retained versions is untouched —
     * grading reads the latest snapshot back after vacuuming. */
   def vacuum(spark: SparkSession, path: String, retainLast: Int,
@@ -787,9 +915,10 @@ object VersionedTable {
     val keep = (math.max(0, latest - retainLast + 1) to latest)
       .flatMap(v => liveEntries(spark, path, v).map(_.file)).toSet
     val f = fs(spark, path)
-    val cutoff = f.getFileStatus(
-      new Path(f"${logDir(path)}/v$latest%05d.parquet")).getModificationTime -
-      inflightGraceMs
+    val cutoff = math.min(
+      f.getFileStatus(
+        new Path(f"${logDir(path)}/v$latest%05d.parquet")).getModificationTime,
+      System.currentTimeMillis() - inflightGraceMs)
     val it = f.listFiles(new Path(s"$path/data"), true)
     val deleted = Seq.newBuilder[String]
     while (it.hasNext) {

@@ -148,6 +148,13 @@ object Streams {
   private def runToParquet(s: SparkSession, df: DataFrame, name: String,
                            mode: String): DataFrame = {
     val dir = s"${graft.fixtureRoot}/stream_sink_$name"
+    // Clear the PREVIOUS run's sink before starting: a run that yields
+    // zero microbatches (or dies before its first batch) writes nothing,
+    // and reading back a stale dir would silently return the previous
+    // run's result instead of failing.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true)
     val prior = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamShards.get().toString)
     try {
@@ -157,6 +164,9 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      if (!fs.exists(dirPath))
+        throw new IllegalStateException(
+          s"stream $name produced no microbatches — no sink output at $dir")
       s.read.parquet(dir)
     } finally s.conf.set("spark.sql.shuffle.partitions", prior)
   }

@@ -554,4 +554,133 @@ class VersionedTableSpec extends AnyFunSuite {
       "v1's empty slice leaked v2's column")
     assert(emptySlice.columns.toSet == Set("k", "v", "p"))
   }
+
+  test("vacuum grace protects the rebase window (loser's files predate the winner's manifest)") {
+    val dir = newTable()
+    // a LOSER writer finishes its data files first...
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 1,
+      Seq((4001L, 1L, "p0")).toDF("k", "v", "p"), "p", None)
+    Thread.sleep(15)
+    // ...then a WINNER publishes v1, so the loser's unpublished files are
+    // strictly OLDER than the latest manifest — the rebase window where a
+    // graceless vacuum would reap them before commitAttempt rebases
+    VersionedTable.appendCommit(spark, dir,
+      Seq((4002L, 2L, "p0")).toDF("k", "v", "p"), "p")
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 1,
+      inflightGraceMs = 60000L)
+    assert(!deleted.exists(_.contains("c00001")),
+      s"vacuum reaped the rebase-window files: $deleted")
+    // the loser rebases onto v2 and its data reads back intact
+    val c = VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, Nil,
+      None, "append", None)
+    assert(c.version == 2 && state(dir, 2).contains(4001L))
+  }
+
+  test("manifest row counts: history deltas and metadata-only snapshot counts") {
+    val dir = newTable()
+    VersionedTable.appendCommit(spark, dir,
+      Seq((101L, 1L, "p0"), (102L, 2L, "p1")).toDF("k", "v", "p"), "p")
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((1L, "p0"), (2L, "p1"), (3L, "p2")).toDF("k", "p"), "p")
+    val h = VersionedTable.history(spark, dir)
+      .select($"version", $"n_recs_added", $"n_recs_tombstoned")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
+    assert(h == Seq((0, 30L, 0L), (1, 2L, 0L), (2, 0L, 3L)),
+      s"history record deltas wrong: $h")
+    // snapshot counts answered from the log alone must equal the scans
+    (0 to 2).foreach { v =>
+      val meta = VersionedTable.snapshotRowCount(spark, dir, v)
+      val actual = VersionedTable.read(spark, dir, v).count()
+      assert(meta.contains(actual), s"v$v: meta=$meta actual=$actual")
+    }
+    // counts survive checkpoint replay
+    VersionedTable.checkpoint(spark, dir, 2)
+    assert(VersionedTable.snapshotRowCount(spark, dir, 2).contains(29L))
+  }
+
+  test("format(\"graftvt\") options map onto read()/readAsOf exactly") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir, baseDf, "p", ts = Some(1000L))
+    VersionedTable.appendCommit(spark, dir,
+      Seq((201L, 7L, "p1", "w")).toDF("k", "v", "p", "late"), "p",
+      ts = Some(2000L))
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((5L, "p1")).toDF("k", "p"), "p", ts = Some(3000L))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"k", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // versionAsOf ≡ read(v)
+    (0 to 2).foreach { v =>
+      assert(m(spark.read.format("graftvt").option("versionAsOf", v)
+        .load(dir)) == state(dir, v), s"versionAsOf $v drifted from read()")
+    }
+    // default = latest; timestampAsOf ≡ readAsOf
+    assert(m(spark.read.format("graftvt").load(dir)) == state(dir, 2))
+    assert(m(spark.read.format("graftvt").option("timestampAsOf", 2500L)
+      .load(dir)) == state(dir, 1))
+    // mergeSchema surfaces the widened column, older rows null
+    val wide = spark.read.format("graftvt").option("versionAsOf", 1)
+      .option("mergeSchema", "true").load(dir)
+    assert(wide.columns.contains("late"))
+    assert(wide.filter($"late".isNotNull).count() == 1)
+    // partition pruning + pushed filters return the right slice
+    val sliced = spark.read.format("graftvt").option("partitions", "p1")
+      .option("versionAsOf", 0).load(dir).filter($"k" > 10L)
+    assert(sliced.collect().forall(r => r.getAs[String]("p") == "p1"))
+    // the SQL surface: CREATE TEMPORARY VIEW ... USING graftvt
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_vt_spec " +
+      s"USING graftvt OPTIONS (path '$dir', versionAsOf '2')")
+    assert(m(spark.table("graft_vt_spec")) == state(dir, 2))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_vt_spec WHERE p = 'p2'")
+      .head.getLong(0) == state(dir, 2).size / 3)
+    spark.catalog.dropTempView("graft_vt_spec")
+  }
+
+  test("write.format(\"graftvt\") SaveModes map onto commit primitives") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    def w(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graftvt").option("partitionCol", "p")
+    w(baseDf).mode("errorifexists").save(dir)                       // v0 create
+    w(Seq((501L, 5L, "p1")).toDF("k", "v", "p")).mode("append").save(dir) // v1
+    intercept[Exception] { w(baseDf).mode("errorifexists").save(dir) }
+    assert(state(dir, 1).size == 31 && state(dir, 1)(501L) == 5L)
+    // overwrite replaces the WHOLE table in one version, history intact
+    w(Seq((900L, 9L, "p0")).toDF("k", "v", "p")).mode("overwrite").save(dir)
+    assert(VersionedTable.latestVersion(spark, dir) == 2)
+    assert(state(dir, 2) == Map(900L -> 9L), "overwrite must replace, not merge")
+    assert(state(dir, 1).size == 31, "pre-overwrite history lost")
+    // ignore: no-op on an existing table
+    w(Seq((999L, 1L, "p0")).toDF("k", "v", "p")).mode("ignore").save(dir)
+    assert(VersionedTable.latestVersion(spark, dir) == 2)
+    // history records the overwrite op and its record delta
+    val h = VersionedTable.history(spark, dir)
+      .filter($"version" === 2).select($"operation", $"n_recs_added")
+      .head
+    assert(h.getString(0) == "overwrite" && h.getLong(1) == 1L)
+  }
+
+  test("contended appends all terminate; a stale reader rebases past them") {
+    // The retry loop is bounded (MaxCommitAttempts) — sustained contention
+    // or a claim that errors instead of returning false now surfaces as
+    // ConcurrentModificationException rather than spinning. Exercise the
+    // live path: three concurrent blind appends against the same version
+    // must all terminate with dense versions, and a writer holding a
+    // stale readVersion afterwards rebases once and lands on top.
+    val dir = newTable()
+    val threads = (1 to 3).map { i =>
+      new Thread(() => VersionedTable.appendCommit(spark, dir,
+        Seq((8000L + i, i.toLong, "p0")).toDF("k", "v", "p"), "p"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "a racing appendCommit never terminated")
+    assert(VersionedTable.latestVersion(spark, dir) == 3)
+    val adds = VersionedTable.writeCommitFiles(spark, dir, 4,
+      Seq((7001L, 1L, "p0")).toDF("k", "v", "p"), "p", None)
+    val c = VersionedTable.commitAttempt(spark, dir, 0, adds, Nil, Nil,
+      None, "append", None)
+    assert(c.version == 4 && state(dir, 4).contains(7001L))
+    assert((8001L to 8003L).forall(state(dir, 4).contains))
+  }
 }
