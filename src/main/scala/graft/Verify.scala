@@ -11,9 +11,14 @@ object Verify {
       case Array(a, b, c) => (a, b, c.split(",").toSet)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-run knob (same contract as Bench): at sf30 a 32-wide shuffle
+    // puts ~6M-row task working sets on one heap and spills hundreds of GB
+    // — width must scale with data (SCALING.md sf30 probe).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -135,6 +135,17 @@ object MergeSink {
       seqCol: String, targetSeqCol: Option[String]): DataFrame = {
     val payloadCols = target.columns.filterNot(c =>
       keyCols.contains(c) || c == partitionCol).toSeq
+    // A change batch may be NARROWER than the target (the target gained a
+    // column after the producer was written — the standard CDC-vs-widened-
+    // table drift): merge semantics are whole-row replacement, so a change
+    // row simply reads null for the columns it doesn't carry. A change
+    // batch carrying columns the target LACKS is an error, not a silent
+    // drop — schema widening goes through append/overwrite commits.
+    val extra = changes.columns.filterNot(c =>
+      target.columns.contains(c) || c == opCol || c == seqCol)
+    require(extra.isEmpty,
+      s"merge: change columns [${extra.mkString(", ")}] not in the target " +
+        "schema — widen the table with an append/overwrite commit first")
     val ordered = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
       .orderBy(
         (if (targetSeqCol.isDefined) Seq(col("__seq").desc, col("__src").desc)
@@ -145,7 +156,8 @@ object MergeSink {
         targetSeqCol.map(c => col(c).cast("long")).getOrElse(lit(0L)))
       .unionByName(changes
         .withColumnRenamed(opCol, "__op").withColumn("__src", lit(1))
-        .withColumn("__seq", col(seqCol).cast("long")).drop(seqCol))
+        .withColumn("__seq", col(seqCol).cast("long")).drop(seqCol),
+        allowMissingColumns = true)
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
       .select((keyCols ++ payloadCols :+ partitionCol).map(col): _*)

@@ -552,15 +552,44 @@ object VersionedTable {
     * commit's metadata timestamp (see [[readAsOf]]). */
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionCol: String, statsCol: Option[String] = None,
-             ts: Option[Long] = None, fileSplits: Int = 1): Commit = {
+             ts: Option[Long] = None, fileSplits: Int = 1,
+             opName: String = "create"): Commit = {
     require(latestVersion(spark, path) < 0, s"create: $path already has a log")
     val adds = writeCommitFiles(spark, path, 0, df, partitionCol, statsCol,
       fileSplits)
-    if (!publishIfAbsent(spark, path, 0, adds, Nil, Nil, "create", ts)) {
+    if (!publishIfAbsent(spark, path, 0, adds, Nil, Nil, opName, ts)) {
       cleanupAttempt(spark, path, adds)
       throw new ConcurrentModificationException(s"concurrent create at $path")
     }
     Commit(0, adds.size, 0)
+  }
+
+  /** Exactly-once streaming-sink markers, Delta SetTransaction-style but
+    * carried in the commit's op metadata: [[txnOp]] stamps a commit with
+    * `(appId, batchId)`, [[lastTxn]] recovers the highest batch id a given
+    * app ever committed — the graftvt streaming sink skips replayed
+    * microbatches whose id is ≤ that watermark, making
+    * `writeStream.format("graftvt")` idempotent across query restarts. */
+  def txnOp(base: String, appId: String, batchId: Long): String = {
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      s"txn appId must be non-empty with no whitespace: '$appId'")
+    s"$base txn=$appId/$batchId"
+  }
+
+  /** Highest streaming batch id committed under `appId` (−1 if none or no
+    * table). One metadata-bounded log read; the sink caches the result and
+    * only pays it once per (re)start. */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Long = {
+    val latest = latestVersion(spark, path)
+    if (latest < 0) return -1L
+    val files = (0 to latest).map(v => f"${logDir(path)}/v$v%05d.parquet")
+    val marker = s" txn=$appId/"
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .select(col("op")).where(col("op").contains(marker))
+      .distinct().collect()
+      .map(_.getString(0))
+      .map(op => op.substring(op.indexOf(marker) + marker.length).trim.toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   /** Snapshot read pruned by the manifest's column metrics: only data files
@@ -600,12 +629,13 @@ object VersionedTable {
   def appendCommit(spark: SparkSession, path: String, df: DataFrame,
                    partitionCol: String,
                    statsCol: Option[String] = None,
-                   ts: Option[Long] = None, fileSplits: Int = 1): Commit = {
+                   ts: Option[Long] = None, fileSplits: Int = 1,
+                   opName: String = "append"): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"appendCommit: $path has no version 0 — create() first")
     val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol, statsCol,
       fileSplits)
-    commitAttempt(spark, path, cur, adds, Nil, Nil, None, "append", ts)
+    commitAttempt(spark, path, cur, adds, Nil, Nil, None, opName, ts)
   }
 
   /** OVERWRITE as a new commit — SaveMode.Overwrite's semantics inside the

@@ -20,6 +20,33 @@ object PlanShim {
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Re-plan a DataFrame as `LogicalRDD` over its own executed `toRdd`,
+    * flipping the `isStreaming` flag — the two directions V1 streaming
+    * needs (both are Spark's own recipes):
+    *   - streaming = true: a `Source.getBatch` return value
+    *     (MicroBatchExecution asserts the spliced plan is
+    *     streaming-flagged; Delta's `createDataFrame(..., isStreaming =
+    *     true)` plays the same trick one level lower);
+    *   - streaming = false: a `Sink.addBatch` input re-wrapped so it can
+    *     be fed to a normal batch writer (the incoming frame is bound to
+    *     the query's IncrementalExecution and cannot be re-planned —
+    *     Spark's own ForeachBatchSink does exactly this re-wrap).
+    * The inner plan still optimizes and executes normally — pushdown,
+    * codegen — and only the already-computed rows cross the boundary.
+    * Evaluation stays lazy; `toRdd` builds the RDD graph without running
+    * a job. */
+  private def replanned(spark: SparkSession, df: DataFrame,
+                        streaming: Boolean): DataFrame =
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd,
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]], streaming))
+
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame =
+    replanned(spark, df, streaming = true)
+
+  def executedBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    replanned(spark, df, streaming = false)
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, st: SparkStrategy): Unit = {
     val exp = classicSession(spark).experimental
