@@ -922,6 +922,59 @@ object Etl {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // File skipping THROUGH THE SQL SURFACE: the manifest names its stats
+    // column (scol), so a plain `WHERE o_orderkey BETWEEN lo AND hi` pushed
+    // into format("graftvt") prunes the file list from the log — the user
+    // writes a predicate, not a readRange call. The graded row runs the
+    // range aggregate through the pure SQL path AND emits the live/pruned
+    // file counts from the same statsBounds prune the relation applies;
+    // the oracle re-derives the prune decision from the raw manifest
+    // (including the scol gate) and the aggregate from the full base
+    // table — a relation that scans everything, over-prunes, or mis-reads
+    // the stats column name fails the hash. Range differs from
+    // etl_manifest_skipping's (5/8..6/8 vs 3/8..4/8) so the two rows can't
+    // mask each other.
+    "etl_sql_skipping" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      import graft.sources.VersionedTable
+      val latest = VersionedTable.latestVersion(s, vtSeqPath)
+      val nLive = VersionedTable.liveEntries(s, vtSeqPath, latest).size
+      val mxKey = Tables.orders(s, d).agg(max($"o_orderkey"))
+        .collect()(0).getLong(0)
+      val (lo, hi) = (mxKey * 5 / 8, mxKey * 6 / 8)
+      val nScanned = VersionedTable.read(s, vtSeqPath, latest, None, false,
+        Map("o_orderkey" -> (lo, hi))).inputFiles.length
+      s.read.format("graftvt").load(vtSeqPath)
+        .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .select(lit(nLive.toLong).as("n_files_live"),
+          lit(nScanned.toLong).as("n_files_scanned"),
+          $"n_rows", $"xor_key", $"sum_price_c")
+    }),
+
+    // Batch change-data-feed through the SQL surface (Delta's
+    // table_changes): option("readChangeFeed", true) + a version range is
+    // the whole API — no VersionedTable.changes call in user code. Same
+    // declarative oracle as etl_cdf_rows, so the option surface is graded
+    // against the exact logical deltas, not against the library it wraps.
+    "etl_sql_cdf" -> ((s, d) => {
+      import s.implicits._
+      writeVersionedFixture(s, d)
+      s.read.format("graftvt").option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("endingVersion", 2)
+        .load(vtPath)
+        .select($"_commit_version".as("version"),
+          $"_change_type".as("change_type"), $"o_orderkey", $"price_c")
+        .groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .orderBy("version", "change_type")
+    }),
+
     // Manifest row counts (Delta's numRecords): every commit records each
     // file's row count in the log, so "how many rows did commit v add"
     // (history's n_recs columns) and "how many rows is snapshot v"
@@ -1574,6 +1627,60 @@ object Etl {
         |SELECT version, COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY version ORDER BY version""".stripMargin,
+    // Prune decision re-derived from the raw manifest INCLUDING the scol
+    // gate (a file is skippable only when its stats column IS the predicate
+    // column); aggregate from the full base table.
+    "etl_sql_skipping" ->
+      s"""WITH params AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+         |bounds AS (SELECT (mx*5)//8 AS lo, (mx*6)//8 AS hi FROM params),
+         |log AS (
+         |  SELECT action, file, smin, smax, scol
+         |  FROM read_parquet('$vtSeqPath/_log/*.parquet')),
+         |live AS (
+         |  SELECT file, smin, smax, scol FROM log WHERE action = 'add'
+         |  AND file NOT IN (SELECT file FROM log WHERE action = 'remove')),
+         |scan AS (
+         |  SELECT COUNT(*) AS n_scan FROM live, bounds
+         |  WHERE scol IS DISTINCT FROM 'o_orderkey'
+         |     OR ((smin IS NULL OR smin <= hi)
+         |         AND (smax IS NULL OR smax >= lo))),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+         |    CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100)
+         |      AS BIGINT)) AS BIGINT) AS sum_price_c
+         |  FROM orders, bounds
+         |  WHERE o_orderkey >= lo AND o_orderkey <= hi)
+         |SELECT (SELECT COUNT(*) FROM live) AS n_files_live,
+         |  (SELECT n_scan FROM scan) AS n_files_scanned,
+         |  n_rows, xor_key, sum_price_c
+         |FROM agg""".stripMargin,
+    // Identical logical deltas to etl_cdf_rows — the readChangeFeed option
+    // surface must feed exactly what the library's changes() feeds.
+    "etl_sql_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 10 = 3
+        |    AND pmonth >= '1996-01' AND pmonth <= '1996-12'),
+        |del AS (
+        |  SELECT o_orderkey, price_c FROM base
+        |  WHERE o_orderkey % 100 = 42
+        |    AND pmonth >= '1996-03' AND pmonth <= '1996-06'),
+        |u AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, o_orderkey,
+        |    price_c + 111 AS price_c FROM upd
+        |  UNION ALL SELECT 1, 'delete', o_orderkey, price_c FROM upd
+        |  UNION ALL SELECT 2, 'delete', o_orderkey, price_c FROM del)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     // All three count families (committed deltas, metadata snapshot count,
     // actual scan count) derived independently from the base table — the
     // manifest's recorded nrec values must land exactly on them.

@@ -186,6 +186,18 @@ final class GraftVtSource extends RelationProvider
       !(parameters.contains("versionAsOf") &&
         parameters.contains("timestampAsOf")),
       "graftvt: versionAsOf and timestampAsOf are mutually exclusive")
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      // batch CDF (Delta's table_changes): the row-level diff of a commit
+      // range as a queryable relation — `_commit_version`, `_change_type`
+      // + table columns, straight off VersionedTable.changes
+      val from = parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0)
+      val to = parameters.get("endingVersion").map(_.trim.toInt)
+        .getOrElse(VersionedTable.latestVersion(spark, path))
+      require(to >= from,
+        s"graftvt: endingVersion $to precedes startingVersion $from")
+      return new GraftVtCdfRelation(sqlContext,
+        VersionedTable.changes(spark, path, from, to))
+    }
     val version = parameters.get("versionAsOf").map(_.trim.toInt)
       .orElse(parameters.get("timestampAsOf").map(t =>
         VersionedTable.versionAsOf(spark, path, t.trim.toLong)))
@@ -194,21 +206,52 @@ final class GraftVtSource extends RelationProvider
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
     val partValues = parameters.get("partitions")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val df = VersionedTable.read(spark, path, version, partValues, mergeSchema)
-    new GraftVtRelation(sqlContext, df)
+    new GraftVtRelation(sqlContext, path, version, partValues, mergeSchema)
   }
 }
 
+/** Batch change-data-feed relation: the diff is computed once at relation
+  * creation (a pinned, immutable commit range), scanned as-is. */
+private final class GraftVtCdfRelation(override val sqlContext: SQLContext,
+                                       feed: DataFrame)
+    extends BaseRelation with TableScan {
+  override def schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
+}
+
 private final class GraftVtRelation(override val sqlContext: SQLContext,
-                                    snapshot: DataFrame)
+                                    path: String, version: Int,
+                                    partValues: Option[Set[String]],
+                                    mergeSchema: Boolean)
     extends BaseRelation with PrunedFilteredScan {
 
-  override def schema: StructType = snapshot.schema
+  private val spark = sqlContext.sparkSession
+
+  private val snapshot: DataFrame =
+    VersionedTable.read(spark, path, version, partValues, mergeSchema)
+
+  override val schema: StructType = snapshot.schema
+
+  /** Columns the manifest records per-file min/max for (normally zero or
+    * one): only predicates on these can prune files. Resolved once — the
+    * relation already pins its version, so the entry set is immutable. */
+  private lazy val statsCols: Set[String] =
+    VersionedTable.liveEntries(spark, path, version)
+      .iterator.flatMap(_.scol).toSet
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    // manifest-level file skipping: conjunctive bounds over the stats
+    // column(s) decide the file list FROM THE LOG before any storage I/O —
+    // the filters are still re-applied below (and by Spark above), so the
+    // pruning is a strict scan optimization
+    val bounds = GraftVtRelation.statsBounds(filters, statsCols)
+    val base =
+      if (bounds.isEmpty) snapshot
+      else VersionedTable.read(spark, path, version, partValues, mergeSchema,
+        bounds)
     val filtered = filters.flatMap(toColumn)
-      .foldLeft(snapshot)((df, c) => df.filter(c))
+      .foldLeft(base)((df, c) => df.filter(c))
     val projected =
       if (requiredColumns.isEmpty)
         // COUNT(*)-style scan: no columns requested, only row multiplicity
@@ -240,6 +283,81 @@ private final class GraftVtRelation(override val sqlContext: SQLContext,
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case Not(c)                   => toColumn(c).map(!_)
     case _                        => None
+  }
+}
+
+private[graft] object GraftVtRelation {
+
+  /** Inclusive [lo, hi] bound per stats column, derived from the pushed
+    * filter conjunction. Safety rests on two facts: (1) the manifest's
+    * min/max are the file's values CAST AS LONG, and that cast (truncation
+    * toward zero) is MONOTONE — so for any row value x and predicate bound
+    * v, x ≥ v implies trunc(x) ≥ trunc(v) and likewise for ≤, meaning
+    * trunc(v) itself is a safe bound on the truncated stats for >, ≥, <,
+    * ≤ and = alike (no ±1 adjustments, no overflow); (2) only
+    * null-rejecting predicate shapes contribute (no IsNull/EqualNullSafe),
+    * since a skipped file's NULL rows — invisible to min/max — would
+    * otherwise be lost. Anything not understood contributes nothing:
+    * absent bounds mean "keep every file". Top-level filters are conjuncts
+    * (Spark's contract), so per-column bounds intersect; a disjunction
+    * contributes its children's hull, and only when both children bound
+    * the SAME column. */
+  private[graft] def statsBounds(filters: Array[Filter],
+                                 statsCols: Set[String])
+      : Map[String, (Long, Long)] = {
+    if (statsCols.isEmpty) return Map.empty
+    filters.iterator.flatMap(boundsOf(_, statsCols))
+      .foldLeft(Map.empty[String, (Long, Long)]) {
+        case (acc, (c, (lo, hi))) =>
+          val (alo, ahi) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+          acc.updated(c, (math.max(alo, lo), math.min(ahi, hi)))
+      }
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case n: Byte    => Some(n.toLong)
+    case n: Short   => Some(n.toLong)
+    case n: Int     => Some(n.toLong)
+    case n: Long    => Some(n)
+    case n: Float   => Some(n.toLong)
+    case n: Double  => Some(n.toLong)
+    case n: java.math.BigDecimal => Some(n.longValue)
+    case n: BigDecimal           => Some(n.longValue)
+    case _          => None
+  }
+
+  /** Bounds contributed by ONE filter (conjunct), or None. */
+  private def boundsOf(f: Filter, statsCols: Set[String])
+      : Option[(String, (Long, Long))] = f match {
+    case EqualTo(a, v) if statsCols(a) =>
+      longOf(v).map(x => a -> (x, x))
+    case GreaterThan(a, v) if statsCols(a) =>
+      longOf(v).map(x => a -> (x, Long.MaxValue))
+    case GreaterThanOrEqual(a, v) if statsCols(a) =>
+      longOf(v).map(x => a -> (x, Long.MaxValue))
+    case LessThan(a, v) if statsCols(a) =>
+      longOf(v).map(x => a -> (Long.MinValue, x))
+    case LessThanOrEqual(a, v) if statsCols(a) =>
+      longOf(v).map(x => a -> (Long.MinValue, x))
+    case In(a, vs) if statsCols(a) && vs.nonEmpty =>
+      val ls = vs.flatMap(longOf)
+      if (ls.length == vs.length) Some(a -> (ls.min, ls.max)) else None
+    case And(l, r) =>
+      // both sides are additional constraints: intersect what we learn
+      (boundsOf(l, statsCols), boundsOf(r, statsCols)) match {
+        case (Some((a, (l1, h1))), Some((b, (l2, h2)))) if a == b =>
+          Some(a -> (math.max(l1, l2), math.min(h1, h2)))
+        // different columns: either side alone is a valid (weaker) bound
+        case (one @ Some(_), _) => one
+        case (None, other)      => other
+      }
+    case Or(l, r) =>
+      // either side may hold: the hull, and only for a shared column
+      for {
+        (a, (l1, h1)) <- boundsOf(l, statsCols)
+        (b, (l2, h2)) <- boundsOf(r, statsCols) if a == b
+      } yield a -> (math.min(l1, l2), math.max(h1, h2))
+    case _ => None
   }
 }
 

@@ -122,16 +122,20 @@ object VersionedTable {
     * the commit's per-file min/max of the table's declared stats column
     * (None when the table tracks none) — Iceberg-style column metrics,
     * enabling [[readRange]] to prune the file list from the log alone,
-    * without opening a single footer. `fschema` is the JSON of the schema
-    * the file was WRITTEN with (same for every file of a commit) — what
-    * lets snapshot reads compose the union schema from the log instead of
-    * paying a footer read per file under mergeSchema (Delta stores the
-    * schema in the log for the same reason; at 10M files the difference
-    * is 10M footer GETs). */
+    * without opening a single footer. `scol` NAMES the column the stats
+    * describe, so a reader that arrives with only a predicate (the SQL
+    * surface) can decide skip-eligibility from the log itself instead of
+    * requiring the caller to know the table's stats declaration out of
+    * band. `fschema` is the JSON of the schema the file was WRITTEN with
+    * (same for every file of a commit) — what lets snapshot reads compose
+    * the union schema from the log instead of paying a footer read per
+    * file under mergeSchema (Delta stores the schema in the log for the
+    * same reason; at 10M files the difference is 10M footer GETs). */
   final case class LogEntry(version: Int, action: String, file: String,
                             part: String, smin: Option[Long], smax: Option[Long],
                             fschema: Option[String] = None,
-                            nrec: Option[Long] = None)
+                            nrec: Option[Long] = None,
+                            scol: Option[String] = None)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,19 +160,24 @@ object VersionedTable {
   }
 
   private def collectEntries(df: DataFrame): Seq[LogEntry] = {
+    // optional columns tolerate manifests written before each was recorded
     val hasSchema = df.columns.contains("fschema")
     val hasNrec = df.columns.contains("nrec")
+    val hasScol = df.columns.contains("scol")
     val cols = Seq("version", "action", "file", "part", "smin", "smax") ++
       (if (hasSchema) Seq("fschema") else Nil) ++
-      (if (hasNrec) Seq("nrec") else Nil)
+      (if (hasNrec) Seq("nrec") else Nil) ++
+      (if (hasScol) Seq("scol") else Nil)
     val nrecIdx = if (hasSchema) 7 else 6
+    val scolIdx = nrecIdx + (if (hasNrec) 1 else 0)
     df.select(cols.map(col): _*).collect()
       .map(r => LogEntry(r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)),
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
         if (hasSchema && !r.isNullAt(6)) Some(r.getString(6)) else None,
-        if (hasNrec && !r.isNullAt(nrecIdx)) Some(r.getLong(nrecIdx)) else None))
+        if (hasNrec && !r.isNullAt(nrecIdx)) Some(r.getLong(nrecIdx)) else None,
+        if (hasScol && !r.isNullAt(scolIdx)) Some(r.getString(scolIdx)) else None))
       .toSeq
   }
 
@@ -227,10 +236,10 @@ object VersionedTable {
     import spark.implicits._
     val rows = liveEntries(spark, path, version)
       .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema,
-        e.nrec))
+        e.nrec, e.scol))
     val tmp = s"$path/_ckpttmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
-        "nrec")
+        "nrec", "scol")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -279,18 +288,36 @@ object VersionedTable {
     * matters at 10M files where footer-based mergeSchema costs 10M GETs
     * (Delta stores the schema in the log for the same reason). Entries
     * predating schema recording (or disagreeing on a field's type) fall
-    * back to footer-based mergeSchema. */
+    * back to footer-based mergeSchema.
+    *
+    * `statsBounds` (column → inclusive [lo, hi] over the LONG-CAST value,
+    * the same truncation the manifest's metrics record) skips data files
+    * whose recorded range for that column cannot intersect the bound —
+    * log-only file skipping for callers that arrive with a predicate, like
+    * the `graftvt` SQL relation. Semantics are a strict subset guarantee:
+    * every row whose column value CAST AS LONG falls in [lo, hi] survives
+    * pruning (files without stats, or with stats for a different column,
+    * are conservatively kept), so composing the exact row filter above the
+    * pruned scan is unchanged — pruning is a scan optimization, never a
+    * correctness dependency. NULL-valued rows may be dropped with a
+    * skipped file: derive bounds only from null-rejecting predicates.
+    * The union schema under mergeSchema is composed from the UNPRUNED
+    * entry set, so skipping can never change the visible schema. */
   def read(spark: SparkSession, path: String, version: Int,
            partValues: Option[Set[String]] = None,
-           mergeSchema: Boolean = false): DataFrame = {
+           mergeSchema: Boolean = false,
+           statsBounds: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val entries = liveEntries(spark, path, version)
       .filter(e => partValues.forall(_(e.part)))
-    val dataEntries = entries.filter(_.action == "add")
+    val allDataEntries = entries.filter(_.action == "add")
+    val dataEntries = allDataEntries.filter(e =>
+      e.scol.flatMap(statsBounds.get).forall { case (lo, hi) =>
+        e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo) })
     val dataFiles = dataEntries.map(e => s"$path/${e.file}")
     val tombFiles = entries.collect {
       case e if e.action == "tomb" => s"$path/${e.file}" }
     val logSchema =
-      if (mergeSchema) unionSchemaOf(dataEntries) else None
+      if (mergeSchema) unionSchemaOf(allDataEntries) else None
     val reader = logSchema match {
       case Some(u) => spark.read.schema(u)
       case None => spark.read.option("mergeSchema", mergeSchema.toString)
@@ -380,16 +407,22 @@ object VersionedTable {
           val fp = r.getString(0)
           val i = fp.indexOf(commitRel)
           require(i >= 0, s"stats path $fp lacks attempt dir $commitRel")
+          // a file whose stats column is ALL null has null min/max — record
+          // no stats rather than getLong's primitive-default 0, which would
+          // claim a [0, 0] value range the file does not contain
           val mm =
-            if (statsCol.isEmpty) (None, None)
+            if (statsCol.isEmpty || r.isNullAt(2) || r.isNullAt(3)) (None, None)
             else (Some(r.getLong(2)), Some(r.getLong(3)))
           fp.substring(i) -> ((r.getLong(1), mm._1, mm._2))
         }.toMap
     val schemaJson = df.schema.json
     listed.map { case (rel, part) =>
       val st = stats.get(rel)
-      LogEntry(version, "add", rel, part, st.flatMap(_._2), st.flatMap(_._3),
-        Some(schemaJson), st.map(_._1))
+      val (mn, mx) = (st.flatMap(_._2), st.flatMap(_._3))
+      LogEntry(version, "add", rel, part, mn, mx,
+        Some(schemaJson), st.map(_._1),
+        // name the stats column only when this file actually carries stats
+        if (mn.isDefined) statsCol else None)
     }
   }
 
@@ -436,12 +469,12 @@ object VersionedTable {
     import spark.implicits._
     val fileOps =
       adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema,
-        e.nrec)) ++
+        e.nrec, e.scol)) ++
       tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax,
-        e.fschema, e.nrec)) ++
+        e.fschema, e.nrec, e.scol)) ++
       removes.map { case (fl, p) =>
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
-          None: Option[String], None: Option[Long]) }
+          None: Option[String], None: Option[Long], None: Option[String]) }
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
@@ -449,12 +482,12 @@ object VersionedTable {
     val rows0 = if (fileOps.nonEmpty) fileOps
       else Seq((version, "noop", null: String, null: String,
         None: Option[Long], None: Option[Long], None: Option[String],
-        None: Option[Long]))
-    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc, nr) =>
-      (v, a, fl, p, mn, mx, sc, nr, ts, opName) }
+        None: Option[Long], None: Option[String]))
+    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc, nr, sn) =>
+      (v, a, fl, p, mn, mx, sc, nr, sn, ts, opName) }
     val tmp = s"$path/_logtmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
-        "nrec", "ts", "op")
+        "nrec", "scol", "ts", "op")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))

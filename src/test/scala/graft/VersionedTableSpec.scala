@@ -212,6 +212,90 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(afterCk.map(key).toSet == entries.map(key).toSet)
   }
 
+  test("SQL-path predicate skips files from the log (scol names the stats column)") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    VersionedTable.create(spark, dir,
+      baseDf.filter($"k" <= 15), "p", Some("k"))
+    VersionedTable.appendCommit(spark, dir,
+      baseDf.filter($"k" > 15), "p", Some("k"))
+    val entries = VersionedTable.liveEntries(spark, dir, 1)
+    // the manifest NAMES the stats column — a reader arriving with only a
+    // predicate can decide skip-eligibility from the log itself
+    assert(entries.forall(_.scol.contains("k")))
+    // library path: bounds prune the file list, result stays lossless
+    val pruned = VersionedTable.read(spark, dir, 1, None, false,
+      Map("k" -> (20L, 25L)))
+    assert(pruned.inputFiles.length < entries.size)
+    assert(pruned.filter($"k".between(20, 25)).count() == 6)
+    // bounds on a column with no recorded stats prune nothing
+    assert(VersionedTable.read(spark, dir, 1, None, false,
+      Map("v" -> (0L, 1L))).inputFiles.length == entries.size)
+    // SQL path end-to-end: the pushed filter's rows come back exactly
+    val sql = spark.read.format("graftvt").load(dir)
+      .filter($"k" >= 20 && $"k" <= 25)
+    assert(sql.select($"k").collect().map(_.getLong(0)).toSet ==
+      (20L to 25L).toSet)
+    // and an untranslatable/unbounded predicate is merely un-pruned
+    assert(spark.read.format("graftvt").load(dir)
+      .filter($"v" % 7 === 0).count() ==
+      VersionedTable.read(spark, dir, 1).filter($"v" % 7 === 0).count())
+  }
+
+  test("statsBounds derives conservative conjunctive bounds from pushed filters") {
+    import org.apache.spark.sql.sources._
+    val sc = Set("k")
+    def b(fs: Filter*) = graft.sources.GraftVtRelation.statsBounds(fs.toArray, sc)
+    assert(b(EqualTo("k", 7)) == Map("k" -> (7L, 7L)))
+    // conjuncts intersect; > and >= are both a floor at the truncated value
+    assert(b(GreaterThan("k", 5L), LessThanOrEqual("k", 9L)) ==
+      Map("k" -> (5L, 9L)))
+    // IN → hull; a non-numeric member defeats the bound entirely
+    assert(b(In("k", Array(3, 11, 6))) == Map("k" -> (3L, 11L)))
+    assert(b(In("k", Array(3, "x"))) == Map.empty)
+    // OR takes the hull only when both children bound the same column
+    assert(b(Or(EqualTo("k", 2), EqualTo("k", 20))) == Map("k" -> (2L, 20L)))
+    assert(b(Or(EqualTo("k", 2), EqualTo("other", 20))) == Map.empty)
+    // null-accepting and non-stats predicates contribute nothing
+    assert(b(EqualNullSafe("k", 5), IsNull("k"), EqualTo("other", 1)) == Map.empty)
+    // truncation monotonicity: a double bound uses its long truncation
+    assert(b(GreaterThanOrEqual("k", 4.7)) == Map("k" -> (4L, Long.MaxValue)))
+  }
+
+  test("all-null stats file records no metrics and survives any bound") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    // v column is entirely null in this commit: min/max are undefined and
+    // must be recorded as ABSENT, not as getLong's primitive-default 0
+    val nulls = baseDf.withColumn("v", lit(null).cast("long"))
+    VersionedTable.create(spark, dir, nulls, "p", Some("v"))
+    val entries = VersionedTable.liveEntries(spark, dir, 0)
+    assert(entries.forall(e => e.smin.isEmpty && e.smax.isEmpty && e.scol.isEmpty))
+    // no stats → conservatively kept under any bound
+    assert(VersionedTable.read(spark, dir, 0, None, false,
+      Map("v" -> (5L, 6L))).inputFiles.length == entries.size)
+  }
+
+  test("readChangeFeed option maps onto changes() exactly") {
+    val dir = newTable()
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((1L, 999L, "p0", "U"), (100L, 1000L, "p1", "U"))),
+      Seq("k"), "p")
+    VersionedTable.mergeCommit(spark, dir,
+      changes(Seq((2L, 0L, "p1", "D"))), Seq("k"), "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_commit_version", $"_change_type", $"k", $"v")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val viaSql = spark.read.format("graftvt")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 2)
+      .load(dir)
+    assert(rows(viaSql) == rows(VersionedTable.changes(spark, dir, 1, 2)))
+    // endingVersion defaults to latest; startingVersion to 0 (full history)
+    val full = spark.read.format("graftvt")
+      .option("readChangeFeed", "true").load(dir)
+    assert(rows(full) == rows(VersionedTable.changes(spark, dir, 0, 2)))
+  }
+
   test("empty change batch still takes a version (dense log, Delta contract)") {
     val dir = newTable()
     val c = VersionedTable.mergeCommit(spark, dir,
