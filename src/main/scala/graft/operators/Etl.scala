@@ -955,6 +955,44 @@ object Etl {
           $"n_rows", $"xor_key", $"sum_price_c")
     }),
 
+    // OPTIMIZE ... ZORDER BY as a commit, graded end to end: v0 is a
+    // hash-fragmented single-partition layout (4 salted files, each
+    // spanning the FULL (x, y) domain, no recorded stats — partition
+    // pruning impossible by construction, stats skipping impossible by
+    // layout), v1 is zorderCommit's Morton-clustered rewrite whose 16
+    // files each record NARROW x AND y ranges in the manifest (mstats).
+    // The graded row answers the same 2-D rectangle at both versions
+    // through the SQL surface and emits live vs pruned file counts: the
+    // oracle re-derives both prune decisions from the raw manifest
+    // (parsing mstats with string functions — the flat col:min:max;…
+    // encoding exists exactly so any engine can) and the aggregate from
+    // the base table. Wrong clustering (wide per-file ranges), wrong
+    // stats, over-pruning, or a broken time-travel read across the
+    // rewrite all fail the hash. At 100 TB this is the difference
+    // between a 2-D range probe opening every file and opening the few
+    // whose rectangle intersects.
+    "etl_zorder_commit" -> ((s, d) => {
+      import s.implicits._
+      writeZorderVtFixture(s, d)
+      import graft.sources.VersionedTable
+      // rectangle inside every SF's populated domain (x = custkey bucket
+      // only reaches ~150 at the smallest SF; y residues are dense at all)
+      val (lo1, hi1, lo2, hi2) = (32L, 95L, 256L, 511L)
+      Seq(0, 1).map { v =>
+        val nLive = VersionedTable.liveEntries(s, vtZPath, v).size.toLong
+        val nScan = VersionedTable.read(s, vtZPath, v, None, false,
+          Map("x" -> (lo1, hi1), "y" -> (lo2, hi2))).inputFiles.length.toLong
+        s.read.format("graftvt").option("versionAsOf", v).load(vtZPath)
+          .filter($"x".between(lo1, hi1) && $"y".between(lo2, hi2))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"))
+          .select(lit(v).as("version"), lit(nLive).as("n_files_live"),
+            lit(nScan).as("n_files_scanned"),
+            $"n_rows", $"xor_key", $"sum_price_c")
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // Batch change-data-feed through the SQL surface (Delta's
     // table_changes): option("readChangeFeed", true) + a version range is
     // the whole API — no VersionedTable.changes call in user code. Same
@@ -1197,6 +1235,39 @@ object Etl {
         ccWrittenFor.set(d)
       }
     }
+  private[graft] val vtZPath = s"${graft.fixtureRoot}/vt_orders_z"
+  private val zVtWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** v0: single-partition orders projected to two bucketized dimensions
+    * (x = custkey bucket, y = orderdate epoch-day bucket), written
+    * hash-salted across 4 files — every file spans the full (x, y) domain
+    * and records no stats. v1: zorderCommit re-clusters into 16
+    * Morton-ordered files with per-file x AND y ranges in the manifest.
+    * Same rows throughout; only the layout (and hence prunability)
+    * changes. */
+  private[graft] def writeZorderVtFixture(s: org.apache.spark.sql.SparkSession,
+                                          d: String): Unit =
+    if (zVtWrittenFor.get() != d) zVtWrittenFor.synchronized {
+      if (zVtWrittenFor.get() != d) {
+        import s.implicits._
+        import graft.sources.VersionedTable
+        val fs = new org.apache.hadoop.fs.Path(graft.fixtureRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base = Tables.orders(s, d).select(
+          $"o_orderkey",
+          ($"o_custkey" % 1024).as("x"),
+          (datediff($"o_orderdate".cast("date"),
+            lit("1970-01-01").cast("date")).cast("long") % 1024).as("y"),
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+          lit("all").as("p"))
+        fs.delete(new org.apache.hadoop.fs.Path(vtZPath), true)
+        VersionedTable.create(s, vtZPath, base, "p", fileSplits = 4)
+        VersionedTable.zorderCommit(s, vtZPath, "p", Seq("x", "y"), files = 16)
+        zVtWrittenFor.set(d)
+      }
+    }
+
   private val vtWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -1654,6 +1725,59 @@ object Etl {
          |  (SELECT n_scan FROM scan) AS n_files_scanned,
          |  n_rows, xor_key, sum_price_c
          |FROM agg""".stripMargin,
+    // Both prune decisions re-derived from the raw manifest: per live file
+    // of each version, the mstats string is parsed with regexp_extract
+    // (NULL bounds = no stats recorded = conservatively kept), and a file
+    // is scanned iff BOTH dimensions' recorded ranges intersect the
+    // rectangle — exactly the engine's rule. The aggregate comes from the
+    // full base table, once, emitted for both versions (the rewrite must
+    // not change content).
+    "etl_zorder_commit" ->
+      s"""WITH bounds AS (
+         |  SELECT 32 AS lo1, 95 AS hi1, 256 AS lo2, 511 AS hi2),
+         |log AS (
+         |  SELECT version, action, file, mstats
+         |  FROM read_parquet('$vtZPath/_log/*.parquet')),
+         |live AS (
+         |  SELECT vs.v, a.file, a.mstats
+         |  FROM (VALUES (0), (1)) vs(v)
+         |  JOIN log a ON a.action = 'add' AND a.version <= vs.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM log r
+         |    WHERE r.action = 'remove' AND r.file = a.file
+         |      AND r.version <= vs.v)),
+         |parsed AS (
+         |  SELECT v, file,
+         |    CAST(NULLIF(regexp_extract(mstats, 'x:(-?\\d+):(-?\\d+)', 1), '')
+         |      AS BIGINT) AS xmn,
+         |    CAST(NULLIF(regexp_extract(mstats, 'x:(-?\\d+):(-?\\d+)', 2), '')
+         |      AS BIGINT) AS xmx,
+         |    CAST(NULLIF(regexp_extract(mstats, 'y:(-?\\d+):(-?\\d+)', 1), '')
+         |      AS BIGINT) AS ymn,
+         |    CAST(NULLIF(regexp_extract(mstats, 'y:(-?\\d+):(-?\\d+)', 2), '')
+         |      AS BIGINT) AS ymx
+         |  FROM live),
+         |counts AS (
+         |  SELECT v, COUNT(*) AS n_files_live,
+         |    CAST(SUM(CASE WHEN (xmn IS NULL OR (xmn <= hi1 AND xmx >= lo1))
+         |                   AND (ymn IS NULL OR (ymn <= hi2 AND ymx >= lo2))
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned
+         |  FROM parsed, bounds GROUP BY v),
+         |g AS (
+         |  SELECT o_orderkey, o_custkey % 1024 AS x,
+         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      % 1024 AS y,
+         |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+         |      AS price_c
+         |  FROM orders),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+         |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+         |  FROM g, bounds
+         |  WHERE x >= lo1 AND x <= hi1 AND y >= lo2 AND y <= hi2)
+         |SELECT c.v AS version, c.n_files_live, c.n_files_scanned,
+         |  a.n_rows, a.xor_key, a.sum_price_c
+         |FROM counts c, agg a ORDER BY c.v""".stripMargin,
     // Identical logical deltas to etl_cdf_rows — the readChangeFeed option
     // surface must feed exactly what the library's changes() feeds.
     "etl_sql_cdf" ->

@@ -232,12 +232,13 @@ private final class GraftVtRelation(override val sqlContext: SQLContext,
 
   override val schema: StructType = snapshot.schema
 
-  /** Columns the manifest records per-file min/max for (normally zero or
-    * one): only predicates on these can prune files. Resolved once — the
-    * relation already pins its version, so the entry set is immutable. */
+  /** Columns the manifest records per-file min/max for — the declared
+    * stats column plus any z-order (`mstats`) columns: only predicates on
+    * these can prune files. Resolved once — the relation already pins its
+    * version, so the entry set is immutable. */
   private lazy val statsCols: Set[String] =
     VersionedTable.liveEntries(spark, path, version)
-      .iterator.flatMap(_.scol).toSet
+      .iterator.flatMap(_.statRanges.keys).toSet
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

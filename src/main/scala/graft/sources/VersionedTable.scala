@@ -3,7 +3,7 @@ package graft.sources
 import java.util.ConcurrentModificationException
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -135,7 +135,30 @@ object VersionedTable {
                             part: String, smin: Option[Long], smax: Option[Long],
                             fschema: Option[String] = None,
                             nrec: Option[Long] = None,
-                            scol: Option[String] = None)
+                            scol: Option[String] = None,
+                            mstats: Option[String] = None) {
+    /** Per-column [min, max] this entry records: the legacy single column
+      * (scol/smin/smax) plus the multi-column `mstats` string. */
+    def statRanges: Map[String, (Long, Long)] = {
+      val legacy = for (c <- scol; mn <- smin; mx <- smax) yield c -> (mn, mx)
+      legacy.toMap ++ mstats.iterator.flatMap(parseMstats)
+    }
+  }
+
+  /** Multi-column per-file metrics, canonically `col:min:max;col2:min:max`
+    * (Iceberg records a map of column → bounds; the flat string keeps the
+    * manifest a plain parquet any engine — including the DuckDB oracle —
+    * can parse with string functions alone). */
+  private[graft] def renderMstats(m: Seq[(String, Long, Long)]): String =
+    m.map { case (c, mn, mx) => s"$c:$mn:$mx" }.mkString(";")
+
+  private[graft] def parseMstats(s: String): Map[String, (Long, Long)] =
+    s.split(";").iterator.filter(_.nonEmpty).map { tok =>
+      val i = tok.lastIndexOf(':')
+      val j = tok.lastIndexOf(':', i - 1)
+      tok.substring(0, j) ->
+        ((tok.substring(j + 1, i).toLong, tok.substring(i + 1).toLong))
+    }.toMap
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -164,12 +187,15 @@ object VersionedTable {
     val hasSchema = df.columns.contains("fschema")
     val hasNrec = df.columns.contains("nrec")
     val hasScol = df.columns.contains("scol")
+    val hasMstats = df.columns.contains("mstats")
     val cols = Seq("version", "action", "file", "part", "smin", "smax") ++
       (if (hasSchema) Seq("fschema") else Nil) ++
       (if (hasNrec) Seq("nrec") else Nil) ++
-      (if (hasScol) Seq("scol") else Nil)
+      (if (hasScol) Seq("scol") else Nil) ++
+      (if (hasMstats) Seq("mstats") else Nil)
     val nrecIdx = if (hasSchema) 7 else 6
     val scolIdx = nrecIdx + (if (hasNrec) 1 else 0)
+    val mstatsIdx = scolIdx + (if (hasScol) 1 else 0)
     df.select(cols.map(col): _*).collect()
       .map(r => LogEntry(r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3),
@@ -177,7 +203,9 @@ object VersionedTable {
         if (r.isNullAt(5)) None else Some(r.getLong(5)),
         if (hasSchema && !r.isNullAt(6)) Some(r.getString(6)) else None,
         if (hasNrec && !r.isNullAt(nrecIdx)) Some(r.getLong(nrecIdx)) else None,
-        if (hasScol && !r.isNullAt(scolIdx)) Some(r.getString(scolIdx)) else None))
+        if (hasScol && !r.isNullAt(scolIdx)) Some(r.getString(scolIdx)) else None,
+        if (hasMstats && !r.isNullAt(mstatsIdx)) Some(r.getString(mstatsIdx))
+        else None))
       .toSeq
   }
 
@@ -236,10 +264,10 @@ object VersionedTable {
     import spark.implicits._
     val rows = liveEntries(spark, path, version)
       .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema,
-        e.nrec, e.scol))
+        e.nrec, e.scol, e.mstats))
     val tmp = s"$path/_ckpttmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
-        "nrec", "scol")
+        "nrec", "scol", "mstats")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -310,9 +338,13 @@ object VersionedTable {
     val entries = liveEntries(spark, path, version)
       .filter(e => partValues.forall(_(e.part)))
     val allDataEntries = entries.filter(_.action == "add")
-    val dataEntries = allDataEntries.filter(e =>
-      e.scol.flatMap(statsBounds.get).forall { case (lo, hi) =>
-        e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo) })
+    val dataEntries =
+      if (statsBounds.isEmpty) allDataEntries
+      else allDataEntries.filter { e =>
+        val ranges = e.statRanges
+        statsBounds.forall { case (c, (lo, hi)) =>
+          ranges.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo } }
+      }
     val dataFiles = dataEntries.map(e => s"$path/${e.file}")
     val tombFiles = entries.collect {
       case e if e.action == "tomb" => s"$path/${e.file}" }
@@ -351,7 +383,10 @@ object VersionedTable {
                                       version: Int, df: DataFrame,
                                       partitionCol: String,
                                       statsCol: Option[String],
-                                      fileSplits: Int = 1): Seq[LogEntry] = {
+                                      fileSplits: Int = 1,
+                                      extraStatsCols: Seq[String] = Nil,
+                                      clusterBy: Option[Column] = None,
+                                      clusterFiles: Int = 0): Seq[LogEntry] = {
     val commitRel = f"data/c$version%05d-${newToken()}"
     val commitDir = s"$path/$commitRel"
     // fileSplits = 1 (default): one writer task → one file per partition
@@ -361,17 +396,27 @@ object VersionedTable {
     // tasks/files per partition value (the manifest is file-granular, so
     // multi-file partitions need no other change). Production pairing:
     // spark.sql.files.maxRecordsPerFile bounds file LENGTH the same way
-    // this bounds task WIDTH.
+    // this bounds task WIDTH. `clusterBy` replaces both shapes with a
+    // RANGE partition + in-task sort on (partition, cluster key): rows
+    // close in the key land in the same file, so every file carries a
+    // NARROW slice of the key domain — what makes the per-file metrics
+    // recorded below selective (the z-order write shape).
     val salted = df.withColumn(PartDir, col(partitionCol))
-    val keyed =
-      if (fileSplits <= 1) salted.repartition(col(PartDir))
+    val keyed = clusterBy match {
+      case Some(k) =>
+        require(clusterFiles > 0,
+          "writeCommitFiles: clusterBy needs clusterFiles > 0")
+        salted.repartitionByRange(clusterFiles, col(PartDir), k)
+          .sortWithinPartitions(col(PartDir), k)
+      case None if fileSplits <= 1 => salted.repartition(col(PartDir))
       // explicit numPartitions: AQE would coalesce the salted shuffle of a
       // small commit back into one task, and partitionBy only splits files
       // by PartDir WITHIN a task — the salt separates files only while the
       // salted keys stay in separate tasks
-      else salted.repartition(
+      case None => salted.repartition(
         spark.sessionState.conf.numShufflePartitions,
         col(PartDir), pmod(hash(df.columns.map(col): _*), lit(fileSplits)))
+    }
     keyed.write.mode("errorifexists").partitionBy(PartDir).parquet(commitDir)
     val f = fs(spark, path)
     val it = f.listFiles(new Path(commitDir), true)
@@ -393,12 +438,13 @@ object VersionedTable {
     // A native writer would emit both during the write; Spark's writer API
     // does not surface per-task file stats, so the read-back is the honest
     // path.
+    val statCols = (statsCol.toSeq ++ extraStatsCols).distinct
     val statAggs =
       count(lit(1L)).as("__n") +:
-      statsCol.toSeq.flatMap(c => Seq(
-        min(col(c).cast("long")).as("__mn"),
-        max(col(c).cast("long")).as("__mx")))
-    val stats: Map[String, (Long, Option[Long], Option[Long])] =
+      statCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c).cast("long")).as(s"__mn$i"),
+        max(col(c).cast("long")).as(s"__mx$i")) }
+    val stats: Map[String, (Long, Seq[(String, Long, Long)])] =
       if (listed.isEmpty) Map.empty // an all-deletes rewrite writes no files
       else spark.read.parquet(listed.map { case (rel, _) => s"$path/$rel" }: _*)
         .groupBy(col("_metadata.file_path").as("__f"))
@@ -410,19 +456,26 @@ object VersionedTable {
           // a file whose stats column is ALL null has null min/max — record
           // no stats rather than getLong's primitive-default 0, which would
           // claim a [0, 0] value range the file does not contain
-          val mm =
-            if (statsCol.isEmpty || r.isNullAt(2) || r.isNullAt(3)) (None, None)
-            else (Some(r.getLong(2)), Some(r.getLong(3)))
-          fp.substring(i) -> ((r.getLong(1), mm._1, mm._2))
+          val ranges = statCols.zipWithIndex.flatMap { case (c, j) =>
+            val (a, b) = (2 + 2 * j, 3 + 2 * j)
+            if (r.isNullAt(a) || r.isNullAt(b)) None
+            else Some((c, r.getLong(a), r.getLong(b)))
+          }
+          fp.substring(i) -> ((r.getLong(1), ranges))
         }.toMap
     val schemaJson = df.schema.json
     listed.map { case (rel, part) =>
       val st = stats.get(rel)
-      val (mn, mx) = (st.flatMap(_._2), st.flatMap(_._3))
-      LogEntry(version, "add", rel, part, mn, mx,
+      val ranges = st.map(_._2).getOrElse(Nil)
+      // legacy single-column fields for the table's declared stats column;
+      // mstats carries EVERY recorded column (the multi-dimension surface)
+      val legacy = statsCol.flatMap(c => ranges.find(_._1 == c))
+      LogEntry(version, "add", rel, part,
+        legacy.map(_._2), legacy.map(_._3),
         Some(schemaJson), st.map(_._1),
-        // name the stats column only when this file actually carries stats
-        if (mn.isDefined) statsCol else None)
+        legacy.map(_._1),
+        if (extraStatsCols.nonEmpty && ranges.nonEmpty)
+          Some(renderMstats(ranges)) else None)
     }
   }
 
@@ -469,12 +522,13 @@ object VersionedTable {
     import spark.implicits._
     val fileOps =
       adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema,
-        e.nrec, e.scol)) ++
+        e.nrec, e.scol, e.mstats)) ++
       tombs.map(e => (version, "tomb", e.file, e.part, e.smin, e.smax,
-        e.fschema, e.nrec, e.scol)) ++
+        e.fschema, e.nrec, e.scol, e.mstats)) ++
       removes.map { case (fl, p) =>
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
-          None: Option[String], None: Option[Long], None: Option[String]) }
+          None: Option[String], None: Option[Long], None: Option[String],
+          None: Option[String]) }
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
@@ -482,12 +536,12 @@ object VersionedTable {
     val rows0 = if (fileOps.nonEmpty) fileOps
       else Seq((version, "noop", null: String, null: String,
         None: Option[Long], None: Option[Long], None: Option[String],
-        None: Option[Long], None: Option[String]))
-    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc, nr, sn) =>
-      (v, a, fl, p, mn, mx, sc, nr, sn, ts, opName) }
+        None: Option[Long], None: Option[String], None: Option[String]))
+    val rows = rows0.map { case (v, a, fl, p, mn, mx, sc, nr, sn, ms) =>
+      (v, a, fl, p, mn, mx, sc, nr, sn, ms, ts, opName) }
     val tmp = s"$path/_logtmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
-        "nrec", "scol", "ts", "op")
+        "nrec", "scol", "mstats", "ts", "op")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, path)
     val part = f.listStatus(new Path(tmp))
@@ -794,6 +848,65 @@ object VersionedTable {
       statsCol)
     commitAttempt(spark, path, cur, adds, Nil, removes,
       Some(removes.map(_._2).toSet), "optimize", ts)
+  }
+
+  /** OPTIMIZE ... ZORDER BY as a commit — re-CLUSTERING inside the log
+    * (Delta's shape): rewrites the chosen partitions' live rows
+    * range-partitioned and sorted by the Morton interleave of the two
+    * `zCols` (each bucketized to 2^`bits` buckets over its observed
+    * domain — one cheap agg; bucket precision affects clustering quality
+    * only, never row content), into ~`files` files. Because a contiguous
+    * z-range is a small rectangle union in (zCols₀, zCols₁) space, every
+    * written file carries a NARROW range of BOTH columns — and those
+    * ranges are recorded in the manifest (`mstats`), so a later
+    * two-dimensional predicate skips files FROM THE LOG on either or both
+    * columns, where a lexicographic sort's stats prune only the leading
+    * one. Data content is unchanged; tombstones of the rewritten
+    * partitions materialize and retire; old files stay for time travel —
+    * exactly [[optimizeCommit]]'s contract plus layout. */
+  def zorderCommit(spark: SparkSession, path: String, partitionCol: String,
+                   zCols: Seq[String], files: Int,
+                   partValues: Option[Set[String]] = None,
+                   statsCol: Option[String] = None, bits: Int = 12,
+                   ts: Option[Long] = None): Commit = {
+    require(zCols.size == 2,
+      s"zorderCommit: exactly two z-order columns (got ${zCols.size}) — the " +
+      "Morton interleave is pairwise; nest commits for higher dimensions")
+    require(files > 0, "zorderCommit: files must be positive")
+    val cur = latestVersion(spark, path)
+    require(cur >= 0, s"zorderCommit: $path has no version 0 — create() first")
+    val removes = liveEntries(spark, path, cur)
+      .collect { case e if partValues.forall(_(e.part)) => (e.file, e.part) }
+    if (removes.isEmpty)
+      return commitAttempt(spark, path, cur, Nil, Nil, Nil,
+        Some(Set.empty), "zorder", ts)
+    val target = read(spark, path, cur, partValues, mergeSchema = true)
+    zCols.foreach(c => require(target.columns.contains(c),
+      s"zorderCommit: column $c not in table schema"))
+    // per-column domain for bucketization (double arithmetic: no overflow
+    // on extreme ranges, and sub-integer precision loss only moves bucket
+    // boundaries)
+    val dom = target.agg(
+      min(col(zCols(0)).cast("long")), max(col(zCols(0)).cast("long")),
+      min(col(zCols(1)).cast("long")), max(col(zCols(1)).cast("long")))
+      .collect()(0)
+    val maxBucket = (1L << bits) - 1
+    def bucket(c: String, mnIdx: Int): Column =
+      if (dom.isNullAt(mnIdx)) lit(0L) // all-null column: single bucket
+      else {
+        val mn = dom.getLong(mnIdx).toDouble
+        val span = math.max(dom.getLong(mnIdx + 1).toDouble - mn, 1.0)
+        least(greatest(floor(
+          (col(c).cast("double") - mn) / span * maxBucket).cast("long"),
+          lit(0L)), lit(maxBucket))
+      }
+    val z = graft.plans.MortonInterleave.morton(
+      bucket(zCols(0), 0), bucket(zCols(1), 2), bits)
+    val adds = writeCommitFiles(spark, path, cur + 1, target, partitionCol,
+      statsCol, extraStatsCols = zCols, clusterBy = Some(z),
+      clusterFiles = files)
+    commitAttempt(spark, path, cur, adds, Nil, removes,
+      Some(removes.map(_._2).toSet), "zorder", ts)
   }
 
   /** Commit metadata, one row per version: (version, ts, operation, file-op

@@ -274,6 +274,50 @@ class VersionedTableSpec extends AnyFunSuite {
       Map("v" -> (5L, 6L))).inputFiles.length == entries.size)
   }
 
+  test("zorderCommit: clustered rewrite records 2-column stats; 2D bounds prune") {
+    val dir = Files.createTempDirectory("graft_vt").toString + "/t"
+    // 64×64 uniform grid, one partition — partition pruning can't help,
+    // only the recorded per-file (x, y) ranges can
+    val grid = spark.range(4096).select(
+      $"id".as("k"), ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"),
+      lit("all").as("p"))
+    VersionedTable.create(spark, dir, grid, "p")
+    val c = VersionedTable.zorderCommit(spark, dir, "p", Seq("x", "y"),
+      files = 8, bits = 6)
+    assert(c.version == 1 && c.filesAdded >= 8 - 1)
+    val entries = VersionedTable.liveEntries(spark, dir, 1)
+    // every rewritten file records BOTH columns' ranges in mstats
+    assert(entries.forall(e => e.statRanges.keySet == Set("x", "y")))
+    // the first-quadrant rectangle is 1/16 of the space: a z-range layout
+    // must confine it to a strict subset of the files
+    val bounds = Map("x" -> (0L, 15L), "y" -> (0L, 15L))
+    val pruned = VersionedTable.read(spark, dir, 1, None, false, bounds)
+    assert(pruned.inputFiles.length < entries.size)
+    // losslessness: pruned scan + residual filter ≡ the exact rectangle
+    assert(pruned.filter($"x" <= 15 && $"y" <= 15).count() == 256)
+    // content unchanged by the rewrite; v0 still time-travels
+    assert(VersionedTable.read(spark, dir, 1).agg(sum($"k")).collect()(0)
+      .getLong(0) == 4096L * 4095 / 2)
+    assert(VersionedTable.read(spark, dir, 0).count() == 4096)
+    // the SQL surface prunes from the same stats: pushed 2D predicate
+    val viaSql = spark.read.format("graftvt").load(dir)
+      .filter($"x" <= 15 && $"y" <= 15)
+    assert(viaSql.count() == 256)
+    // mstats survive a checkpoint replay
+    VersionedTable.checkpoint(spark, dir, 1)
+    val afterCk = VersionedTable.liveEntries(spark, dir, 1)
+    assert(afterCk.map(e => (e.file, e.mstats)).toSet ==
+      entries.map(e => (e.file, e.mstats)).toSet)
+  }
+
+  test("mstats render/parse round-trips, including negative bounds") {
+    val m = Seq(("x", -5L, 17L), ("pick:up", 0L, 2L))
+    // colon in a column name still parses: split on the LAST two colons
+    assert(VersionedTable.parseMstats(VersionedTable.renderMstats(m)) ==
+      Map("x" -> (-5L, 17L), "pick:up" -> (0L, 2L)))
+    assert(VersionedTable.parseMstats("") == Map.empty)
+  }
+
   test("readChangeFeed option maps onto changes() exactly") {
     val dir = newTable()
     VersionedTable.mergeCommit(spark, dir,
