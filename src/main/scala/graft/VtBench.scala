@@ -129,6 +129,33 @@ object VtBench {
     require(nCdfRows == 1L, s"expected 1 deleted image, got $nCdfRows")
     println(f"[vtbench] cdf_dv_files_scanned=$nScan of_live=$nLive " +
       f"cdf_dv_s=$tCdf%.2f (diff bounded by the delete's partitions)")
+
+    // 6. z-order payoff: the same 2-D rectangle probed against (a) a
+    // hash-fragmented layout with no recorded stats and (b) zorderCommit's
+    // Morton-clustered rewrite with 2-column manifest metrics. Reported as
+    // files opened + wall time for the pruned read; content equality is
+    // asserted. The file-count collapse is the quantity that matters at
+    // 100 TB — footer opens, not bytes, dominate a selective probe.
+    val vtZ = s"$root/vtz"
+    val zbase = spark.range(n).select(
+      $"id".as("k"), ($"id" % 4096).as("x"),
+      (($"id" * 2654435761L) % 4096).as("y"), lit("all").as("p"))
+    sources.VersionedTable.create(spark, vtZ, zbase, "p", fileSplits = 32)
+    val zc = sources.VersionedTable.zorderCommit(
+      spark, vtZ, "p", Seq("x", "y"), files = 64)
+    val zBounds = Map("x" -> (0L, 255L), "y" -> (0L, 255L))
+    def rect(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"x" <= 255 && $"y" <= 255)
+        .agg(count(lit(1)), sum($"k")).collect().head
+    val frag = sources.VersionedTable.read(spark, vtZ, 0, None, false, zBounds)
+    val zord = sources.VersionedTable.read(spark, vtZ, 1, None, false, zBounds)
+    val (nFrag, nZord) = (frag.inputFiles.length, zord.inputFiles.length)
+    val tFrag = min2(rect(frag))
+    val tZord = min2(rect(zord))
+    require(rect(frag) == rect(zord), "z-order rewrite changed content")
+    println(f"[vtbench] zorder files_scanned=$nZord of=${zc.filesAdded} " +
+      f"(fragmented: $nFrag of 32) probe_frag_s=$tFrag%.2f " +
+      f"probe_zorder_s=$tZord%.2f speedup=${tFrag / tZord}%.1fx")
     spark.stop()
   }
 }
