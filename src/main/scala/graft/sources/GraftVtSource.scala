@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *                       rows reading null (default false)
   *   - `partitions`      comma-separated partition values — manifest-level
   *                       pruning before any storage I/O
+  *   - `readChangeFeed`  with `startingVersion`/`endingVersion`: the
+  *                       row-level diff of a commit range (Delta's
+  *                       table_changes) instead of a snapshot
+  *   - `history`         commit metadata as a relation (DESCRIBE HISTORY)
   *
   * Architecture: a V1 `RelationProvider` over the library read path — the
   * pattern Delta itself ships for `format("delta")` batch reads. The
@@ -186,6 +190,11 @@ final class GraftVtSource extends RelationProvider
       !(parameters.contains("versionAsOf") &&
         parameters.contains("timestampAsOf")),
       "graftvt: versionAsOf and timestampAsOf are mutually exclusive")
+    if (parameters.get("history").exists(_.trim.toBoolean))
+      // commit metadata as a relation (DESCRIBE HISTORY): version, ts,
+      // operation, file-op counts, row-count deltas — all from the log
+      return new GraftVtCdfRelation(sqlContext,
+        VersionedTable.history(spark, path))
     if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
       // batch CDF (Delta's table_changes): the row-level diff of a commit
       // range as a queryable relation — `_commit_version`, `_change_type`
@@ -210,8 +219,9 @@ final class GraftVtSource extends RelationProvider
   }
 }
 
-/** Batch change-data-feed relation: the diff is computed once at relation
-  * creation (a pinned, immutable commit range), scanned as-is. */
+/** Metadata-derived relation (batch CDF, history): the frame is computed
+  * once at relation creation (a pinned, immutable log slice), scanned
+  * as-is. */
 private final class GraftVtCdfRelation(override val sqlContext: SQLContext,
                                        feed: DataFrame)
     extends BaseRelation with TableScan {

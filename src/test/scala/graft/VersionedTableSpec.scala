@@ -338,6 +338,13 @@ class VersionedTableSpec extends AnyFunSuite {
     val full = spark.read.format("graftvt")
       .option("readChangeFeed", "true").load(dir)
     assert(rows(full) == rows(VersionedTable.changes(spark, dir, 0, 2)))
+    // option("history") surfaces the commit metadata relation verbatim
+    val viaHist = spark.read.format("graftvt").option("history", "true")
+      .load(dir).select($"version", $"operation", $"n_added").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaHist == VersionedTable.history(spark, dir)
+      .select($"version", $"operation", $"n_added").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet)
   }
 
   test("empty change batch still takes a version (dense log, Delta contract)") {
