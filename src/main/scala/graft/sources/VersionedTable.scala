@@ -439,6 +439,11 @@ object VersionedTable {
     // does not surface per-task file stats, so the read-back is the honest
     // path.
     val statCols = (statsCol.toSeq ++ extraStatsCols).distinct
+    // ';' separates entries in the flat mstats encoding (':' is safe —
+    // parse splits on the LAST two), so a ';' in a recorded column's name
+    // would corrupt every reader's parse
+    require(extraStatsCols.forall(!_.contains(";")),
+      s"stats column names must not contain ';': $extraStatsCols")
     val statAggs =
       count(lit(1L)).as("__n") +:
       statCols.zipWithIndex.flatMap { case (c, i) => Seq(
