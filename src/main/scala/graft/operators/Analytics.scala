@@ -84,9 +84,14 @@ object Analytics {
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
           sum($"x" * $"y").as("sxy"))
         .select($"l_returnflag", $"n",
+          // every product is cast-then-multiply: n·Σxy alone passes 2^63 at
+          // sf30, so forming it in BIGINT before the decimal lift is an
+          // ANSI overflow — the (38,0) arithmetic must start at the factors
           expr("""cast(
-                 |  cast(cast(n * sxy - sx * sy as decimal(38,0)) *
-                 |       cast(n * sxy - sx * sy as decimal(38,0)) div
+                 |  cast((cast(n as decimal(38,0)) * cast(sxy as decimal(38,0)) -
+                 |        cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))) *
+                 |       (cast(n as decimal(38,0)) * cast(sxy as decimal(38,0)) -
+                 |        cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))) div
                  |       (cast(n as decimal(38,0)) * cast(sxx as decimal(38,0)) -
                  |        cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
                  |    as decimal(38,0)) * 1000000 div
@@ -172,12 +177,17 @@ object Analytics {
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
         .withColumn("slope_e6",
-          expr("""cast(cast(n * sxy - sx * sy as decimal(38,0)) * 1000000 div
+          // cast-then-multiply (n·Σxy > 2^63 at sf30 — see agg_corr_r2)
+          expr("""cast((cast(n as decimal(38,0)) * cast(sxy as decimal(38,0)) -
+                 |      cast(sx as decimal(38,0)) * cast(sy as decimal(38,0)))
+                 |    * 1000000 div
                  |  (cast(n as decimal(38,0)) * cast(sxx as decimal(38,0)) -
                  |   cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
                  |as bigint)""".stripMargin.replaceAll("\n", " ")))
         .withColumn("icept_e6",
-          expr("(sy * 1000000 - slope_e6 * sx) div n"))
+          expr("""cast((cast(sy as decimal(38,0)) * 1000000 -
+                 |      cast(slope_e6 as decimal(38,0)) * cast(sx as decimal(38,0)))
+                 |    div n as bigint)""".stripMargin.replaceAll("\n", " ")))
         .select($"l_returnflag", $"n", $"slope_e6", $"icept_e6")
         .orderBy("l_returnflag")
     }),

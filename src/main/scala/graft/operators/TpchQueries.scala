@@ -109,9 +109,12 @@ object TpchQueries {
           $"l_shipdate" < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
         .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
         .agg(
+          // post-sum funnel at (28,6), not (18,6): the year's total revenue
+          // passes 1e12 at sf30, and DuckDB's SUM widens to (38,6) — an
+          // 18,6 cap here overflows Spark alone (ANSI error at scale)
           sum(when($"p_type" === "PROMO", discPrice).otherwise(lit(0))
-            .cast("decimal(18,6)")).cast("decimal(18,6)").as("promo"),
-          sum(discPrice).cast("decimal(18,6)").as("total"))
+            .cast("decimal(18,6)")).cast("decimal(28,6)").as("promo"),
+          sum(discPrice).cast("decimal(28,6)").as("total"))
         .select(Tables.e6($"promo").as("promo_rev_e6"),
           Tables.e6($"total").as("total_rev_e6"))
         .withColumn("promo_ppm",
