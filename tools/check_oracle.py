@@ -26,6 +26,7 @@ bugs surface before a graded round).
 """
 import decimal
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -122,6 +123,12 @@ def canon(df: pd.DataFrame) -> list:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # scale-run knob: bound this process's DuckDB memory so several chunked
+    # compares can run side by side on one box (default: DuckDB's own 80%)
+    lim = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if lim:
+        con.execute(f"SET memory_limit = '{lim}'")
+        con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
