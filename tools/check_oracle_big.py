@@ -17,6 +17,7 @@ check_oracle.py.
 Usage: python3 tools/check_oracle_big.py <sfDir> <verifyOutDir> <query ...>
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -47,6 +48,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     con = duckdb.connect()
+    lim = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if lim:
+        con.execute(f"SET memory_limit = '{lim}'")
+        con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
