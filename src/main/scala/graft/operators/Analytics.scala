@@ -714,8 +714,10 @@ object Analytics {
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM b GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  CAST(CAST(CAST(n * sxy - sx * sy AS HUGEINT) *
-        |            CAST(n * sxy - sx * sy AS HUGEINT) //
+        |  CAST(CAST((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) -
+        |             CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) *
+        |            (CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) -
+        |             CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) //
         |            (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
         |             CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS HUGEINT)
         |       * 1000000 //
@@ -773,12 +775,15 @@ object Analytics {
         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM b GROUP BY l_returnflag),
         |sl AS (
-        |  SELECT *, CAST(CAST(n * sxy - sx * sy AS HUGEINT) * 1000000 //
+        |  SELECT *, CAST((CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) -
+        |                  CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)) * 1000000 //
         |    (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
         |     CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT) AS slope_e6
         |  FROM a)
         |SELECT l_returnflag, n, slope_e6,
-        |  (sy * 1000000 - slope_e6 * sx) // n AS icept_e6
+        |  CAST((CAST(sy AS HUGEINT) * 1000000 -
+        |        CAST(slope_e6 AS HUGEINT) * CAST(sx AS HUGEINT)) // n
+        |    AS BIGINT) AS icept_e6
         |FROM sl ORDER BY l_returnflag""".stripMargin,
     "win_rolling_corr" ->
       """WITH b AS (
