@@ -98,25 +98,50 @@ final class GraftVtSource extends RelationProvider
     *                        history: the initial snapshot arrives as v0's
     *                        inserts, like Delta CDF's startingVersion=0);
     *                        `latest` = only commits after stream start
+    *   - `startingTimestamp`  first version whose commit ts ≥ this value
+    *                        (mutually exclusive with startingVersion;
+    *                        commits without a recorded ts never match)
     *   - `maxVersionsPerTrigger`  admission cap per microbatch (rate
     *                        limiting; AvailableNow still drains to the
     *                        stream-start snapshot through Spark's
     *                        AvailableNowSourceWrapper) */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
+                            parameters: Map[String, String]): (String, StructType) = {
+    checkStreamOptions(parameters)
     (shortName(), GraftVtStreamSource.cdfSchema(
       sqlContext.sparkSession, streamPath(parameters)))
+  }
+
+  private def checkStreamOptions(parameters: Map[String, String]): Unit =
+    require(
+      !(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graftvt stream: startingVersion and startingTimestamp are mutually exclusive")
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = streamPath(parameters)
+    checkStreamOptions(parameters)
     val starting = parameters.get("startingVersion").map(_.trim) match {
       case Some("latest") => VersionedTable.latestVersion(spark, path) + 1
       case Some(v)        => v.toInt
-      case None           => 0
+      case None           =>
+        // Delta parity: first version whose commit ts is AT OR AFTER the
+        // given timestamp (the CDF convention — a reader asking "changes
+        // since t" must not re-see the snapshot committed before t)
+        parameters.get("startingTimestamp").map(_.trim.toLong) match {
+          case Some(t) =>
+            val hist = VersionedTable.history(spark, path)
+              .select(col("version"), col("ts")).collect()
+              .collect { case r if !r.isNullAt(1) && r.getLong(1) >= t =>
+                r.getInt(0) }
+            if (hist.isEmpty) VersionedTable.latestVersion(spark, path) + 1
+            else hist.min
+          case None => 0
+        }
     }
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.trim.toInt)
     maxVersions.foreach(m => require(m > 0,

@@ -74,6 +74,31 @@ class GraftVtStreamSpec extends AnyFunSuite {
     assert(got.filter($"_change_type" =!= "insert").count() === 0)
   }
 
+  test("startingTimestamp resolves to the first commit at-or-after the ts") {
+    val dir = Files.createTempDirectory("graft_vts").toString + "/t"
+    def rows(ids: Seq[Long]) = ids.toDF("k")
+      .select($"k", ($"k" * 10).as("v"),
+        concat(lit("p"), ($"k" % 2).cast("string")).as("p"))
+    VersionedTable.create(spark, dir, rows(1L to 3L), "p", ts = Some(1000L))
+    VersionedTable.appendCommit(spark, dir, rows(11L to 12L), "p",
+      ts = Some(2000L))
+    VersionedTable.appendCommit(spark, dir, rows(21L to 22L), "p",
+      ts = Some(3000L))
+    val root = Files.createTempDirectory("graft_vts_run").toString
+    // ts=2000 lands exactly on v1 (at-or-after — Delta CDF's convention:
+    // "changes since t" must not re-see the snapshot committed before t)
+    val got = drain(dir, s"$root/ckpt", s"$root/sink",
+      Map("startingTimestamp" -> "2000"))
+    assert(got.select($"_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSet === Set(1, 2))
+    // a ts past every commit starts at the log head: nothing replays
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graftvt")
+        .option("startingVersion", "0").option("startingTimestamp", "9999")
+        .load(dir)
+    }
+  }
+
   test("checkpointed restart resumes after the last committed version") {
     val dir = newTable()
     val root = Files.createTempDirectory("graft_vts_restart").toString
