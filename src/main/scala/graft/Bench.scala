@@ -41,6 +41,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warmup: JVM/codegen/shuffle-machinery startup is

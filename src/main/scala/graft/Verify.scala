@@ -16,11 +16,16 @@ object Verify {
     // — width must scale with data (SCALING.md sf30 probe).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // withExtensions = the documented deployment configuration
+    // (spark.sql.extensions=graft.plans.GraftExtensions): custom SQL
+    // functions, the band-join rewrite, and the graftvt MERGE INTO rule
+    // are session features, not per-query registrations
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1132,6 +1132,168 @@ object Etl {
           expr("n_rows * 1000000 div total").as("share_ppm"),
           expr("n_rows * n_parts * 1000000 div total").as("skew_e6"))
         .orderBy("part_key")
+    }),
+
+    // The versioned table as a CATALOG object — pure SQL DDL/DML end to
+    // end, zero Scala API: CREATE TABLE ... USING graftvt AS SELECT (CTAS
+    // → create, v0), INSERT INTO (→ appendCommit, v1), INSERT OVERWRITE
+    // (→ overwriteCommit, v2 — whole-table replace as ONE atomic version,
+    // history retained). The read-back is pure SQL too: the final state
+    // through the catalog NAME (which must see the post-write snapshot in
+    // the same session — the relation re-pins after its own commits), the
+    // pre-overwrite snapshots through versionAsOf temp views. Emitting
+    // each version's history OPERATION string grades the statement→commit
+    // mapping itself; the oracle reconstructs every version's contents
+    // (and the expected operation) from the base table.
+    "etl_sql_catalog" -> ((s, d) => {
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(vtCatPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtCatPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_cat")
+      Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+        .createOrReplaceTempView("graft_cat_base")
+      s.sql(s"CREATE TABLE graft_vt_cat USING graftvt " +
+        s"OPTIONS (path '$vtCatPath', partitionCol 'pmonth') AS " +
+        "SELECT * FROM graft_cat_base " +
+        "WHERE pmonth >= '1997-01' AND pmonth <= '1997-05'")
+      s.sql("INSERT INTO graft_vt_cat SELECT * FROM graft_cat_base " +
+        "WHERE pmonth >= '1997-06' AND pmonth <= '1997-08'")
+      s.sql("INSERT OVERWRITE graft_vt_cat SELECT * FROM graft_cat_base " +
+        "WHERE pmonth >= '1997-02' AND pmonth <= '1997-04'")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_cat_v0 " +
+        s"USING graftvt OPTIONS (path '$vtCatPath', versionAsOf '0')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_cat_v1 " +
+        s"USING graftvt OPTIONS (path '$vtCatPath', versionAsOf '1')")
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM $view")
+      val ops = graft.sources.VersionedTable.history(s, vtCatPath)
+        .select($"version", $"operation")
+      agg("graft_vt_cat_v0", 0)
+        .unionByName(agg("graft_vt_cat_v1", 1))
+        .unionByName(agg("graft_vt_cat", 2))
+        .join(ops, "version")
+        .select($"version", $"operation", $"n_rows", $"xor_key",
+          $"sum_price_c")
+        .orderBy("version")
+    }),
+
+    // SQL MERGE INTO routing to mergeCommit (GraftVtMergeRule, injected
+    // via GraftExtensions): one statement carrying all three action kinds
+    // — conditional DELETE, unconditional full-row UPDATE, unconditional
+    // INSERT — against a catalog graftvt table, with the change source a
+    // plain temp view. The merge takes ONE versioned commit (operation
+    // string graded), the pre-merge snapshot stays time-travelable (v0
+    // graded through a versionAsOf view), and the final state must equal
+    // the oracle's declarative reconstruction of update-minus-delete-
+    // plus-insert. ON includes the partition column (the change-batch
+    // contract addresses rows by (key, partition) — the rule enforces
+    // it), so the translation is SQL-exact.
+    "etl_sql_merge_into" -> ((s, d) => {
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(vtMrgPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtMrgPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_mrg")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      graft.sources.VersionedTable.create(s, vtMrgPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_mrg USING graftvt " +
+        s"OPTIONS (path '$vtMrgPath', partitionCol 'pmonth')")
+      // change source, derived deterministically from the base slice:
+      // price updates (+555) for key%10=3 in 1997-02..03, deletes for
+      // key%100=7 in 1997-01..02 (disjoint by key pattern), inserts =
+      // the whole 1997-04 window (absent from the table)
+      val isUpd = $"o_orderkey" % 10 === 3 &&
+        $"pmonth" >= "1997-02" && $"pmonth" <= "1997-03"
+      val isDel = $"o_orderkey" % 100 === 7 &&
+        $"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"
+      base.filter(isUpd || isDel || $"pmonth" === "1997-04")
+        .withColumn("price_c",
+          when(isUpd, $"price_c" + 555).otherwise($"price_c"))
+        .withColumn("kind", when(isDel, lit("d")).otherwise(lit("u")))
+        .createOrReplaceTempView("graft_mrg_src")
+      s.sql(
+        """MERGE INTO graft_vt_mrg t USING graft_mrg_src s
+          |ON t.o_orderkey = s.o_orderkey AND t.pmonth = s.pmonth
+          |WHEN MATCHED AND s.kind = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_mrg_v0 " +
+        s"USING graftvt OPTIONS (path '$vtMrgPath', versionAsOf '0')")
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM $view")
+      val ops = graft.sources.VersionedTable.history(s, vtMrgPath)
+        .select($"version", $"operation")
+      agg("graft_vt_mrg_v0", 0)
+        .unionByName(agg("graft_vt_mrg", 1))
+        .join(ops, "version")
+        .select($"version", $"operation", $"n_rows", $"xor_key",
+          $"sum_price_c")
+        .orderBy("version")
+    }),
+
+    // MULTI-COLUMN partitioning (partitionCol = "pmonth,bucket"): the
+    // manifest records each file's partition as the escaped
+    // `pmonth=…/bucket=…` PATH FRAGMENT (Hive/Iceberg's spec string) and
+    // the layout nests one directory level per column. Graded end to end
+    // on a 2-level layout: create (2 months × 3 buckets) + append (month
+    // 3) + a tombstone delete scoped to ONE sub-partition — the row emits,
+    // PER LIVE SUB-PARTITION, the manifest-derived layout (data-file and
+    // tombstone counts straight from the log's part strings) next to the
+    // visible content (count/xor/sum through a partValues-pruned read of
+    // exactly that composite key). The oracle re-derives the part strings
+    // AND both layers from the base table: a wrong fragment encoding, a
+    // tombstone filed under the wrong sub-partition, or a composite-key
+    // read that scans siblings all fail the hash. At 100 TB this is the
+    // (date, source)-style layout where conflict scope and CDF bounding
+    // shrink from a whole date to one source slice.
+    "etl_vt_multipart" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtMpPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtMpPath), true)
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"),
+        ($"o_orderkey" % 3).cast("string").as("bucket"))
+      VersionedTable.create(s, vtMpPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth,bucket")
+      VersionedTable.appendCommit(s, vtMpPath,
+        base.filter($"pmonth" === "1997-03"), "pmonth,bucket")
+      VersionedTable.deleteCommit(s, vtMpPath,
+        base.filter($"pmonth" === "1997-02" && $"bucket" === "1" &&
+          $"o_orderkey" % 10 === 1)
+          .select($"o_orderkey", $"pmonth", $"bucket"), "pmonth,bucket")
+      val latest = VersionedTable.latestVersion(s, vtMpPath)
+      val entries = VersionedTable.liveEntries(s, vtMpPath, latest)
+      val layout = entries.groupBy(_.part).toSeq.map { case (part, es) =>
+        (part, es.count(_.action == "add").toLong,
+          es.count(_.action == "tomb").toLong)
+      }.sortBy(_._1)
+      layout.map { case (part, nData, nTomb) =>
+        VersionedTable.read(s, vtMpPath, latest, Some(Set(part)))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(o_orderkey)").as("xor_key"),
+            sum($"price_c").as("sum_price_c"))
+          .select(lit(part).as("part"), lit(nData).as("n_data_files"),
+            lit(nTomb).as("n_tomb_files"), $"n_rows", $"xor_key",
+            $"sum_price_c")
+      }.reduce(_ unionByName _).orderBy("part")
     })
   )
 
@@ -1191,6 +1353,9 @@ object Etl {
     }
 
   private[graft] val vtSqlWPath = s"${graft.fixtureRoot}/vt_orders_sqlw"
+  private[graft] val vtCatPath = s"${graft.fixtureRoot}/vt_orders_cat"
+  private[graft] val vtMrgPath = s"${graft.fixtureRoot}/vt_orders_mrg"
+  private[graft] val vtMpPath = s"${graft.fixtureRoot}/vt_orders_mp"
   private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
@@ -2214,6 +2379,88 @@ object Etl {
         |SELECT part_key, n_rows,
         |  n_rows * 1000000 // total AS share_ppm,
         |  n_rows * n_parts * 1000000 // total AS skew_e6
-        |FROM m, g ORDER BY part_key""".stripMargin
+        |FROM m, g ORDER BY part_key""".stripMargin,
+    // Each SQL statement's logical state reconstructed from the base
+    // table: v0 = the CTAS window, v1 = CTAS + INSERT INTO windows, v2 =
+    // ONLY the INSERT OVERWRITE window (replace, not accumulate) — plus
+    // the commit operation each statement must have taken.
+    "etl_sql_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |u AS (
+        |  SELECT 0 AS version, 'create' AS operation, o_orderkey, price_c
+        |  FROM base WHERE pmonth >= '1997-01' AND pmonth <= '1997-05'
+        |  UNION ALL SELECT 1, 'append', o_orderkey, price_c
+        |  FROM base WHERE pmonth >= '1997-01' AND pmonth <= '1997-08'
+        |  UNION ALL SELECT 2, 'overwrite', o_orderkey, price_c
+        |  FROM base WHERE pmonth >= '1997-02' AND pmonth <= '1997-04')
+        |SELECT version, operation, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, operation ORDER BY version""".stripMargin,
+    // MERGE INTO's final state, declaratively: the v0 slice minus the
+    // delete keys, price-updated on the update keys, plus the insert
+    // window — one merge commit after the create.
+    "etl_sql_merge_into" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |              AND pmonth >= '1997-02' AND pmonth <= '1997-03'
+        |         THEN price_c + 555 ELSE price_c END AS price_c, pmonth
+        |  FROM t0
+        |  WHERE NOT (o_orderkey % 100 = 7
+        |             AND pmonth >= '1997-01' AND pmonth <= '1997-02')
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c, pmonth FROM base
+        |  WHERE pmonth = '1997-04'),
+        |u AS (
+        |  SELECT 0 AS version, 'create' AS operation, o_orderkey, price_c
+        |  FROM t0
+        |  UNION ALL SELECT 1, 'merge', o_orderkey, price_c FROM final)
+        |SELECT version, operation, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, operation ORDER BY version""".stripMargin,
+    // Layout AND content of the 2-level partitioned table, re-derived from
+    // the base table: part = the escaped pmonth=…/bucket=… fragment (all
+    // values alphanumeric here, so escaping is the identity), exactly one
+    // data file per sub-partition per covering commit, one tombstone file
+    // in the deleted sub-partition IFF any key matched (an empty delete
+    // key set commits no files — true at tiny SFs), visible rows = slice
+    // minus the tombstoned keys.
+    "etl_vt_multipart" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+        |  FROM orders),
+        |slice AS (
+        |  SELECT *, (pmonth = '1997-02' AND bucket = '1'
+        |             AND o_orderkey % 10 = 1) AS del
+        |  FROM base WHERE pmonth >= '1997-01' AND pmonth <= '1997-03')
+        |SELECT 'pmonth=' || pmonth || '/bucket=' || bucket AS part,
+        |  CAST(1 AS BIGINT) AS n_data_files,
+        |  CAST(CASE WHEN SUM(CASE WHEN del THEN 1 ELSE 0 END) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_tomb_files,
+        |  COUNT(CASE WHEN NOT del THEN 1 END) AS n_rows,
+        |  bit_xor(CASE WHEN NOT del THEN o_orderkey END) AS xor_key,
+        |  CAST(SUM(CASE WHEN NOT del THEN price_c END) AS BIGINT)
+        |    AS sum_price_c
+        |FROM slice GROUP BY pmonth, bucket ORDER BY part""".stripMargin
   )
 }

@@ -71,5 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registers this per-session via experimental.extraStrategies, so
     // either construction path works.
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    // SQL MERGE INTO over graftvt catalog tables → VersionedTable
+    // .mergeCommit (post-hoc: the plan arrives fully resolved, star
+    // actions expanded). Matches only MergeIntoTable over a GraftVtRelation
+    // target, so injecting costs nothing elsewhere.
+    ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtMergeRule(s))
   }
 }

@@ -41,9 +41,23 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * manifest-listed parquet scan — column pruning and predicate pushdown
   * survive the V1 boundary. `unhandledFilters` keeps every filter (the
   * default), so Spark re-evaluates them above the scan: the translation
-  * below is a scan-pruning hint, never a correctness dependency. A DSv2
-  * `TableProvider` would add catalog integration; the read semantics
-  * (this file's whole surface) would be identical.
+  * below is a scan-pruning hint, never a correctness dependency.
+  *
+  * Catalog integration (the full SQL DDL/DML surface, all V1-native):
+  *   - `CREATE TABLE t USING graftvt OPTIONS (path, partitionCol)` — a
+  *     persistent session-catalog table over an existing log; with
+  *     `AS SELECT` (CTAS) the statement routes to `create` (version 0);
+  *   - `INSERT INTO` / `INSERT OVERWRITE t` — [[GraftVtRelation.insert]]
+  *     (InsertableRelation) maps them to appendCommit / overwriteCommit,
+  *     one versioned commit per statement;
+  *   - `MERGE INTO t USING s ...` — [[GraftVtMergeRule]] (injected via
+  *     GraftExtensions) rewrites the resolved statement into a
+  *     mergeCommit, Delta's analyzer-extension architecture.
+  * A DSv2 `TableProvider` would change none of these semantics — Spark's
+  * own DataFrameReader/Writer fall back to exactly this V1 surface for
+  * tables that don't claim BATCH_READ/BATCH_WRITE capabilities, and the
+  * row-level-operation API would re-implement the commit protocol the
+  * library already owns.
   */
 final class GraftVtSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
@@ -224,9 +238,17 @@ final class GraftVtSource extends RelationProvider
       // batch CDF (Delta's table_changes): the row-level diff of a commit
       // range as a queryable relation — `_commit_version`, `_change_type`
       // + table columns, straight off VersionedTable.changes
-      val from = parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0)
-      val to = parameters.get("endingVersion").map(_.trim.toInt)
-        .getOrElse(VersionedTable.latestVersion(spark, path))
+      val from = parameters.get("startingVersion").map { s =>
+        // `latest` is a STREAM-path option; the batch CDF range must be an
+        // explicit integer (Delta's table_changes contract) — fail with a
+        // graftvt-prefixed message, not a raw NumberFormatException
+        scala.util.Try(s.trim.toInt).getOrElse(throw new IllegalArgumentException(
+          s"graftvt: batch readChangeFeed startingVersion must be an integer, got '$s'"))
+      }.getOrElse(0)
+      val to = parameters.get("endingVersion").map { s =>
+        scala.util.Try(s.trim.toInt).getOrElse(throw new IllegalArgumentException(
+          s"graftvt: batch readChangeFeed endingVersion must be an integer, got '$s'"))
+      }.getOrElse(VersionedTable.latestVersion(spark, path))
       require(to >= from,
         s"graftvt: endingVersion $to precedes startingVersion $from")
       return new GraftVtCdfRelation(sqlContext,
@@ -240,7 +262,8 @@ final class GraftVtSource extends RelationProvider
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
     val partValues = parameters.get("partitions")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    new GraftVtRelation(sqlContext, path, version, partValues, mergeSchema)
+    new GraftVtRelation(sqlContext, path, version, partValues, mergeSchema,
+      parameters)
   }
 }
 
@@ -254,26 +277,70 @@ private final class GraftVtCdfRelation(override val sqlContext: SQLContext,
   override def buildScan(): RDD[Row] = feed.rdd
 }
 
-private final class GraftVtRelation(override val sqlContext: SQLContext,
-                                    path: String, version: Int,
-                                    partValues: Option[Set[String]],
-                                    mergeSchema: Boolean)
-    extends BaseRelation with PrunedFilteredScan {
+private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
+                                            val path: String, initialVersion: Int,
+                                            partValues: Option[Set[String]],
+                                            mergeSchema: Boolean,
+                                            val tableParameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val spark = sqlContext.sparkSession
 
-  private val snapshot: DataFrame =
+  /** The pinned snapshot version. `@volatile var`, not `val`: a SQL view
+    * still pins (nothing re-assigns it on the read path), but an INSERT
+    * INTO through THIS relation instance advances it — the session catalog
+    * caches one LogicalRelation per table, so without the bump a
+    * SELECT-after-INSERT in the same session would keep reading the
+    * pre-insert snapshot (V1 JDBC relations are stateless and dodge this;
+    * a pinned-version relation must refresh itself). */
+  @volatile private var version: Int = initialVersion
+
+  @volatile private var snapshot: DataFrame =
     VersionedTable.read(spark, path, version, partValues, mergeSchema)
+
+  def pinnedVersion: Int = version
 
   override val schema: StructType = snapshot.schema
 
   /** Columns the manifest records per-file min/max for — the declared
     * stats column plus any z-order (`mstats`) columns: only predicates on
-    * these can prune files. Resolved once — the relation already pins its
-    * version, so the entry set is immutable. */
-  private lazy val statsCols: Set[String] =
+    * these can prune files. Re-resolved per scan via `def` (cheap log
+    * read, checkpoint-bounded) because INSERT INTO can advance the pinned
+    * version. */
+  private def statsCols: Set[String] =
     VersionedTable.liveEntries(spark, path, version)
       .iterator.flatMap(_.statRanges.keys).toSet
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on a catalog `graftvt` table —
+    * Spark's InsertIntoDataSourceCommand routes here. Each statement is
+    * one versioned commit (appendCommit / overwriteCommit), exactly the
+    * DataFrame-writer SaveMode mapping, so the SQL DML surface cannot
+    * drift from the library's transaction semantics. Columns arrive
+    * BY POSITION (PreprocessTableInsertion has already aligned arity and
+    * types to this relation's schema) — renamed to the table's field
+    * names before the commit, which partitions by name. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val partitionCol = tableParameters.getOrElse("partitionCol",
+      throw new IllegalArgumentException(
+        "graftvt insert: table must declare a 'partitionCol' option"))
+    val named = data.toDF(schema.fieldNames.toSeq: _*)
+    val statsCol = tableParameters.get("statsCol")
+    val fileSplits = tableParameters.get("fileSplits").map(_.trim.toInt).getOrElse(1)
+    if (overwrite)
+      VersionedTable.overwriteCommit(spark, path, named, partitionCol,
+        statsCol, ts = None, fileSplits = fileSplits)
+    else
+      VersionedTable.appendCommit(spark, path, named, partitionCol,
+        statsCol, ts = None, fileSplits = fileSplits)
+    refreshSnapshot()
+  }
+
+  /** Re-pin to the latest committed version (after a write through this
+    * relation, or an external commit — [[GraftVtMergeCommand]] calls it). */
+  private[graft] def refreshSnapshot(): Unit = {
+    version = VersionedTable.latestVersion(spark, path)
+    snapshot = VersionedTable.read(spark, path, version, partValues, mergeSchema)
+  }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
@@ -350,15 +417,25 @@ private[graft] object GraftVtRelation {
       }
   }
 
+  /** Long image of a pushed literal, or None when no SAFE image exists.
+    * The soundness argument (monotone truncation, see statsBounds) only
+    * holds for finite, long-representable values: a NaN literal under
+    * Spark's NaN-greatest ordering satisfies `col < NaN` for every non-NaN
+    * row, so truncating it to 0 would prune files that match; a BigDecimal
+    * past ±2^63 would WRAP under longValue (JLS narrowing), producing an
+    * arbitrary bound. Both return None — pruning stays conservative (keep
+    * every file) for literals the Long domain can't represent. */
   private def longOf(v: Any): Option[Long] = v match {
     case n: Byte    => Some(n.toLong)
     case n: Short   => Some(n.toLong)
     case n: Int     => Some(n.toLong)
     case n: Long    => Some(n)
-    case n: Float   => Some(n.toLong)
-    case n: Double  => Some(n.toLong)
-    case n: java.math.BigDecimal => Some(n.longValue)
-    case n: BigDecimal           => Some(n.longValue)
+    case n: Float   => if (n.isNaN || n.isInfinite) None else Some(n.toLong)
+    case n: Double  => if (n.isNaN || n.isInfinite) None else Some(n.toLong)
+    case n: java.math.BigDecimal =>
+      scala.util.Try(n.toBigInteger.longValueExact()).toOption
+    case n: BigDecimal =>
+      scala.util.Try(n.toBigInt.bigInteger.longValueExact()).toOption
     case _          => None
   }
 

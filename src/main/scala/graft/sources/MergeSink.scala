@@ -133,8 +133,11 @@ object MergeSink {
   private[sources] def mergeDataflow(target: DataFrame, changes: DataFrame,
       keyCols: Seq[String], partitionCol: String, opCol: String,
       seqCol: String, targetSeqCol: Option[String]): DataFrame = {
+    // partitionCol may be a comma-separated multi-column spec
+    // (VersionedTable.partColsOf) — the row identity is (keys, partitions)
+    val pCols = VersionedTable.partColsOf(partitionCol)
     val payloadCols = target.columns.filterNot(c =>
-      keyCols.contains(c) || c == partitionCol).toSeq
+      keyCols.contains(c) || pCols.contains(c)).toSeq
     // A change batch may be NARROWER than the target (the target gained a
     // column after the producer was written — the standard CDC-vs-widened-
     // table drift): merge semantics are whole-row replacement, so a change
@@ -146,7 +149,7 @@ object MergeSink {
     require(extra.isEmpty,
       s"merge: change columns [${extra.mkString(", ")}] not in the target " +
         "schema — widen the table with an append/overwrite commit first")
-    val ordered = Window.partitionBy((keyCols :+ partitionCol).map(col): _*)
+    val ordered = Window.partitionBy((keyCols ++ pCols).map(col): _*)
       .orderBy(
         (if (targetSeqCol.isDefined) Seq(col("__seq").desc, col("__src").desc)
          else Seq(col("__src").desc, col("__seq").desc)): _*)
@@ -160,7 +163,7 @@ object MergeSink {
         allowMissingColumns = true)
       .withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
-      .select((keyCols ++ payloadCols :+ partitionCol).map(col): _*)
+      .select((keyCols ++ payloadCols ++ pCols).map(col): _*)
       .localCheckpoint() // sever lineage: the write overwrites its own source
   }
 

@@ -116,6 +116,48 @@ object VersionedTable {
 
   private val PartDir = "__vt_part"
 
+  /** Multi-column partitioning: every `partitionCol` parameter across the
+    * commit surface (create/append/overwrite/merge/delete/optimize/zorder,
+    * and therefore the graftvt writer, streaming sink, catalog OPTIONS and
+    * SQL MERGE too) accepts a comma-separated column list — `"pmonth"` or
+    * `"pmonth,bucket"`. A single column keeps the legacy manifest encoding
+    * (`part` = the raw value) and on-disk layout (`__vt_part=v/`); a
+    * multi-column table records `part` as the escaped
+    * `col0=v0/col1=v1` PATH FRAGMENT (Hive/Iceberg's spec string) and lays
+    * files out as nested `__vt_p0=v0/__vt_p1=v1/` directories. Conflict
+    * scope, tombstone pruning, CDF partition bounding and the `partitions`
+    * reader option all key on the `part` string, so multi-column tables
+    * get FINER grains for free: two writers on different sub-partitions of
+    * the same date commit concurrently. */
+  private[graft] def partColsOf(spec: String): Seq[String] = {
+    val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, s"partitionCol spec is empty: '$spec'")
+    cols
+  }
+
+  /** Manifest partition key for one row's (string-cast) values — see
+    * [[partColsOf]] for the two encodings. */
+  private[graft] def partKeyOf(cols: Seq[String], vals: Seq[String]): String =
+    if (cols.sizeIs == 1) vals.head
+    else cols.zip(vals).map { case (c, v) =>
+      s"$c=${ExternalCatalogUtils.escapePathName(v)}" }.mkString("/")
+
+  /** Distinct partition keys present in `df` (driver-side, bounded by the
+    * partition-value domain — the same cardinality every commit's conflict
+    * scope already carries). Rejects null partition values with the
+    * caller's name in the message. */
+  private def affectedPartsOf(df: DataFrame, pCols: Seq[String],
+                              what: String): Seq[String] = {
+    val rows = df.select(pCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+    rows.foreach { r =>
+      require(pCols.indices.forall(!r.isNullAt(_)),
+        s"$what: partition columns ${pCols.mkString("(", ", ", ")")} must " +
+        "be non-null")
+    }
+    rows.toSeq.map(r => partKeyOf(pCols, pCols.indices.map(r.getString)))
+  }
+
   final case class Commit(version: Int, filesAdded: Int, filesRemoved: Int)
 
   /** One manifest row. `action` is add|tomb|remove|noop; `smin`/`smax` are
@@ -401,32 +443,51 @@ object VersionedTable {
     // close in the key land in the same file, so every file carries a
     // NARROW slice of the key domain — what makes the per-file metrics
     // recorded below selective (the z-order write shape).
-    val salted = df.withColumn(PartDir, col(partitionCol))
+    // multi-column spec ("a,b") → synthetic __vt_p0/__vt_p1 copies and a
+    // nested directory layout; single column keeps the legacy __vt_part
+    // name and raw-value manifest encoding (see partColsOf)
+    val pCols = partColsOf(partitionCol)
+    val pdirs =
+      if (pCols.sizeIs == 1) Seq(PartDir)
+      else pCols.indices.map(i => s"${PartDir.stripSuffix("part")}p$i")
+    val salted = pCols.zip(pdirs).foldLeft(df) {
+      case (d, (c, pd)) => d.withColumn(pd, col(c)) }
+    val pdirCols = pdirs.map(col)
     val keyed = clusterBy match {
       case Some(k) =>
         require(clusterFiles > 0,
           "writeCommitFiles: clusterBy needs clusterFiles > 0")
-        salted.repartitionByRange(clusterFiles, col(PartDir), k)
-          .sortWithinPartitions(col(PartDir), k)
-      case None if fileSplits <= 1 => salted.repartition(col(PartDir))
+        salted.repartitionByRange(clusterFiles, pdirCols :+ k: _*)
+          .sortWithinPartitions(pdirCols :+ k: _*)
+      case None if fileSplits <= 1 => salted.repartition(pdirCols: _*)
       // explicit numPartitions: AQE would coalesce the salted shuffle of a
       // small commit back into one task, and partitionBy only splits files
       // by PartDir WITHIN a task — the salt separates files only while the
       // salted keys stay in separate tasks
       case None => salted.repartition(
         spark.sessionState.conf.numShufflePartitions,
-        col(PartDir), pmod(hash(df.columns.map(col): _*), lit(fileSplits)))
+        pdirCols :+ pmod(hash(df.columns.map(col): _*), lit(fileSplits)): _*)
     }
-    keyed.write.mode("errorifexists").partitionBy(PartDir).parquet(commitDir)
+    keyed.write.mode("errorifexists").partitionBy(pdirs: _*).parquet(commitDir)
     val f = fs(spark, path)
     val it = f.listFiles(new Path(commitDir), true)
     val out = Seq.newBuilder[(String, String)]
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) {
-        val partVal = ExternalCatalogUtils.unescapePathName(
-          p.getParent.getName.stripPrefix(PartDir + "="))
-        out += ((s"$commitRel/${p.getParent.getName}/${p.getName}", partVal))
+        // walk up one directory level per partition column; the manifest's
+        // part key pairs the REAL column names with the (escaped) values
+        val dirNames = new Array[String](pCols.size)
+        var cur = p.getParent
+        var i = pCols.size - 1
+        while (i >= 0) { dirNames(i) = cur.getName; cur = cur.getParent; i -= 1 }
+        val partKey =
+          if (pCols.sizeIs == 1)
+            ExternalCatalogUtils.unescapePathName(
+              dirNames(0).stripPrefix(PartDir + "="))
+          else pCols.zip(dirNames).map { case (c, dn) =>
+            s"$c=${dn.substring(dn.indexOf('=') + 1)}" }.mkString("/")
+        out += ((s"$commitRel/${dirNames.mkString("/")}/${p.getName}", partKey))
       }
     }
     val listed = out.result()
@@ -442,8 +503,8 @@ object VersionedTable {
     // ';' separates entries in the flat mstats encoding (':' is safe —
     // parse splits on the LAST two), so a ';' in a recorded column's name
     // would corrupt every reader's parse
-    require(extraStatsCols.forall(!_.contains(";")),
-      s"stats column names must not contain ';': $extraStatsCols")
+    require(statCols.forall(!_.contains(";")),
+      s"stats column names must not contain ';': $statCols")
     val statAggs =
       count(lit(1L)).as("__n") +:
       statCols.zipWithIndex.flatMap { case (c, i) => Seq(
@@ -766,10 +827,8 @@ object VersionedTable {
                   ts: Option[Long] = None): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"mergeCommit: $path has no version 0 — create() first")
-    val affected = changes.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    require(!affected.contains(null),
-      s"mergeCommit: changes.$partitionCol must be non-null")
+    val affected = affectedPartsOf(changes, partColsOf(partitionCol),
+      "mergeCommit")
     if (affected.isEmpty) {
       // an empty change batch still commits (an empty manifest): versions
       // stay DENSE, so read(v) is well-defined for every v ≤ latest — the
@@ -810,15 +869,14 @@ object VersionedTable {
                    ts: Option[Long] = None): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"deleteCommit: $path has no version 0 — create() first")
-    require(keys.columns.contains(partitionCol),
-      s"deleteCommit: keys must carry $partitionCol for tombstone pruning")
-    val affected = keys.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val pCols = partColsOf(partitionCol)
+    require(pCols.forall(keys.columns.contains),
+      s"deleteCommit: keys must carry ${pCols.mkString(", ")} for " +
+      "tombstone pruning")
+    val affected = affectedPartsOf(keys, pCols, "deleteCommit").toSet
     if (affected.isEmpty)
       return commitAttempt(spark, path, cur, Nil, Nil, Nil,
         Some(Set.empty), "delete", ts)
-    require(!affected.contains(null),
-      s"deleteCommit: keys.$partitionCol must be non-null")
     val tombs = writeCommitFiles(spark, path, cur + 1, keys.distinct(),
       partitionCol, None).map(_.copy(action = "tomb"))
     commitAttempt(spark, path, cur, Nil, tombs, Nil,

@@ -853,15 +853,59 @@ object Streams {
       perVersion.unionByName(replayed).orderBy("version", "change_type")
     }),
 
+    // The stream source's startingTimestamp option, graded: on the
+    // ts-stamped table (v0 ts=1000 create, v1 ts=2000 append, v2 ts=3000
+    // tombstone delete), startingTimestamp=1500 must begin the stream at
+    // v1 — the first commit AT OR AFTER the timestamp (Delta's CDF
+    // convention: "changes since t" must NOT re-deliver the snapshot
+    // committed before t) — and drain v1's inserts then v2's deletes, one
+    // version per microbatch (bid must equal version−1; off-batch rows
+    // are counted and must be zero). A source that re-resolved the ts to
+    // v0, rounded to the wrong side, or skipped the tombstone diff fails
+    // the hash.
+    "stream_vt_source_ts" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Etl.writeVersionedFixture(s, d)
+      val vt = graft.operators.Etl.vtTsPath
+      val root = s"${graft.fixtureRoot}/stream_vt_source_ts"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val sink = s"$root/sink"
+      val q = s.readStream.format("graftvt")
+        .option("startingTimestamp", "1500")
+        .option("maxVersionsPerTrigger", "1")
+        .load(vt)
+        .select($"_commit_version".as("version"),
+          $"_change_type".as("change_type"), $"o_orderkey", $"price_c")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          batch.withColumn("bid", lit(bid))
+            .write.mode("overwrite").parquet(s"$sink/b=$bid")
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"),
+          sum(when($"bid" =!= ($"version".cast("long") - 1L), 1L)
+            .otherwise(0L)).as("n_off_batch"))
+        .orderBy("version", "change_type")
+    }),
+
     // Streaming ingest INTO the versioned table through the engine surface:
     // `df.writeStream.format("graftvt")` (GraftVtSink) — one versioned
     // commit per microbatch, stamped with (txnAppId, batchId) so replays
-    // are idempotent. Graded as a 3-restart ingest (landing file i appears
+    // are idempotent. Graded as a 2-restart ingest (landing file i appears
     // before run i; each AvailableNow run commits exactly one version, so
     // snapshot v = modulus buckets 0..v — fully deterministic) followed by
     // a DUPLICATE-DELIVERY run: a fresh checkpoint re-reads ALL landing
     // files under the same txnAppId, and the sink must skip every replayed
-    // batch — latest_version stays 2 and the final content is unchanged.
+    // batch — latest_version stays 1 and the final content is unchanged.
     // A sink that double-appended, merged batches into one commit, or lost
     // a restart's position fails the hash.
     "stream_vt_sink" -> ((s, d) => {
@@ -890,7 +934,12 @@ object Streams {
           .trigger(Trigger.AvailableNow()).start(tbl)
         q.awaitTermination()
       }
-      (0 to 2).foreach { i =>
+      // two ingest restarts (r11: trimmed from three — the graded claims,
+      // one-commit-per-batch + restart position + replay skip, all survive
+      // and the fixture sheds one full streaming-query startup);
+      // coalesce(1) is deliberate and bounded: ONE landing file per run so
+      // each restart admits exactly one new file (~50k rows at sf0.1)
+      (0 to 1).foreach { i =>
         base.filter($"o_orderkey" % 3 === i)
           .coalesce(1).write.mode("append").parquet(landing)
         ingestRun(s"$root/ckpt")
@@ -900,7 +949,7 @@ object Streams {
       ingestRun(s"$root/ckpt2")
       import graft.sources.VersionedTable
       val latestAfter = VersionedTable.latestVersion(s, tbl)
-      val perVersion = (0 to 2).map { v =>
+      val perVersion = (0 to 1).map { v =>
         VersionedTable.read(s, tbl, v)
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(o_orderkey)").as("xor_key"),
@@ -1007,9 +1056,34 @@ object Streams {
         |    CAST(SUM(price_c) AS BIGINT), CAST(0 AS BIGINT)
         |  FROM fin)
         |SELECT * FROM u ORDER BY version, change_type""".stripMargin,
+    // startingTimestamp=1500 on the ts table (v0@1000, v1@2000, v2@3000):
+    // the stream begins at v1 — v1's diff is the append window's inserts,
+    // v2's is the tombstone delete of keys %10=7 at their ORIGINAL prices
+    // (the prior-snapshot rows the tombstones address). v0's snapshot must
+    // NOT appear.
+    "stream_vt_source_ts" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 1 AS version, 'insert' AS change_type, o_orderkey, price_c
+        |  FROM base WHERE pmonth >= '1997-07' AND pmonth <= '1997-09'
+        |  UNION ALL
+        |  SELECT 2, 'delete', o_orderkey, price_c FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-09'
+        |    AND o_orderkey % 10 = 7)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(0 AS BIGINT) AS n_off_batch
+        |FROM feed GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     // Version v of the ingested table = modulus buckets 0..v (file i lands
     // before run i; each run commits exactly one version); post_replay =
-    // the whole base with latest_version STILL 2 — the duplicate-delivery
+    // buckets 0..1 with latest_version STILL 1 — the duplicate-delivery
     // run must have committed nothing.
     "stream_vt_sink" ->
       """WITH base AS (
@@ -1021,14 +1095,14 @@ object Streams {
         |  SELECT 'v' || CAST(v.version AS VARCHAR) AS tag,
         |    COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
         |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
-        |    2 AS latest_version
-        |  FROM (VALUES (0), (1), (2)) v(version)
+        |    1 AS latest_version
+        |  FROM (VALUES (0), (1)) v(version)
         |  JOIN base b ON b.o_orderkey % 3 <= v.version
         |  GROUP BY v.version
         |  UNION ALL
         |  SELECT 'post_replay', COUNT(*), bit_xor(o_orderkey),
-        |    CAST(SUM(price_c) AS BIGINT), 2
-        |  FROM base)
+        |    CAST(SUM(price_c) AS BIGINT), 1
+        |  FROM base WHERE o_orderkey % 3 <= 1)
         |SELECT * FROM u ORDER BY tag""".stripMargin,
     // Byte-identical to sim_ann_ivf_incremental's oracle: the streaming
     // path must land EXACTLY where the batch append path lands (frozen

@@ -20,6 +20,15 @@ object PlanShim {
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** A Column over an already-RESOLVED Catalyst expression (attribute refs
+    * keep their exprIds, so the analyzer re-binds them against any plan
+    * that still carries those attributes — the mechanism every MERGE
+    * implementation uses to re-apply the statement's resolved conditions
+    * and assignment values onto its own dataflow). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Re-plan a DataFrame as `LogicalRDD` over its own executed `toRdd`,
     * flipping the `isStreaming` flag — the two directions V1 streaming
     * needs (both are Spark's own recipes):

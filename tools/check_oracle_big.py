@@ -30,9 +30,12 @@ TABLES = [
 
 
 def canon_expr(con, rel_sql: str) -> str:
+    # Escape the join delimiter inside each cell ('\'->'\\', '|'->'\|') so
+    # ('a|b','c') and ('a','b|c') cannot canonicalize identically.
     cols = [r[0] for r in con.execute(f"DESCRIBE {rel_sql}").fetchall()]
     cells = ", ".join(
-        f"COALESCE(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in sorted(cols))
+        "replace(replace(COALESCE(CAST(\"%s\" AS VARCHAR), 'NULL'),"
+        " '\\', '\\\\'), '|', '\\|')" % c for c in sorted(cols))
     return f"concat_ws('|', {cells})"
 
 
