@@ -310,10 +310,14 @@ final case class GraftVtMergeCommand(
           }.as("__op"): _*)
       }
 
-    // 4. one versioned commit; intra-batch order is vacuous (key-unique)
+    // 4. one versioned commit; intra-batch order is vacuous (key-unique).
+    // The partition columns (possibly several — comma spec) drop out of
+    // the key list: mergeDataflow adds them back as the partition half of
+    // the row identity, and a duplicate would select the column twice.
+    val partCols = VersionedTable.partColsOf(partitionCol)
     VersionedTable.mergeCommit(spark, path,
       changes.withColumn("__seq", lit(0L)),
-      keyCols.filterNot(resolver(_, partitionCol)), partitionCol,
+      keyCols.filterNot(k => partCols.exists(resolver(k, _))), partitionCol,
       opCol = "__op", seqCol = "__seq", statsCol = statsCol)
     // the session catalog caches this LogicalRelation: re-pin so a
     // SELECT-after-MERGE in the same session reads the new version

@@ -175,6 +175,38 @@ class GraftVtCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_m4")
   }
 
+  test("multi-column partitioned catalog table: INSERT INTO + MERGE INTO " +
+       "through pure SQL") {
+    val dir = Files.createTempDirectory("graft_cat_mp").toString + "/t"
+    import spark.implicits._
+    VersionedTable.create(spark,
+      dir, Seq((1L, 10L, "d1", "a"), (2L, 20L, "d1", "b"))
+        .toDF("k", "v", "date", "src"), "date,src")
+    spark.sql("DROP TABLE IF EXISTS vt_mp1")
+    spark.sql(s"CREATE TABLE vt_mp1 USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'date,src')")
+    spark.sql("INSERT INTO vt_mp1 VALUES (3, 30, 'd2', 'a')")
+    assert(VersionedTable.liveEntries(spark, dir, 1).map(_.part).toSet ==
+      Set("date=d1/src=a", "date=d1/src=b", "date=d2/src=a"))
+    // MERGE: ON must include BOTH partition columns
+    Seq((2L, 222L, "d1", "b"), (4L, 40L, "d2", "b")).toDF("k", "v", "date", "src")
+      .createOrReplaceTempView("src_mp1")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO vt_mp1 t USING src_mp1 s ON t.k = s.k AND t.date = s.date
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("'src'"), e.getMessage)
+    spark.sql(
+      """MERGE INTO vt_mp1 t USING src_mp1 s
+        |ON t.k = s.k AND t.date = s.date AND t.src = s.src
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM vt_mp1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L)), got.toString)
+    spark.sql("DROP TABLE vt_mp1")
+  }
+
   test("MERGE INTO: unsupported shapes fail with clear messages") {
     val dir = newTable("graft_cat_mrg5")
     spark.sql("DROP TABLE IF EXISTS vt_m5")
