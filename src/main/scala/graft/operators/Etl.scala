@@ -1262,38 +1262,63 @@ object Etl {
     "etl_vt_multipart" -> ((s, d) => {
       import s.implicits._
       import graft.sources.VersionedTable
-      val fs = new org.apache.hadoop.fs.Path(vtMpPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(vtMpPath), true)
-      val base = Tables.orders(s, d).select(
-        $"o_orderkey",
-        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
-        date_format($"o_orderdate", "yyyy-MM").as("pmonth"),
-        ($"o_orderkey" % 3).cast("string").as("bucket"))
-      VersionedTable.create(s, vtMpPath,
-        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
-        "pmonth,bucket")
-      VersionedTable.appendCommit(s, vtMpPath,
-        base.filter($"pmonth" === "1997-03"), "pmonth,bucket")
-      VersionedTable.deleteCommit(s, vtMpPath,
-        base.filter($"pmonth" === "1997-02" && $"bucket" === "1" &&
-          $"o_orderkey" % 10 === 1)
-          .select($"o_orderkey", $"pmonth", $"bucket"), "pmonth,bucket")
+      writeMultipartFixture(s, d)
       val latest = VersionedTable.latestVersion(s, vtMpPath)
       val entries = VersionedTable.liveEntries(s, vtMpPath, latest)
       val layout = entries.groupBy(_.part).toSeq.map { case (part, es) =>
         (part, es.count(_.action == "add").toLong,
           es.count(_.action == "tomb").toLong)
       }.sortBy(_._1)
-      layout.map { case (part, nData, nTomb) =>
-        VersionedTable.read(s, vtMpPath, latest, Some(Set(part)))
-          .agg(count(lit(1)).as("n_rows"),
-            expr("bit_xor(o_orderkey)").as("xor_key"),
-            sum($"price_c").as("sum_price_c"))
-          .select(lit(part).as("part"), lit(nData).as("n_data_files"),
-            lit(nTomb).as("n_tomb_files"), $"n_rows", $"xor_key",
-            $"sum_price_c")
-      }.reduce(_ unionByName _).orderBy("part")
+      // content: ONE snapshot read grouped by the partition columns (the
+      // composite-key PRUNED read path is plan-pinned in VtMultiPartSpec;
+      // re-reading per part here would scan the table |parts| times);
+      // layout: the manifest, joined in as a literal frame
+      val layoutDf = layout
+        .toDF("part", "n_data_files", "n_tomb_files")
+      VersionedTable.read(s, vtMpPath, latest)
+        .groupBy(concat(lit("pmonth="), $"pmonth", lit("/bucket="),
+          $"bucket").as("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .join(broadcast(layoutDf), "part")
+        .select($"part", $"n_data_files", $"n_tomb_files", $"n_rows",
+          $"xor_key", $"sum_price_c")
+        .orderBy("part")
+    }),
+
+    // PARTITION pruning from pushed SQL filters (Delta's behavior): a
+    // plain `WHERE pmonth = '1997-02' AND bucket IN ('0','2')` on a
+    // graftvt relation that declares its partition columns must decide
+    // the file list FROM THE MANIFEST's part keys — at 100 TB the other
+    // partitions' files are never listed, let alone opened. The row runs
+    // the aggregate through the pure SQL path and emits live vs scanned
+    // file counts (the scanned count re-derived through the library with
+    // the same composite keys the relation's partFilterValues produces);
+    // the oracle recomputes the counts from the partition domain and the
+    // aggregate from the base table. Over-pruning (missing rows),
+    // under-pruning (wrong n_scanned), or a broken multi-column key
+    // encoding all fail the hash. VtMultiPartSpec proves the relation
+    // APPLIES the prune (a deleted sibling file is never opened).
+    "etl_sql_partition_prune" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      writeMultipartFixture(s, d)
+      val latest = VersionedTable.latestVersion(s, vtMpPath)
+      val nLive = VersionedTable.liveEntries(s, vtMpPath, latest)
+        .count(_.action == "add").toLong
+      val wanted = Set("pmonth=1997-02/bucket=0", "pmonth=1997-02/bucket=2")
+      val nScan = VersionedTable.read(s, vtMpPath, latest, Some(wanted))
+        .inputFiles.length.toLong
+      s.read.format("graftvt").option("partitionCol", "pmonth,bucket")
+        .load(vtMpPath)
+        .filter($"pmonth" === "1997-02" && $"bucket".isin("0", "2"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"))
+        .select(lit(nLive).as("n_files_live"),
+          lit(nScan).as("n_files_scanned"),
+          $"n_rows", $"xor_key", $"sum_price_c")
     })
   )
 
@@ -1356,6 +1381,39 @@ object Etl {
   private[graft] val vtCatPath = s"${graft.fixtureRoot}/vt_orders_cat"
   private[graft] val vtMrgPath = s"${graft.fixtureRoot}/vt_orders_mrg"
   private[graft] val vtMpPath = s"${graft.fixtureRoot}/vt_orders_mp"
+  private val mpWrittenFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** 2-level (pmonth, bucket) versioned table: v0 create (2 months × 3
+    * buckets), v1 append (month 3), v2 tombstone delete scoped to the
+    * (1997-02, bucket 1) sub-partition. Shared by etl_vt_multipart and
+    * etl_sql_partition_prune. */
+  private[graft] def writeMultipartFixture(s: org.apache.spark.sql.SparkSession,
+                                           d: String): Unit =
+    if (mpWrittenFor.get() != d) mpWrittenFor.synchronized {
+      if (mpWrittenFor.get() != d) {
+        import s.implicits._
+        import graft.sources.VersionedTable
+        val fs = new org.apache.hadoop.fs.Path(vtMpPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(vtMpPath), true)
+        val base = Tables.orders(s, d).select(
+          $"o_orderkey",
+          round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+          date_format($"o_orderdate", "yyyy-MM").as("pmonth"),
+          ($"o_orderkey" % 3).cast("string").as("bucket"))
+        VersionedTable.create(s, vtMpPath,
+          base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+          "pmonth,bucket")
+        VersionedTable.appendCommit(s, vtMpPath,
+          base.filter($"pmonth" === "1997-03"), "pmonth,bucket")
+        VersionedTable.deleteCommit(s, vtMpPath,
+          base.filter($"pmonth" === "1997-02" && $"bucket" === "1" &&
+            $"o_orderkey" % 10 === 1)
+            .select($"o_orderkey", $"pmonth", $"bucket"), "pmonth,bucket")
+        mpWrittenFor.set(d)
+      }
+    }
   private[graft] val vtPath = s"${graft.fixtureRoot}/vt_orders"
   private[graft] val vtVacPath = s"${graft.fixtureRoot}/vt_orders_vac"
   private[graft] val vtAppPath = s"${graft.fixtureRoot}/vt_orders_app"
@@ -2461,6 +2519,31 @@ object Etl {
         |  bit_xor(CASE WHEN NOT del THEN o_orderkey END) AS xor_key,
         |  CAST(SUM(CASE WHEN NOT del THEN price_c END) AS BIGINT)
         |    AS sum_price_c
-        |FROM slice GROUP BY pmonth, bucket ORDER BY part""".stripMargin
+        |FROM slice GROUP BY pmonth, bucket ORDER BY part""".stripMargin,
+    // n_files_live = one data file per (pmonth, bucket) sub-partition in
+    // the 3-month domain; n_files_scanned = the two selected
+    // sub-partitions' files; aggregate over the selected slice minus the
+    // tombstoned keys (bucket 1 is not selected, so the delete never
+    // intersects the result — which is itself part of the grade: pruning
+    // must not skip the tombstone reconciliation for selected parts).
+    "etl_sql_partition_prune" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS bucket
+        |  FROM orders),
+        |live AS (
+        |  SELECT COUNT(DISTINCT pmonth || '/' || bucket) AS n FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |sel AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth = '1997-02' AND bucket IN ('0', '2'))
+        |SELECT CAST(live.n AS BIGINT) AS n_files_live,
+        |  CAST(2 AS BIGINT) AS n_files_scanned,
+        |  COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM sel, live GROUP BY live.n""".stripMargin
   )
 }

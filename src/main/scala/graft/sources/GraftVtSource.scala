@@ -349,9 +349,33 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
     // the filters are still re-applied below (and by Spark above), so the
     // pruning is a strict scan optimization
     val bounds = GraftVtRelation.statsBounds(filters, statsCols)
+    // PARTITION pruning from the same pushed filters (Delta's behavior —
+    // a plain `WHERE pmonth = 'x'` must not list the other partitions'
+    // files at 100 TB): equality/IN predicates on the table's declared
+    // partition column(s) reduce the live-entry set by each entry's
+    // recorded part key. Value rendering is restricted to types whose
+    // toString provably matches the directory-name rendering (see
+    // partFilterValues); anything else contributes nothing — pruning
+    // stays a strict optimization.
+    val pCols = tableParameters.get("partitionCol")
+      .map(VersionedTable.partColsOf).getOrElse(Nil)
+    val allowed = GraftVtRelation.partFilterValues(filters,
+      pCols.map(_.toLowerCase).toSet)
+    val prunedParts: Option[Set[String]] =
+      if (allowed.isEmpty) partValues
+      else {
+        val keep = VersionedTable.liveEntries(spark, path, version)
+          .iterator.map(_.part).filter { p =>
+            val vals = VersionedTable.partValuesOf(pCols, p)
+              .map { case (c, v) => c.toLowerCase -> v }
+            allowed.forall { case (c, set) =>
+              vals.get(c).forall(set.contains) }
+          }.toSet
+        Some(partValues.fold(keep)(_ intersect keep))
+      }
     val base =
-      if (bounds.isEmpty) snapshot
-      else VersionedTable.read(spark, path, version, partValues, mergeSchema,
+      if (bounds.isEmpty && prunedParts == partValues) snapshot
+      else VersionedTable.read(spark, path, version, prunedParts, mergeSchema,
         bounds)
     val filtered = filters.flatMap(toColumn)
       .foldLeft(base)((df, c) => df.filter(c))
@@ -390,6 +414,58 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
 }
 
 private[graft] object GraftVtRelation {
+
+  /** Allowed-value set per (lower-cased) PARTITION column, derived from
+    * the pushed filter conjunction — the partition-pruning dual of
+    * [[statsBounds]]. Soundness: only null-rejecting equality shapes
+    * contribute (EqualTo / non-null EqualNullSafe / all-non-null In; a
+    * partition value is never null by commit-time contract anyway), and
+    * only for literal types whose `toString` provably equals Spark's
+    * partition-directory rendering (string, boolean, integral, date) —
+    * float/decimal/timestamp renderings can diverge from the dir name, so
+    * they contribute NOTHING and pruning stays conservative. An
+    * un-understood filter contributes nothing; columns absent from the
+    * result impose no constraint. */
+  private[graft] def partFilterValues(filters: Array[Filter],
+                                      pColsLower: Set[String])
+      : Map[String, Set[String]] = {
+    if (pColsLower.isEmpty) return Map.empty
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case _: String | _: java.lang.Boolean | _: java.lang.Byte |
+           _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long |
+           _: java.sql.Date | _: java.time.LocalDate =>
+        Some(v.toString)
+      case _ => None
+    }
+    def valuesOf(f: Filter): Option[(String, Set[String])] = f match {
+      case EqualTo(a, v) if pColsLower(a.toLowerCase) =>
+        render(v).map(s => a.toLowerCase -> Set(s))
+      case EqualNullSafe(a, v) if pColsLower(a.toLowerCase) && v != null =>
+        render(v).map(s => a.toLowerCase -> Set(s))
+      case In(a, vs) if pColsLower(a.toLowerCase) && vs.nonEmpty =>
+        val rs = vs.flatMap(render(_))
+        if (rs.length == vs.length) Some(a.toLowerCase -> rs.toSet) else None
+      case And(l, r) =>
+        (valuesOf(l), valuesOf(r)) match {
+          case (Some((a, s1)), Some((b, s2))) if a == b =>
+            Some(a -> (s1 intersect s2))
+          case (one @ Some(_), _) => one
+          case (None, other)      => other
+        }
+      case Or(l, r) =>
+        for {
+          (a, s1) <- valuesOf(l)
+          (b, s2) <- valuesOf(r) if a == b
+        } yield a -> (s1 union s2)
+      case _ => None
+    }
+    filters.iterator.flatMap(valuesOf(_))
+      .foldLeft(Map.empty[String, Set[String]]) {
+        case (acc, (c, s)) =>
+          acc.updated(c, acc.get(c).fold(s)(_ intersect s))
+      }
+  }
 
   /** Inclusive [lo, hi] bound per stats column, derived from the pushed
     * filter conjunction. Safety rests on two facts: (1) the manifest's

@@ -142,6 +142,17 @@ object VersionedTable {
     else cols.zip(vals).map { case (c, v) =>
       s"$c=${ExternalCatalogUtils.escapePathName(v)}" }.mkString("/")
 
+  /** Inverse of [[partKeyOf]]: one entry's `part` string as a column →
+    * (unescaped) value map, for per-dimension partition pruning. */
+  private[graft] def partValuesOf(cols: Seq[String], part: String)
+      : Map[String, String] =
+    if (cols.sizeIs == 1) Map(cols.head -> part)
+    else part.split("/").iterator.map { frag =>
+      val i = frag.indexOf('=')
+      frag.substring(0, i) ->
+        ExternalCatalogUtils.unescapePathName(frag.substring(i + 1))
+    }.toMap
+
   /** Distinct partition keys present in `df` (driver-side, bounded by the
     * partition-value domain — the same cardinality every commit's conflict
     * scope already carries). Rejects null partition values with the
@@ -390,8 +401,16 @@ object VersionedTable {
     val dataFiles = dataEntries.map(e => s"$path/${e.file}")
     val tombFiles = entries.collect {
       case e if e.action == "tomb" => s"$path/${e.file}" }
+    // Schema from the LOG whenever it can answer exactly: the union
+    // schema under mergeSchema, or — when every file to be read records
+    // the SAME write schema (the common case) — that schema directly.
+    // Either way the read pays ZERO footer opens for schema resolution;
+    // only a non-uniform snapshot read WITHOUT mergeSchema still falls
+    // back to Spark's footer inference (whose pick is file-order
+    // dependent — the caller asked for exactly that hazard).
     val logSchema =
-      if (mergeSchema) unionSchemaOf(allDataEntries) else None
+      if (mergeSchema) unionSchemaOf(allDataEntries)
+      else uniformSchemaOf(dataEntries)
     val reader = logSchema match {
       case Some(u) => spark.read.schema(u)
       case None => spark.read.option("mergeSchema", mergeSchema.toString)
@@ -551,6 +570,20 @@ object VersionedTable {
     * predates schema recording or two commits disagree on a field's type —
     * callers then fall back to footer-based resolution. This is what makes
     * a snapshot read schema-complete with ZERO footer reads. */
+  /** The single recorded write schema shared by EVERY entry, or None when
+    * any entry predates schema recording or two files disagree — the
+    * zero-footer-reads schema source for plain (non-mergeSchema) reads. */
+  private def uniformSchemaOf(entries: Seq[LogEntry]): Option[StructType] = {
+    if (entries.isEmpty || entries.exists(_.fschema.isEmpty)) return None
+    entries.map(_.fschema.get).distinct match {
+      case Seq(one) => DataType.fromJson(one) match {
+        case s: StructType => Some(s)
+        case _             => None
+      }
+      case _ => None
+    }
+  }
+
   private def unionSchemaOf(entries: Seq[LogEntry]): Option[StructType] = {
     if (entries.isEmpty || entries.exists(_.fschema.isEmpty)) return None
     val jsons = entries.sortBy(_.version).map(_.fschema.get).distinct

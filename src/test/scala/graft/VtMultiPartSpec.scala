@@ -125,6 +125,61 @@ class VtMultiPartSpec extends AnyFunSuite {
     if (v2(1).isRight) assert(fin.get(5L).contains(2000L), fin.toString)
   }
 
+  test("pushed partition filters prune the manifest list — a corrupted " +
+       "sibling file is never opened") {
+    val dir = newTable()
+    // corrupt the (d1, a) data file IN PLACE (path still exists, so
+    // analysis-time path resolution passes; any scan that OPENS it fails)
+    val victim = VersionedTable.liveEntries(spark, dir, 0)
+      .find(_.part == "date=d1/src=a").get.file
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$victim"),
+      Array.fill[Byte](64)(0))
+    val df = spark.read.format("graftvt")
+      .option("partitionCol", "date,src").load(dir)
+    intercept[Exception](df.count()) // full scan opens the corrupted file
+    // equality prune on the FIRST column alone
+    assert(df.filter(col("date") === "d2").count() == 3L)
+    // composite prune (both columns)
+    assert(df.filter(col("date") === "d2" && col("src") === "b")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    // IN-list prune on the second column only keeps src=b of both dates —
+    // d1/b survives, d1/a (the corrupted file) is pruned out
+    assert(df.filter(col("src").isin("b")).count() == 3L)
+    // a filter on a NON-partition column prunes nothing → still opens it
+    intercept[Exception](df.filter(col("v") > 15).count())
+  }
+
+  test("partFilterValues: sound derivation from pushed filters") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.GraftVtRelation.partFilterValues
+    val p = Set("date", "src")
+    assert(partFilterValues(Array(EqualTo("date", "d1")), p) ==
+      Map("date" -> Set("d1")))
+    assert(partFilterValues(
+      Array(EqualTo("date", "d1"), In("src", Array("a", "b"))), p) ==
+      Map("date" -> Set("d1"), "src" -> Set("a", "b")))
+    // Or over the same column = union; over different columns = nothing
+    assert(partFilterValues(
+      Array(Or(EqualTo("date", "d1"), EqualTo("date", "d2"))), p) ==
+      Map("date" -> Set("d1", "d2")))
+    assert(partFilterValues(
+      Array(Or(EqualTo("date", "d1"), EqualTo("src", "a"))), p).isEmpty)
+    // conflicting conjuncts intersect to the empty set (scan zero files)
+    assert(partFilterValues(
+      Array(EqualTo("date", "d1"), EqualTo("date", "d2")), p) ==
+      Map("date" -> Set.empty[String]))
+    // unsupported renderings contribute nothing (double literal)
+    assert(partFilterValues(
+      Array(EqualTo("date", java.lang.Double.valueOf(1.5))), p).isEmpty)
+    // null-ish shapes contribute nothing
+    assert(partFilterValues(Array(IsNull("date")), p).isEmpty)
+    assert(partFilterValues(Array(EqualNullSafe("date", null)), p).isEmpty)
+    // In with any unrenderable element contributes nothing
+    assert(partFilterValues(
+      Array(In("date", Array[Any]("d1", java.lang.Double.valueOf(2.0)))), p)
+      .isEmpty)
+  }
+
   test("escaped values round-trip in the part fragment") {
     val dir = Files.createTempDirectory("graft_vtmp_esc").toString + "/t"
     val rows = Seq((1L, "d 1", "a/b")).toDF("k", "date", "src")
