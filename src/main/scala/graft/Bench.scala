@@ -84,6 +84,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calib = math.min(calibOnce(), calibOnce())
+    // r11 finding: a START-ONLY probe can over-correct — one run measured
+    // calib 2.8x r10's while the 21 untouched TPC-H keys ran only 1.1x,
+    // so the probe had hit a transiently slow window the queries didn't.
+    // Bracket it: calibEnd re-probes AFTER the full run; comparisons
+    // should normalize by min(calib, calibEnd) (the box's best observed
+    // speed) and treat a large calib/calibEnd spread as "this round's
+    // normalization is unreliable — compare raw shared keys instead".
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val trackSpill = sys.env.get("SPARK_GRAFT_BENCH_SPILL").contains("1")
     val listener = new SpillListener
@@ -139,6 +146,8 @@ object Bench {
     }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // end-of-run bracket of the same probe (see the r11 note above)
+    val calibEnd = math.min(calibOnce(), calibOnce())
     val total = results.map(_._2).sum
     val failed = results.collect { case (k, v) if v < 0 => k }
     // Full per-query map: one line the driver's tail window will scroll
@@ -149,7 +158,7 @@ object Bench {
     // compact contract line whose "queries" map holds only the headline
     // TPC-H shapes, and the full map travels on this earlier line + file.
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","calib":$calib,"queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","calib":$calib,"calib_end":$calibEnd,"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(fullLine)
     // Explicit, overridable dump path (CWD depends on how sbt forked us),
     // and a LOUD stderr line on failure — a silently missing dump cost a
@@ -168,7 +177,7 @@ object Bench {
     }
     val headline = results.filter { case (k, _) => k.startsWith("tpch_q") }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n_queries":${results.size},"failed":$failedJson,"queries":${toJson(headline)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_end":$calibEnd,"n_queries":${results.size},"failed":$failedJson,"queries":${toJson(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
