@@ -1319,6 +1319,90 @@ object Etl {
         .select(lit(nLive).as("n_files_live"),
           lit(nScan).as("n_files_scanned"),
           $"n_rows", $"xor_key", $"sum_price_c")
+    }),
+
+    // SQL UPDATE routing to a partition-scoped copy-on-write commit
+    // (GraftVtDmlRule): the statement's predicate names a row condition AND
+    // a partition range, and the commit must rewrite ONLY the partitions
+    // that hold matching rows — graded by emitting the commit's file
+    // counts (n_added/n_removed = the affected-month count, which the
+    // oracle re-derives from the data; month 1997-01 matching no predicate
+    // row must NOT be rewritten) next to each version's full content.
+    // Time travel across the UPDATE is graded through a versionAsOf view.
+    "etl_sql_update" -> ((s, d) => {
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(vtUpdPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtUpdPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_upd")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      graft.sources.VersionedTable.create(s, vtUpdPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_upd USING graftvt " +
+        s"OPTIONS (path '$vtUpdPath', partitionCol 'pmonth')")
+      s.sql("UPDATE graft_vt_upd SET price_c = price_c + 111 " +
+        "WHERE o_orderkey % 10 = 3 AND pmonth >= '1997-02'")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_upd_v0 " +
+        s"USING graftvt OPTIONS (path '$vtUpdPath', versionAsOf '0')")
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM $view")
+      val ops = graft.sources.VersionedTable.history(s, vtUpdPath)
+        .select($"version", $"operation", $"n_added", $"n_removed")
+      agg("graft_vt_upd_v0", 0)
+        .unionByName(agg("graft_vt_upd", 1))
+        .join(ops, "version")
+        .select($"version", $"operation", $"n_added", $"n_removed",
+          $"n_rows", $"xor_key", $"sum_price_c")
+        .orderBy("version")
+    }),
+
+    // SQL DELETE, both execution strategies in one graded history: v1 is a
+    // partition-predicate delete (`WHERE pmonth = …`) that must be
+    // METADATA-ONLY — n_added = 0 proves no data was read or written, the
+    // Delta partition-delete fast path — and v2 is a row-predicate delete
+    // that must rewrite exactly the partitions holding matching rows
+    // (n_added/n_removed = the affected-month count, oracle-derived). Both
+    // old states stay time-travelable through versionAsOf views.
+    "etl_sql_delete" -> ((s, d) => {
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(vtDelPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtDelPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_del")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      graft.sources.VersionedTable.create(s, vtDelPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-04"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_del USING graftvt " +
+        s"OPTIONS (path '$vtDelPath', partitionCol 'pmonth')")
+      s.sql("DELETE FROM graft_vt_del WHERE pmonth = '1997-04'")
+      s.sql("DELETE FROM graft_vt_del WHERE o_orderkey % 100 = 7")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_del_v0 " +
+        s"USING graftvt OPTIONS (path '$vtDelPath', versionAsOf '0')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_del_v1 " +
+        s"USING graftvt OPTIONS (path '$vtDelPath', versionAsOf '1')")
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM $view")
+      val ops = graft.sources.VersionedTable.history(s, vtDelPath)
+        .select($"version", $"operation", $"n_added", $"n_removed")
+      agg("graft_vt_del_v0", 0)
+        .unionByName(agg("graft_vt_del_v1", 1))
+        .unionByName(agg("graft_vt_del", 2))
+        .join(ops, "version")
+        .select($"version", $"operation", $"n_added", $"n_removed",
+          $"n_rows", $"xor_key", $"sum_price_c")
+        .orderBy("version")
     })
   )
 
@@ -1381,6 +1465,8 @@ object Etl {
   private[graft] val vtCatPath = s"${graft.fixtureRoot}/vt_orders_cat"
   private[graft] val vtMrgPath = s"${graft.fixtureRoot}/vt_orders_mrg"
   private[graft] val vtMpPath = s"${graft.fixtureRoot}/vt_orders_mp"
+  private[graft] val vtUpdPath = s"${graft.fixtureRoot}/vt_orders_upd"
+  private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
   private val mpWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -2544,6 +2630,78 @@ object Etl {
         |  CAST(2 AS BIGINT) AS n_files_scanned,
         |  COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM sel, live GROUP BY live.n""".stripMargin
+        |FROM sel, live GROUP BY live.n""".stripMargin,
+    // UPDATE's two states plus the commit's file counts, re-derived from
+    // the data: v0 writes one file per month in the slice; the update
+    // rewrites (removes + re-adds) exactly the months holding a
+    // predicate-matching row.
+    "etl_sql_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT *, (o_orderkey % 10 = 3 AND pmonth >= '1997-02') AS hit
+        |  FROM base WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |parts AS (
+        |  SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) AS n_all,
+        |    CAST(COUNT(DISTINCT CASE WHEN hit THEN pmonth END) AS BIGINT)
+        |      AS n_hit
+        |  FROM t0),
+        |u AS (
+        |  SELECT 0 AS version, 'create' AS operation,
+        |    (SELECT n_all FROM parts) AS n_added,
+        |    CAST(0 AS BIGINT) AS n_removed, o_orderkey, price_c
+        |  FROM t0
+        |  UNION ALL
+        |  SELECT 1, 'update', (SELECT n_hit FROM parts),
+        |    (SELECT n_hit FROM parts), o_orderkey,
+        |    CASE WHEN hit THEN price_c + 111 ELSE price_c END
+        |  FROM t0)
+        |SELECT version, operation, n_added, n_removed, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, operation, n_added, n_removed
+        |ORDER BY version""".stripMargin,
+    // DELETE's three states plus per-version file counts: the partition
+    // delete removes month 04's single file and ADDS NOTHING (the
+    // metadata-only grade), the row delete rewrites exactly the months
+    // holding a matching row.
+    "etl_sql_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-04'),
+        |v1s AS (SELECT * FROM t0 WHERE pmonth <> '1997-04'),
+        |v2s AS (SELECT * FROM v1s WHERE o_orderkey % 100 <> 7),
+        |parts AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM t0) AS n0,
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM t0
+        |     WHERE pmonth = '1997-04') AS n_drop,
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM v1s
+        |     WHERE o_orderkey % 100 = 7) AS n_hit),
+        |u AS (
+        |  SELECT 0 AS version, 'create' AS operation,
+        |    (SELECT n0 FROM parts) AS n_added,
+        |    CAST(0 AS BIGINT) AS n_removed, o_orderkey, price_c FROM t0
+        |  UNION ALL
+        |  SELECT 1, 'delete', CAST(0 AS BIGINT),
+        |    (SELECT n_drop FROM parts), o_orderkey, price_c FROM v1s
+        |  UNION ALL
+        |  SELECT 2, 'delete', (SELECT n_hit FROM parts),
+        |    (SELECT n_hit FROM parts), o_orderkey, price_c FROM v2s)
+        |SELECT version, operation, n_added, n_removed, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, operation, n_added, n_removed
+        |ORDER BY version""".stripMargin
   )
 }

@@ -76,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // actions expanded). Matches only MergeIntoTable over a GraftVtRelation
     // target, so injecting costs nothing elsewhere.
     ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtMergeRule(s))
+    // SQL UPDATE / DELETE FROM over graftvt catalog tables → partition-
+    // scoped rewrite / metadata-only partition-drop commits. Same
+    // match-only-graftvt-targets economics as the MERGE rule.
+    ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtDmlRule(s))
   }
 }

@@ -916,6 +916,70 @@ object VersionedTable {
       Some(affected), "delete", ts)
   }
 
+  /** Partition-scoped REWRITE as a commit — the primitive under SQL
+    * `UPDATE` and copy-on-write `DELETE` ([[graft.sources.GraftVtDmlRule]]):
+    * `rewritten` is the caller-computed full new content of exactly the
+    * partitions in `parts`; their old files (tombstones included — the
+    * caller read them applied, so the rewrite materializes the deletion
+    * vectors and the tombstones retire) leave the manifest and the new
+    * files enter, as one optimistically-locked version. Old files stay on
+    * disk for time travel; CDF derives the row-level diff from the two
+    * file sets ([[changes]]' COW branch). The write must stay inside
+    * `parts` — a row whose rewritten partition value escaped the declared
+    * scope would land outside the conflict-detection and remove scope, so
+    * it aborts the commit (the DML rule makes this unreachable by
+    * rejecting partition-column assignment). An empty `parts` still
+    * commits an empty version: versions stay dense, every DML statement
+    * takes one. */
+  def rewritePartitionsCommit(spark: SparkSession, path: String,
+                              parts: Set[String], rewritten: DataFrame,
+                              partitionCol: String,
+                              statsCol: Option[String] = None,
+                              opName: String = "update",
+                              ts: Option[Long] = None): Commit = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 0,
+      s"rewritePartitionsCommit: $path has no version 0 — create() first")
+    if (parts.isEmpty)
+      return commitAttempt(spark, path, cur, Nil, Nil, Nil,
+        Some(Set.empty), opName, ts)
+    val removes = liveEntries(spark, path, cur)
+      .collect { case e if parts(e.part) => (e.file, e.part) }
+    val adds = writeCommitFiles(spark, path, cur + 1, rewritten, partitionCol,
+      statsCol)
+    val escaped = adds.collect { case a if !parts(a.part) => a.part }.distinct
+    if (escaped.nonEmpty) {
+      cleanupAttempt(spark, path, adds)
+      throw new IllegalStateException(
+        s"rewritePartitionsCommit: rewritten rows landed outside the " +
+        s"declared partitions: ${escaped.take(5).mkString(", ")}")
+    }
+    commitAttempt(spark, path, cur, adds, Nil, removes, Some(parts), opName, ts)
+  }
+
+  /** Whole-partition DELETE as a METADATA-ONLY commit (Delta's
+    * partition-delete fast path): the partitions' live entries — data files
+    * and their tombstones alike — leave the manifest; no data is read or
+    * written, so `DELETE FROM t WHERE pday = '…'` at 100 TB costs one log
+    * write regardless of partition size. Old files stay on disk for time
+    * travel, and CDF still reports the deleted rows (the removed files ARE
+    * the deleted content — [[changes]] reads them with the prior version's
+    * tombstones applied). The caller owns the proof that the predicate
+    * selects whole partitions; [[graft.sources.GraftVtDeleteCommand]]
+    * establishes it by evaluating the predicate on the manifest's
+    * partition-value domain. */
+  def dropPartitionsCommit(spark: SparkSession, path: String,
+                           parts: Set[String],
+                           ts: Option[Long] = None): Commit = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 0,
+      s"dropPartitionsCommit: $path has no version 0 — create() first")
+    val removes = liveEntries(spark, path, cur)
+      .collect { case e if parts(e.part) => (e.file, e.part) }
+    commitAttempt(spark, path, cur, Nil, Nil, removes,
+      Some(parts), "delete", ts)
+  }
+
   /** OPTIMIZE as a commit — lake-maintenance compaction INSIDE the log:
     * rewrites the live rows of the chosen partitions (all, by default)
     * into one file per partition value in a new commit and removes the
