@@ -1403,6 +1403,46 @@ object Etl {
         .select($"version", $"operation", $"n_added", $"n_removed",
           $"n_rows", $"xor_key", $"sum_price_c")
         .orderBy("version")
+    }),
+
+    // The SQL maintenance verbs (GraftSqlParser — Delta's delegating-
+    // parser architecture): a table fragmented by four commits (create +
+    // 3 appends, one file per month each) is compacted by pure-SQL
+    // `OPTIMIZE` (one commit, one file per month, content unchanged),
+    // `VACUUM ... RETAIN 1 VERSIONS` then reclaims exactly the
+    // unreferenced fragments (count graded — the oracle re-derives the
+    // per-commit file counts from the data), and the per-version ledger
+    // itself is read through the `DESCRIBE HISTORY` statement, so all
+    // three verbs are inside the graded dataflow.
+    "etl_sql_maintenance" -> ((s, d) => {
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(vtMntPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtMntPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_mnt")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+        .filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03")
+      graft.sources.VersionedTable.create(s, vtMntPath,
+        base.filter($"o_orderkey" % 4 === 0), "pmonth")
+      (1 to 3).foreach(i => graft.sources.VersionedTable.appendCommit(
+        s, vtMntPath, base.filter($"o_orderkey" % 4 === i), "pmonth"))
+      s.sql(s"CREATE TABLE graft_vt_mnt USING graftvt " +
+        s"OPTIONS (path '$vtMntPath', partitionCol 'pmonth')")
+      s.sql("OPTIMIZE graft_vt_mnt")
+      val nDeleted = s.sql("VACUUM graft_vt_mnt RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      val content = s.sql("SELECT COUNT(*) AS n_rows, " +
+        "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+        "FROM graft_vt_mnt")
+      s.sql("DESCRIBE HISTORY graft_vt_mnt")
+        .select($"version", $"operation", $"n_added", $"n_removed")
+        .crossJoin(broadcast(content.withColumn("n_deleted", lit(nDeleted))))
+        .select($"version", $"operation", $"n_added", $"n_removed",
+          $"n_deleted", $"n_rows", $"xor_key", $"sum_price_c")
+        .orderBy("version")
     })
   )
 
@@ -1467,6 +1507,7 @@ object Etl {
   private[graft] val vtMpPath = s"${graft.fixtureRoot}/vt_orders_mp"
   private[graft] val vtUpdPath = s"${graft.fixtureRoot}/vt_orders_upd"
   private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
+  private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
   private val mpWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -2702,6 +2743,48 @@ object Etl {
         |  bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY version, operation, n_added, n_removed
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    // Maintenance ledger re-derived from the data: commits 0..3 each write
+    // one file per month PRESENT IN ITS key-class slice, the optimize adds
+    // one per month overall and removes every fragment, and the vacuum's
+    // deleted-file count equals the fragment total. Content is the
+    // unchanged slice — compaction and vacuum must not touch visible rows.
+    "etl_sql_maintenance" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT *, o_orderkey % 4 AS cls FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |pc AS (
+        |  SELECT cls, CAST(COUNT(DISTINCT pmonth) AS BIGINT) AS nf
+        |  FROM t0 GROUP BY cls),
+        |tot AS (
+        |  SELECT CAST(COALESCE(SUM(nf), 0) AS BIGINT) AS nfrag,
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM t0) AS nm
+        |  FROM pc),
+        |cont AS (
+        |  SELECT COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key,
+        |    CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |  FROM t0),
+        |hist AS (
+        |  SELECT 0 AS version, 'create' AS operation,
+        |    CAST(COALESCE((SELECT nf FROM pc WHERE cls = 0), 0) AS BIGINT)
+        |      AS n_added, CAST(0 AS BIGINT) AS n_removed
+        |  UNION ALL SELECT 1, 'append',
+        |    CAST(COALESCE((SELECT nf FROM pc WHERE cls = 1), 0) AS BIGINT), 0
+        |  UNION ALL SELECT 2, 'append',
+        |    CAST(COALESCE((SELECT nf FROM pc WHERE cls = 2), 0) AS BIGINT), 0
+        |  UNION ALL SELECT 3, 'append',
+        |    CAST(COALESCE((SELECT nf FROM pc WHERE cls = 3), 0) AS BIGINT), 0
+        |  UNION ALL SELECT 4, 'optimize', (SELECT nm FROM tot),
+        |    (SELECT nfrag FROM tot))
+        |SELECT h.version, h.operation, h.n_added, h.n_removed,
+        |  (SELECT nfrag FROM tot) AS n_deleted,
+        |  c.n_rows, c.xor_key, c.sum_price_c
+        |FROM hist h, cont c ORDER BY h.version""".stripMargin
   )
 }

@@ -80,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scoped rewrite / metadata-only partition-drop commits. Same
     // match-only-graftvt-targets economics as the MERGE rule.
     ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtDmlRule(s))
+    // SQL maintenance verbs Spark's grammar lacks (OPTIMIZE [ZORDER BY],
+    // VACUUM, DESCRIBE HISTORY) — a delegating parser, Delta's
+    // DeltaSqlParser architecture: three anchored statement shapes are
+    // recognized, everything else goes to Spark's parser verbatim.
+    ext.injectParser((s, delegate) =>
+      new graft.sources.GraftSqlParser(s, delegate))
   }
 }

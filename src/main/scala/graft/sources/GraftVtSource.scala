@@ -52,7 +52,13 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *     one versioned commit per statement;
   *   - `MERGE INTO t USING s ...` — [[GraftVtMergeRule]] (injected via
   *     GraftExtensions) rewrites the resolved statement into a
-  *     mergeCommit, Delta's analyzer-extension architecture.
+  *     mergeCommit, Delta's analyzer-extension architecture;
+  *   - `UPDATE t SET ... WHERE ...` / `DELETE FROM t [WHERE ...]` —
+  *     [[GraftVtDmlRule]] routes them to partition-scoped COW rewrites
+  *     (and whole-partition DELETE to a metadata-only partition drop);
+  *   - `OPTIMIZE t [ZORDER BY (a, b)]`, `VACUUM t [RETAIN n VERSIONS]`,
+  *     `DESCRIBE HISTORY t` — [[GraftSqlParser]], a delegating parser for
+  *     the maintenance verbs Spark's grammar lacks.
   * A DSv2 `TableProvider` would change none of these semantics — Spark's
   * own DataFrameReader/Writer fall back to exactly this V1 surface for
   * tables that don't claim BATCH_READ/BATCH_WRITE capabilities, and the

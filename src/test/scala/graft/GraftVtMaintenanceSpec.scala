@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.VersionedTable
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL maintenance verbs over graftvt tables (GraftSqlParser): OPTIMIZE,
+  * OPTIMIZE ZORDER BY, VACUUM RETAIN n VERSIONS, DESCRIBE HISTORY —
+  * statement recognition, delegation of everything else, and the
+  * statement→commit/library mapping. */
+class GraftVtMaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val orig = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+    SparkSession.setDefaultSession(orig)
+    SparkSession.setActiveSession(orig)
+    s
+  }
+
+  /** Fragmented 2-partition table: v0 create + v1/v2 appends — three
+    * files per partition. */
+  private def newTable(prefix: String, name: String): String = {
+    val dir = Files.createTempDirectory(prefix).toString + "/t"
+    import spark.implicits._
+    def slice(off: Long) = Seq(
+      (off + 1, 10L + off, "p0"), (off + 2, 20L + off, "p1")).toDF("k", "v", "p")
+    VersionedTable.create(spark, dir, slice(0), "p")
+    VersionedTable.appendCommit(spark, dir, slice(10), "p")
+    VersionedTable.appendCommit(spark, dir, slice(20), "p")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    dir
+  }
+
+  test("OPTIMIZE compacts to one file per partition, as a commit") {
+    val dir = newTable("graft_mnt_o", "vt_mnt_o")
+    val r = spark.sql("OPTIMIZE vt_mnt_o").head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) == (3, 2L, 6L), r.toString)
+    val live = VersionedTable.liveEntries(spark, dir, 3)
+      .filter(_.action == "add")
+    assert(live.size == 2 && live.forall(_.version == 3))
+    // content unchanged; pre-optimize snapshot still time-travelable
+    assert(spark.sql("SELECT sum(v) FROM vt_mnt_o").head().getLong(0) ==
+      VersionedTable.read(spark, dir, 2).selectExpr("sum(v)").head().getLong(0))
+    spark.sql("DROP TABLE vt_mnt_o")
+  }
+
+  test("OPTIMIZE ZORDER BY routes to zorderCommit (mstats recorded)") {
+    val dir = newTable("graft_mnt_z", "vt_mnt_z")
+    val r = spark.sql("OPTIMIZE vt_mnt_z ZORDER BY (k, v)").head()
+    assert(r.getInt(0) == 3 && r.getLong(2) == 6L, r.toString)
+    val hist = VersionedTable.history(spark, dir)
+      .filter("version = 3").select("operation").head().getString(0)
+    assert(hist == "zorder")
+    val live = VersionedTable.liveEntries(spark, dir, 3)
+      .filter(_.action == "add")
+    assert(live.forall(e => e.statRanges.contains("k") &&
+      e.statRanges.contains("v")), live.map(_.statRanges).toString)
+    spark.sql("DROP TABLE vt_mnt_z")
+  }
+
+  test("VACUUM RETAIN reclaims exactly the unreferenced files") {
+    val dir = newTable("graft_mnt_v", "vt_mnt_v")
+    spark.sql("OPTIMIZE vt_mnt_v")
+    // retain only the optimized version: the six fragments are
+    // unreferenced and older than the v3 manifest
+    val n = spark.sql("VACUUM vt_mnt_v RETAIN 1 VERSIONS").head().getLong(0)
+    assert(n == 6L, n.toString)
+    assert(spark.sql("SELECT count(*) FROM vt_mnt_v").head().getLong(0) == 6L)
+    spark.sql("DROP TABLE vt_mnt_v")
+  }
+
+  test("DESCRIBE HISTORY returns the commit log rows") {
+    newTable("graft_mnt_h", "vt_mnt_h")
+    val rows = spark.sql("DESCRIBE HISTORY vt_mnt_h")
+      .select("version", "operation", "n_added").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((0, "create", 2L), (1, "append", 2L),
+      (2, "append", 2L)), rows.toString)
+    // composes as a DataFrame: aggregate over the statement's result
+    // (only whole statements are intercepted — the history RELATION for
+    // inline SQL composition stays option("history"), as before)
+    assert(spark.sql("DESCRIBE HISTORY vt_mnt_h")
+      .selectExpr("sum(n_added)").head().getLong(0) == 6L)
+    spark.sql("DROP TABLE vt_mnt_h")
+  }
+
+  test("maintenance verbs on a non-graftvt table fail clearly") {
+    spark.sql("DROP TABLE IF EXISTS plain_mnt")
+    spark.range(3).createOrReplaceTempView("plain_mnt")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("OPTIMIZE plain_mnt")
+    }
+    assert(e.getMessage.contains("not a graftvt table"))
+  }
+
+  test("everything else delegates to Spark's parser untouched") {
+    // a statement containing the keywords in non-statement positions
+    assert(spark.sql("SELECT 'OPTIMIZE t' AS s, 'VACUUM v' AS v").count() == 1)
+    // and normal SQL still parses/fails exactly as Spark's parser says
+    intercept[Exception] { spark.sql("SELEKT 1") }
+  }
+}
