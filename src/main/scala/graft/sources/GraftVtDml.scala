@@ -50,13 +50,17 @@ final class GraftVtDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable if d.resolved =>
       GraftVtDml.targetOf(d.table) match {
-        case Some((lr, _)) => GraftVtDeleteCommand(lr, d.table, d.condition)
-        case None          => plan
+        case Some((lr, rel)) =>
+          GraftVtDml.requireMutable(rel, "DELETE")
+          GraftVtDeleteCommand(lr, d.table, d.condition)
+        case None => plan
       }
     case u: UpdateTable if u.resolved =>
       GraftVtDml.targetOf(u.table) match {
-        case Some((lr, rel)) => translateUpdate(u, lr, rel)
-        case None            => plan
+        case Some((lr, rel)) =>
+          GraftVtDml.requireMutable(rel, "UPDATE")
+          translateUpdate(u, lr, rel)
+        case None => plan
       }
     case _ => plan
   }
@@ -105,6 +109,24 @@ private[sources] object GraftVtDml {
     plan.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftVtRelation] =>
         (lr, lr.relation.asInstanceOf[GraftVtRelation])
+    }
+
+  /** Mutation guard, shared by every write surface (INSERT, MERGE, UPDATE,
+    * DELETE, OPTIMIZE, VACUUM): a relation created with a pinning or
+    * filtering read option is a VIEW of the table, not the table — a write
+    * through it would read the restricted slice but commit against the
+    * live latest version. Concretely: INSERT OVERWRITE through a
+    * `partitions`-filtered view would remove EVERY partition's files, a
+    * COW UPDATE/DELETE/MERGE through a `versionAsOf` view would rewrite
+    * stale content over newer commits, and any write would silently un-pin
+    * the view (the relation re-pins to latest after its own commit). */
+  def requireMutable(rel: GraftVtRelation, what: String): Unit =
+    Seq("versionAsOf", "timestampAsOf", "partitions").foreach { o =>
+      if (rel.tableParameters.contains(o))
+        throw new UnsupportedOperationException(
+          s"graftvt $what: the target was created with '$o' — a pinned or " +
+          "partition-filtered relation is a read-only view of the table; " +
+          s"run $what against the table itself")
     }
 
   /** Probe: the partitions holding rows matching `condCol`, as (manifest

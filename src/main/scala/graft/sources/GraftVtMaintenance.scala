@@ -79,13 +79,17 @@ private[sources] object GraftVtMaintenance {
 
   /** Resolve a statement's table name to its graftvt relation through the
     * session catalog — execution-time, so the parser stays resolution-free
-    * and temp views work. */
-  def resolve(spark: SparkSession, table: String, what: String)
+    * and temp views work. Mutating verbs ([[GraftVtDml.requireMutable]])
+    * reject pinned/filtered views; DESCRIBE HISTORY is read-only and
+    * passes `mutating = false`. */
+  def resolve(spark: SparkSession, table: String, what: String,
+              mutating: Boolean = true)
       : (GraftVtRelation, String, String, Option[String]) = {
     val plan = spark.table(table).queryExecution.analyzed
     val rel = GraftVtDml.targetOf(plan).getOrElse(
       throw new UnsupportedOperationException(
         s"graftvt $what: $table is not a graftvt table"))._2
+    if (mutating) GraftVtDml.requireMutable(rel, what)
     val partitionCol = rel.tableParameters.getOrElse("partitionCol",
       throw new IllegalArgumentException(
         s"graftvt $what: table must declare a 'partitionCol' option"))
@@ -152,8 +156,8 @@ final case class GraftDescribeHistoryCommand(table: String)
     AttributeReference("n_recs_tombstoned", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (_, path, _, _) =
-      GraftVtMaintenance.resolve(spark, table, "DESCRIBE HISTORY")
+    val (_, path, _, _) = GraftVtMaintenance.resolve(spark, table,
+      "DESCRIBE HISTORY", mutating = false)
     VersionedTable.history(spark, path)
       .select(col("version").cast("int"), col("ts").cast("long"),
         col("operation").cast("string"), col("n_added").cast("long"),

@@ -66,6 +66,7 @@ final class GraftVtMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def translate(m: MergeIntoTable, lr: LogicalRelation,
                         rel: GraftVtRelation): LogicalPlan = {
+    GraftVtDml.requireMutable(rel, "MERGE")
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported — express the " +
         "sweep as a deleteCommit over an anti-join, or a library mergeCommit")

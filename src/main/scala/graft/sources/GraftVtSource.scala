@@ -326,6 +326,8 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
     * types to this relation's schema) — renamed to the table's field
     * names before the commit, which partitions by name. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    GraftVtDml.requireMutable(this,
+      if (overwrite) "INSERT OVERWRITE" else "INSERT")
     val partitionCol = tableParameters.getOrElse("partitionCol",
       throw new IllegalArgumentException(
         "graftvt insert: table must declare a 'partitionCol' option"))

@@ -180,6 +180,38 @@ class GraftVtDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_dml_d6")
   }
 
+  test("writes through pinned or filtered views are rejected") {
+    val dir = newTable("graft_dml_ro", "vt_dml_ro")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_dml_ro_v0 " +
+      s"USING graftvt OPTIONS (path '$dir', versionAsOf '0', " +
+      "partitionCol 'p')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_dml_ro_p0 " +
+      s"USING graftvt OPTIONS (path '$dir', partitions 'p0', " +
+      "partitionCol 'p')")
+    def rejected(sql: String): Unit = {
+      val e = intercept[UnsupportedOperationException](spark.sql(sql))
+      assert(e.getMessage.contains("read-only view"), s"$sql => $e")
+    }
+    rejected("UPDATE vt_dml_ro_v0 SET v = 0 WHERE k = 1")
+    rejected("DELETE FROM vt_dml_ro_p0 WHERE k = 1")
+    rejected("INSERT INTO vt_dml_ro_v0 VALUES (9, 90, 'p0')")
+    // INSERT OVERWRITE a partition-filtered view would remove EVERY
+    // partition's files — the headline case the guard exists for
+    rejected("INSERT OVERWRITE vt_dml_ro_p0 VALUES (9, 90, 'p0')")
+    rejected("MERGE INTO vt_dml_ro_v0 t USING (SELECT 1 AS k, 2 AS v, " +
+      "'p0' AS p) s ON t.k = s.k AND t.p = s.p " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    rejected("OPTIMIZE vt_dml_ro_v0")
+    rejected("VACUUM vt_dml_ro_p0")
+    // DESCRIBE HISTORY is read-only: allowed on any view of the table
+    assert(spark.sql("DESCRIBE HISTORY vt_dml_ro_v0").count() == 1L)
+    // and the table itself is still fully writable
+    spark.sql("UPDATE vt_dml_ro SET v = 0 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM vt_dml_ro WHERE k = 1")
+      .head().getLong(0) == 0L)
+    spark.sql("DROP TABLE vt_dml_ro")
+  }
+
   test("DML on a multi-column partition spec") {
     val dir = Files.createTempDirectory("graft_dml_mp").toString + "/t"
     import spark.implicits._
