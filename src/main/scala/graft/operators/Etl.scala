@@ -1443,6 +1443,58 @@ object Etl {
         .select($"version", $"operation", $"n_added", $"n_removed",
           $"n_deleted", $"n_rows", $"xor_key", $"sum_price_c")
         .orderBy("version")
+    }),
+
+    // SQL RESTORE — zero-copy rollback as a commit (Delta's RESTORE
+    // TABLE): after an UPDATE rewrote two months and a DELETE dropped one,
+    // `RESTORE ... TO VERSION AS OF 0` must bring back exactly v0's
+    // content by RE-REFERENCING v0's files (the `reused` flag proves no
+    // byte was copied: every file the restore adds is one of v0's),
+    // removing only the rewritten files, while v1/v2 stay time-travelable
+    // (history grows — the rollback is undoable). Per-version file counts
+    // and all four states are oracle-derived from the data.
+    "etl_sql_restore" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtRstPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtRstPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_rst")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      VersionedTable.create(s, vtRstPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_rst USING graftvt " +
+        s"OPTIONS (path '$vtRstPath', partitionCol 'pmonth')")
+      s.sql("UPDATE graft_vt_rst SET price_c = price_c + 111 " +
+        "WHERE o_orderkey % 10 = 3 AND pmonth >= '1997-02'")
+      s.sql("DELETE FROM graft_vt_rst WHERE pmonth = '1997-01'")
+      s.sql("RESTORE TABLE graft_vt_rst TO VERSION AS OF 0")
+      val v0Files = VersionedTable.liveEntries(s, vtRstPath, 0)
+        .map(_.file).toSet
+      val v3Adds = VersionedTable.liveEntries(s, vtRstPath, 3)
+        .filter(e => e.version == 3 && e.action == "add").map(_.file).toSet
+      val reused = v3Adds.nonEmpty && v3Adds.subsetOf(v0Files)
+      (0 to 2).foreach(v => s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_rst_v$v " +
+        s"USING graftvt OPTIONS (path '$vtRstPath', versionAsOf '$v')"))
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM $view")
+      val ops = VersionedTable.history(s, vtRstPath)
+        .select($"version", $"operation", $"n_added", $"n_removed")
+      agg("graft_vt_rst_v0", 0)
+        .unionByName(agg("graft_vt_rst_v1", 1))
+        .unionByName(agg("graft_vt_rst_v2", 2))
+        .unionByName(agg("graft_vt_rst", 3))
+        .join(ops, "version")
+        .select($"version", $"operation", $"n_added", $"n_removed",
+          lit(reused).as("reused"), $"n_rows", $"xor_key", $"sum_price_c")
+        .orderBy("version")
     })
   )
 
@@ -1508,6 +1560,7 @@ object Etl {
   private[graft] val vtUpdPath = s"${graft.fixtureRoot}/vt_orders_upd"
   private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
   private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
+  private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private val mpWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -2785,6 +2838,53 @@ object Etl {
         |SELECT h.version, h.operation, h.n_added, h.n_removed,
         |  (SELECT nfrag FROM tot) AS n_deleted,
         |  c.n_rows, c.xor_key, c.sum_price_c
-        |FROM hist h, cont c ORDER BY h.version""".stripMargin
+        |FROM hist h, cont c ORDER BY h.version""".stripMargin,
+    // RESTORE's four states and per-version file counts, re-derived from
+    // the data: the update rewrites the hit months, the delete drops month
+    // 01's file, and the restore re-adds the dropped + rewritten months'
+    // ORIGINAL files (n_added = n_drop + n_hit) while removing only the
+    // rewritten ones (n_removed = n_hit); reused must be true — the
+    // engine asserts every restored file is one of v0's (zero-copy).
+    "etl_sql_restore" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT *, (o_orderkey % 10 = 3 AND pmonth >= '1997-02') AS hit
+        |  FROM base WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |parts AS (
+        |  SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) AS n_all,
+        |    CAST(COUNT(DISTINCT CASE WHEN hit THEN pmonth END) AS BIGINT)
+        |      AS n_hit,
+        |    CAST(COUNT(DISTINCT CASE WHEN pmonth = '1997-01'
+        |         THEN pmonth END) AS BIGINT) AS n_drop
+        |  FROM t0),
+        |u AS (
+        |  SELECT 0 AS version, 'create' AS operation,
+        |    (SELECT n_all FROM parts) AS n_added,
+        |    CAST(0 AS BIGINT) AS n_removed, o_orderkey, price_c FROM t0
+        |  UNION ALL
+        |  SELECT 1, 'update', (SELECT n_hit FROM parts),
+        |    (SELECT n_hit FROM parts), o_orderkey,
+        |    CASE WHEN hit THEN price_c + 111 ELSE price_c END
+        |  FROM t0
+        |  UNION ALL
+        |  SELECT 2, 'delete', CAST(0 AS BIGINT),
+        |    (SELECT n_drop FROM parts), o_orderkey,
+        |    CASE WHEN hit THEN price_c + 111 ELSE price_c END
+        |  FROM t0 WHERE pmonth <> '1997-01'
+        |  UNION ALL
+        |  SELECT 3, 'restore',
+        |    (SELECT n_drop + n_hit FROM parts),
+        |    (SELECT n_hit FROM parts), o_orderkey, price_c FROM t0)
+        |SELECT version, operation, n_added, n_removed,
+        |  CAST(1 AS BOOLEAN) AS reused, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, operation, n_added, n_removed
+        |ORDER BY version""".stripMargin
   )
 }

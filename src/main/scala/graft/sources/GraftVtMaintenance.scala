@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *     files no retained snapshot references; default retains 10 versions)
   *   - `DESCRIBE HISTORY t` → [[VersionedTable.history]] rows (bounded by
   *     the version count — the same driver-side shape as Delta's)
+  *   - `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
+  *     <epoch-ms>`) → [[VersionedTable.restoreCommit]] (zero-copy
+  *     rollback-as-a-commit — history keeps growing, the restore is
+  *     itself time-travelable and undoable)
   *
   * The table name resolves through the session catalog at EXECUTION time
   * (`spark.table`), so temp views over graftvt paths work exactly like
@@ -45,6 +49,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""".r
   private val historyRe =
     """(?is)^\s*(?:DESC|DESCRIBE)\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val restoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, c1, c2) =>
@@ -54,6 +60,9 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVacuumCommand(t, Option(n).map(_.toInt).getOrElse(10))
     case historyRe(t) =>
       GraftDescribeHistoryCommand(t)
+    case restoreRe(t, kind, n) =>
+      GraftRestoreCommand(t, n.toLong,
+        byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -137,6 +146,31 @@ final case class GraftVacuumCommand(table: String, retainLast: Int)
     val (_, path, _, _) = GraftVtMaintenance.resolve(spark, table, "VACUUM")
     val deleted = VersionedTable.vacuum(spark, path, retainLast)
     Seq(Row(deleted.size.toLong))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` / `TO TIMESTAMP AS OF ms` —
+  * zero-copy rollback as a commit ([[VersionedTable.restoreCommit]]);
+  * returns (version, files re-added/materialized, files removed). */
+final case class GraftRestoreCommand(table: String, at: Long,
+                                     byTimestamp: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, path, partitionCol, statsCol) =
+      GraftVtMaintenance.resolve(spark, table, "RESTORE")
+    val toVersion =
+      if (byTimestamp) VersionedTable.versionAsOf(spark, path, at)
+      else at.toInt
+    val c = VersionedTable.restoreCommit(spark, path, toVersion,
+      partitionCol, statsCol)
+    rel.refreshSnapshot()
+    Seq(Row(c.version, c.filesAdded.toLong, c.filesRemoved.toLong))
   }
 }
 

@@ -303,9 +303,19 @@ object VersionedTable {
       else collectEntries(
         spark.read.parquet(f"${ckptDir(path)}/c$ck%05d.parquet"))
     val rows = base ++ logRows(spark, path, ck, version)
-    val removed = rows.collect { case e if e.action == "remove" => e.file }.toSet
+    // ORDER-AWARE replay: per file, the LATEST action decides. A plain
+    // removed-set subtraction would keep a file dead forever once any
+    // remove mentions it — but restoreCommit re-references old files in a
+    // NEWER commit (zero-copy rollback), so an add strictly after the last
+    // remove must win. A remove at the same version as an add still wins
+    // (the pre-restore tie behavior; no commit shape produces it today).
+    val lastRemove: Map[String, Int] = rows.iterator
+      .filter(_.action == "remove")
+      .map(e => e.file -> e.version).toList
+      .groupMapReduce(_._1)(_._2)(math.max)
     rows.filter(e =>
-      (e.action == "add" || e.action == "tomb") && !removed(e.file))
+      (e.action == "add" || e.action == "tomb") &&
+      lastRemove.get(e.file).forall(_ < e.version))
   }
 
   /** Materializes `version`'s live set as a checkpoint manifest (atomic
@@ -423,7 +433,12 @@ object VersionedTable {
     if (tombFiles.isEmpty || dataFiles.isEmpty) data
     else {
       val tomb = spark.read.parquet(tombFiles: _*)
+      // re-select the data side's column ORDER: a USING join moves the
+      // join columns first, and a snapshot read must not change the
+      // table's declared column order just because tombstones are live
+      // (a V1 catalog table validates order against its stored schema)
       data.join(tomb, tomb.columns.toSeq, "left_anti")
+        .select(data.columns.map(col).toSeq: _*)
     }
   }
 
@@ -703,13 +718,19 @@ object VersionedTable {
                                    adds: Seq[LogEntry], tombs: Seq[LogEntry],
                                    removes: Seq[(String, String)],
                                    affected: Option[Set[String]],
-                                   opName: String, ts: Option[Long]): Commit = {
+                                   opName: String, ts: Option[Long],
+                                   ownsNewFiles: Boolean = true): Commit = {
+    // ownsNewFiles = false when `adds` RE-REFERENCE files older commits
+    // still own (restoreCommit's zero-copy re-add): aborting must then
+    // leave them on disk — cleanupAttempt would delete live table data
+    def abortCleanup(): Unit =
+      if (ownsNewFiles) cleanupAttempt(spark, path, adds ++ tombs)
     var v = readVersion + 1
     var attempts = 0
     while (!publishIfAbsent(spark, path, v, adds, tombs, removes, opName, ts)) {
       attempts += 1
       if (attempts >= MaxCommitAttempts) {
-        cleanupAttempt(spark, path, adds ++ tombs)
+        abortCleanup()
         throw new ConcurrentModificationException(
           s"commit at $path lost the version race $attempts times " +
           s"(last tried v$v) — contention beyond optimistic-commit limits " +
@@ -720,7 +741,7 @@ object VersionedTable {
         val clash = logRows(spark, path, readVersion, latest)
           .filter(e => e.action != "noop" && parts(e.part))
         if (clash.nonEmpty) {
-          cleanupAttempt(spark, path, adds ++ tombs)
+          abortCleanup()
           throw new ConcurrentModificationException(
             s"commit conflict at $path: versions ($readVersion, $latest] " +
             s"touched partitions ${clash.map(_.part).distinct.take(5).mkString(", ")}")
@@ -801,6 +822,7 @@ object VersionedTable {
       else {
         val tomb = spark.read.parquet(tombFiles: _*)
         data.join(tomb, tomb.columns.toSeq, "left_anti")
+          .select(data.columns.map(col).toSeq: _*)
       }
     }
   }
@@ -978,6 +1000,73 @@ object VersionedTable {
       .collect { case e if parts(e.part) => (e.file, e.part) }
     commitAttempt(spark, path, cur, Nil, Nil, removes,
       Some(parts), "delete", ts)
+  }
+
+  /** RESTORE to an earlier version as a new commit (Delta's RESTORE
+    * TABLE): the table's latest state becomes `toVersion`'s content while
+    * HISTORY KEEPS GROWING — the rollback is itself a version, so the
+    * pre-restore state stays time-travelable and the restore is undoable.
+    * ZERO-COPY: the target version's data files are RE-REFERENCED in the
+    * new manifest, never copied (they are still on disk unless vacuum
+    * passed the restore point — then this fails with a clear error
+    * naming the missing file); files live at both ends are left untouched
+    * (minimal conflict scope, no manifest churn). The one exception is a
+    * partition the target version covered with live TOMBSTONES: it is
+    * MATERIALIZED (read with the deletion vectors applied, rewritten), so
+    * a restore commit is always adds+removes — [[changes]]'s commit-shape
+    * contract holds and CDF reports the restore as the row-level rollback
+    * diff, bounded by the two file sets. */
+  def restoreCommit(spark: SparkSession, path: String, toVersion: Int,
+                    partitionCol: String, statsCol: Option[String] = None,
+                    ts: Option[Long] = None): Commit = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 0, s"restoreCommit: $path has no version 0 — create() first")
+    require(toVersion >= 0 && toVersion <= cur,
+      s"restoreCommit: version $toVersion not in [0, $cur]")
+    val target = liveEntries(spark, path, toVersion)
+    val tombParts = target.collect { case e if e.action == "tomb" => e.part }.toSet
+    val targetData = target.filter(_.action == "add")
+    val curLive = liveEntries(spark, path, cur)
+    val curFiles = curLive.map(_.file).toSet
+    val readds = targetData.filter(e => !tombParts(e.part) && !curFiles(e.file))
+    val keepFiles = targetData.collect {
+      case e if !tombParts(e.part) && curFiles(e.file) => e.file }.toSet
+    val removes = curLive.collect {
+      case e if !keepFiles(e.file) => (e.file, e.part) }
+    val f = fs(spark, path)
+    readds.foreach { e =>
+      require(f.exists(new Path(s"$path/${e.file}")),
+        s"restoreCommit: ${e.file} (referenced by v$toVersion) is no " +
+        "longer on disk — vacuum retention has passed the restore point")
+    }
+    val matAdds =
+      if (tombParts.isEmpty) Nil
+      else {
+        // materialize in the PLAIN-read column order: the mergeSchema
+        // union may include the tombstone files' (key-only) schemas and
+        // reorder columns, and a V1 catalog table rejects a relation whose
+        // column ORDER drifts from the stored schema
+        val src = read(spark, path, toVersion, Some(tombParts),
+          mergeSchema = true)
+        val order = read(spark, path, toVersion).columns
+        val cols = order.filter(src.columns.contains(_)) ++
+          src.columns.filterNot(order.contains(_))
+        writeCommitFiles(spark, path, cur + 1,
+          src.select(cols.map(col).toSeq: _*), partitionCol, statsCol)
+      }
+    val adds = readds ++ matAdds
+    if (adds.isEmpty && removes.isEmpty)
+      return commitAttempt(spark, path, cur, Nil, Nil, Nil,
+        Some(Set.empty), "restore", ts)
+    val affected = (adds.map(_.part) ++ removes.map(_._2)).toSet
+    // ownsNewFiles = false: the zero-copy re-adds belong to older commits;
+    // an aborted attempt must only clean the freshly-materialized files
+    try commitAttempt(spark, path, cur, adds, Nil, removes, Some(affected),
+      "restore", ts, ownsNewFiles = false)
+    catch { case e: java.util.ConcurrentModificationException =>
+      if (matAdds.nonEmpty) cleanupAttempt(spark, path, matAdds)
+      throw e
+    }
   }
 
   /** OPTIMIZE as a commit — lake-maintenance compaction INSIDE the log:
@@ -1173,6 +1262,7 @@ object VersionedTable {
       else {
         val tomb = spark.read.parquet(tf: _*)
         df.join(tomb, tomb.columns.toSeq, "left_anti")
+          .select(df.columns.map(col).toSeq: _*)
       }
     }
     val perVersion = (fromVersion to toVersion).flatMap { v =>

@@ -92,6 +92,64 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_mnt_h")
   }
 
+  test("RESTORE TO VERSION is zero-copy and itself time-travelable") {
+    val dir = newTable("graft_mnt_r", "vt_mnt_r")
+    val v2Files = VersionedTable.liveEntries(spark, dir, 2)
+      .map(_.file).toSet
+    // overwrite away the history, then roll back
+    spark.sql("INSERT OVERWRITE vt_mnt_r VALUES (99, 990, 'p9')")
+    val r = spark.sql("RESTORE TABLE vt_mnt_r TO VERSION AS OF 2").head()
+    assert(r.getInt(0) == 4, r.toString)
+    // content = v2's; the restore re-references v2's files byte-for-byte
+    assert(spark.sql("SELECT sum(v) AS s, count(*) AS n FROM vt_mnt_r")
+      .head().toSeq == Seq(150L, 6L))
+    val v4Adds = VersionedTable.liveEntries(spark, dir, 4)
+      .filter(e => e.version == 4 && e.action == "add").map(_.file).toSet
+    assert(v4Adds.subsetOf(v2Files), s"restore copied files: $v4Adds")
+    // the pre-restore state is still a version: restore is undoable
+    assert(VersionedTable.read(spark, dir, 3).count() == 1L)
+    val ops = VersionedTable.history(spark, dir).orderBy("version")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "append", "overwrite", "restore"))
+    spark.sql("DROP TABLE vt_mnt_r")
+  }
+
+  test("RESTORE materializes tombstoned partitions (CDF shape holds)") {
+    val dir = newTable("graft_mnt_rt", "vt_mnt_rt")
+    import spark.implicits._
+    // v3: deletion-vector delete of k=1 in p0; v4: drop p0 entirely
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((1L, "p0")).toDF("k", "p"), "p")
+    spark.sql("DELETE FROM vt_mnt_rt WHERE p = 'p0'")
+    // restore to the tombstoned state: p0 comes back WITHOUT k=1, and the
+    // restore commit carries no tombstones (adds+removes only)
+    spark.sql("RESTORE TABLE vt_mnt_rt TO VERSION AS OF 3")
+    val got = spark.sql("SELECT k FROM vt_mnt_rt ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 11L, 12L, 21L, 22L), got.toString)
+    val v5 = VersionedTable.liveEntries(spark, dir, 5).filter(_.version == 5)
+    assert(v5.forall(_.action == "add"), v5.map(_.action).toString)
+    // CDF of the restore = the rollback diff: p0's surviving rows (11 and
+    // 21 — k=1 was tombstoned at the restore point and stays deleted)
+    // reappear; p1 was never touched and contributes nothing
+    val cdf = VersionedTable.changes(spark, dir, 5, 5)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cdf == Set(("insert", 11L), ("insert", 21L)), cdf.toString)
+    spark.sql("DROP TABLE vt_mnt_rt")
+  }
+
+  test("RESTORE past a vacuumed version fails with a clear error") {
+    val dir = newTable("graft_mnt_rv", "vt_mnt_rv")
+    spark.sql("OPTIMIZE vt_mnt_rv")
+    spark.sql("VACUUM vt_mnt_rv RETAIN 1 VERSIONS")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("RESTORE vt_mnt_rv TO VERSION AS OF 0")
+    }
+    assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+    spark.sql("DROP TABLE vt_mnt_rv")
+  }
+
   test("maintenance verbs on a non-graftvt table fail clearly") {
     spark.sql("DROP TABLE IF EXISTS plain_mnt")
     spark.range(3).createOrReplaceTempView("plain_mnt")
