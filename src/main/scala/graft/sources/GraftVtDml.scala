@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SupportsSubquery, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -52,6 +53,13 @@ final class GraftVtDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftVtDml.targetOf(d.table) match {
         case Some((lr, rel)) =>
           GraftVtDml.requireMutable(rel, "DELETE")
+          // the COW path evaluates the condition in TWO jobs (partition
+          // probe, then rewrite) — a nondeterministic predicate would
+          // delete a set no single evaluation produces (Delta rejects too)
+          if (!d.condition.deterministic)
+            throw new UnsupportedOperationException(
+              "graftvt DELETE: nondeterministic conditions are not " +
+              s"supported: ${d.condition.sql}")
           GraftVtDeleteCommand(lr, d.table, d.condition)
         case None => plan
       }
@@ -77,6 +85,11 @@ final class GraftVtDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (SubqueryExpression.hasSubquery(c))
         fail("subqueries in the UPDATE condition are not supported — " +
           "rewrite as MERGE INTO or a library mergeCommit")
+      // evaluated once in the partition probe and again in the rewrite's
+      // CASE — a nondeterministic predicate would update a set no single
+      // evaluation produces
+      if (!c.deterministic)
+        fail(s"nondeterministic conditions are not supported: ${c.sql}")
     }
     u.assignments.foreach { a =>
       val name = a.key match {
@@ -104,11 +117,20 @@ final class GraftVtDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 private[sources] object GraftVtDml {
 
-  /** The graftvt relation under a DML target (possibly aliased). */
+  /** The graftvt relation under a DML target — STRICT: only alias/view
+    * wrappers whose body is exactly the relation qualify (Delta's rule).
+    * A `collectFirst` over the whole plan would also match a filtered
+    * `CREATE VIEW v AS SELECT ... WHERE ...` target, and a COW rewrite
+    * computed from the view-visible rows would then silently DELETE every
+    * row the view's filter hid from the rewritten partitions. A derived
+    * view falls through to Spark's own "not supported" analysis error. */
   def targetOf(plan: LogicalPlan): Option[(LogicalRelation, GraftVtRelation)] =
-    plan.collectFirst {
+    plan match {
+      case SubqueryAlias(_, child) => targetOf(child)
+      case v: View                 => targetOf(v.child)
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftVtRelation] =>
-        (lr, lr.relation.asInstanceOf[GraftVtRelation])
+        Some((lr, lr.relation.asInstanceOf[GraftVtRelation]))
+      case _ => None
     }
 
   /** Mutation guard, shared by every write surface (INSERT, MERGE, UPDATE,
@@ -183,6 +205,14 @@ final case class GraftVtUpdateCommand(
     val partitionCol = rel.tableParameters("partitionCol") // rule-validated
     val pCols = VersionedTable.partColsOf(partitionCol)
     val statsCol = rel.tableParameters.get("statsCol")
+    // re-resolve to latest FIRST (Delta re-resolves the snapshot at
+    // operation start): the cached relation may be pinned versions behind
+    // after an external commit, and a rewrite computed from a stale
+    // snapshot would drop the intervening commits' rows. The pinned
+    // version is then passed to the commit as its read version, so the
+    // residual read-to-publish window is covered by conflict detection.
+    rel.refreshSnapshot()
+    val readVersion = rel.pinnedVersion
     val tdf = PlanShim.ofRows(spark, targetPlan)
     val condCol = condition.map(PlanShim.column).getOrElse(lit(true))
     val (keys, member) = GraftVtDml.affectedOf(tdf, condCol, pCols)
@@ -199,7 +229,7 @@ final case class GraftVtUpdateCommand(
         }
       }: _*)
     VersionedTable.rewritePartitionsCommit(spark, rel.path, keys, rewritten,
-      partitionCol, statsCol, "update")
+      partitionCol, statsCol, "update", readVersion = readVersion)
     rel.refreshSnapshot()
     Nil
   }
@@ -221,13 +251,11 @@ final case class GraftVtDeleteCommand(
     with SupportsSubquery {
 
   /** Types whose partition-directory rendering (cast to string at write)
-    * provably roundtrips through a cast back — the same set
-    * [[GraftVtRelation.partFilterValues]] trusts for pruning. */
-  private def metadataSafe(t: DataType): Boolean = t match {
-    case StringType | BooleanType | ByteType | ShortType | IntegerType |
-         LongType | DateType => true
-    case _ => false
-  }
+    * provably roundtrips through a cast back — the shared definition
+    * [[GraftVtRelation.partRenderSafeTypes]] (one source of truth with
+    * the pruning-side literal rendering). */
+  private def metadataSafe(t: DataType): Boolean =
+    GraftVtRelation.partRenderSafeTypes(t)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val rel = targetRelation.relation.asInstanceOf[GraftVtRelation]
@@ -241,6 +269,10 @@ final case class GraftVtDeleteCommand(
       targetRelation.schema.fields.find(f => resolver(f.name, pc)).getOrElse(
         throw new IllegalArgumentException(
           s"graftvt DELETE: partition column '$pc' not in table schema")))
+    // stale-pin discipline: same as UPDATE — re-resolve, then commit
+    // against the version we read
+    rel.refreshSnapshot()
+    val readVersion = rel.pinnedVersion
     val metadataOnly =
       condition.deterministic &&
       !SubqueryExpression.hasSubquery(condition) &&
@@ -250,8 +282,7 @@ final case class GraftVtDeleteCommand(
       // evaluate the predicate on the manifest's partition-value domain —
       // a driver-local frame of the live part keys, typed back to the
       // table's column types; zero data I/O at any table size
-      val latest = VersionedTable.latestVersion(spark, rel.path)
-      val live = VersionedTable.liveEntries(spark, rel.path, latest)
+      val live = VersionedTable.liveEntries(spark, rel.path, readVersion)
         .map(_.part).distinct
       val byName = PlanShim.column(condition.transform {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
@@ -269,14 +300,15 @@ final case class GraftVtDeleteCommand(
       }
       val drop = typed.filter(byName)
         .select("__graft_part").collect().map(_.getString(0)).toSet
-      VersionedTable.dropPartitionsCommit(spark, rel.path, drop)
+      VersionedTable.dropPartitionsCommit(spark, rel.path, drop,
+        readVersion = readVersion)
     } else {
       val tdf = PlanShim.ofRows(spark, targetPlan)
       val condCol = PlanShim.column(condition)
       val (keys, member) = GraftVtDml.affectedOf(tdf, condCol, pCols)
       val rewritten = tdf.filter(member && !coalesce(condCol, lit(false)))
       VersionedTable.rewritePartitionsCommit(spark, rel.path, keys, rewritten,
-        partitionCol, statsCol, "delete")
+        partitionCol, statsCol, "delete", readVersion = readVersion)
     }
     rel.refreshSnapshot()
     Nil

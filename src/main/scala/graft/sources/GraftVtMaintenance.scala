@@ -43,8 +43,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
 final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
+  // the column list is captured loosely and validated in the command, so
+  // `ZORDER BY (a)` / `(a, b, c)` get a clear "exactly 2 columns" error
+  // instead of falling through to Spark's inscrutable parse failure
   private val optimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*)?;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*$""".r
   private val vacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""".r
   private val historyRe =
@@ -53,9 +56,16 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case optimizeRe(t, c1, c2) =>
-      GraftOptimizeCommand(t,
-        Option(c1).map(a => (a, c2)))
+    case optimizeRe(t, zlist) =>
+      val zCols = Option(zlist).map { s =>
+        val cols = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cols.length != 2 || !cols.forall(_.matches("\\w+")))
+          throw new UnsupportedOperationException(
+            "graftvt OPTIMIZE: ZORDER BY takes exactly two plain columns " +
+            s"(the Morton interleave is pairwise), got (${s.trim})")
+        (cols(0), cols(1))
+      }
+      GraftOptimizeCommand(t, zCols)
     case vacuumRe(t, n) =>
       GraftVacuumCommand(t, Option(n).map(_.toInt).getOrElse(10))
     case historyRe(t) =>

@@ -48,13 +48,12 @@ final class GraftVtMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => plan
   }
 
-  /** The graftvt relation under the MERGE target (possibly aliased). */
+  /** The graftvt relation under the MERGE target — [[GraftVtDml.targetOf]]
+    * (STRICT: alias/view wrappers only; a filtered AS-SELECT view target
+    * must not qualify — its COW rewrite would drop the hidden rows). */
   private def targetOf(plan: LogicalPlan)
       : Option[(LogicalRelation, GraftVtRelation)] =
-    plan.collectFirst {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftVtRelation] =>
-        (lr, lr.relation.asInstanceOf[GraftVtRelation])
-    }
+    GraftVtDml.targetOf(plan)
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graftvt MERGE: $msg")
@@ -188,7 +187,19 @@ final case class GraftVtMergeCommand(
         "graftvt MERGE: table must declare a 'partitionCol' option"))
     val statsCol = rel.tableParameters.get("statsCol")
     val resolver = spark.sessionState.conf.resolver
+    // re-resolve the target to latest FIRST (Delta re-resolves at
+    // operation start): a stale pin would misclassify matched vs
+    // not-matched — a key inserted by an intervening commit would take
+    // the INSERT branch instead of its MATCHED action
+    rel.refreshSnapshot()
+    // materialize the source ONCE: it is otherwise recomputed three times
+    // (cardinality gate, partition probe, change-batch write) — 3x the
+    // dominant cost for an expensive USING query, and a nondeterministic
+    // source could pass the uniqueness gate yet produce duplicates later
+    // (Delta materializes its merge source for the same two reasons)
     val source = PlanShim.ofRows(spark, sourcePlan)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // 1. cardinality gate (distributed; one shuffle over the source)
     val dup = source.groupBy(keyCols.map(col): _*).count()
@@ -324,5 +335,6 @@ final case class GraftVtMergeCommand(
     // SELECT-after-MERGE in the same session reads the new version
     rel.refreshSnapshot()
     Nil
+    } finally source.unpersist()
   }
 }

@@ -310,12 +310,11 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
 
   /** Columns the manifest records per-file min/max for — the declared
     * stats column plus any z-order (`mstats`) columns: only predicates on
-    * these can prune files. Re-resolved per scan via `def` (cheap log
-    * read, checkpoint-bounded) because INSERT INTO can advance the pinned
-    * version. */
-  private def statsCols: Set[String] =
-    VersionedTable.liveEntries(spark, path, version)
-      .iterator.flatMap(_.statRanges.keys).toSet
+    * these can prune files. Derived from the scan's own live-entry
+    * resolution (one log replay per buildScan, shared with partition
+    * pruning and the read itself). */
+  private def statsColsOf(entries: Seq[VersionedTable.LogEntry]): Set[String] =
+    entries.iterator.flatMap(_.statRanges.keys).toSet
 
   /** `INSERT INTO` / `INSERT OVERWRITE` on a catalog `graftvt` table —
     * Spark's InsertIntoDataSourceCommand routes here. Each statement is
@@ -352,11 +351,19 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    // ONE log replay serves this whole scan: stats-column discovery, the
+    // partition prune, and the pruned read all share `entries` (three
+    // separate replays would triple the per-query metadata cost of a
+    // long-lived table). Resolved lazily — a filterless scan reuses the
+    // cached snapshot and replays nothing.
+    lazy val entries = VersionedTable.liveEntries(spark, path, version)
     // manifest-level file skipping: conjunctive bounds over the stats
     // column(s) decide the file list FROM THE LOG before any storage I/O —
     // the filters are still re-applied below (and by Spark above), so the
     // pruning is a strict scan optimization
-    val bounds = GraftVtRelation.statsBounds(filters, statsCols)
+    val bounds =
+      if (filters.isEmpty) Map.empty[String, (Long, Long)]
+      else GraftVtRelation.statsBounds(filters, statsColsOf(entries))
     // PARTITION pruning from the same pushed filters (Delta's behavior —
     // a plain `WHERE pmonth = 'x'` must not list the other partitions'
     // files at 100 TB): equality/IN predicates on the table's declared
@@ -372,7 +379,7 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
     val prunedParts: Option[Set[String]] =
       if (allowed.isEmpty) partValues
       else {
-        val keep = VersionedTable.liveEntries(spark, path, version)
+        val keep = entries
           .iterator.map(_.part).filter { p =>
             val vals = VersionedTable.partValuesOf(pCols, p)
               .map { case (c, v) => c.toLowerCase -> v }
@@ -384,7 +391,7 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
     val base =
       if (bounds.isEmpty && prunedParts == partValues) snapshot
       else VersionedTable.read(spark, path, version, prunedParts, mergeSchema,
-        bounds)
+        bounds, preEntries = Some(entries))
     val filtered = filters.flatMap(toColumn)
       .foldLeft(base)((df, c) => df.filter(c))
     val projected =
@@ -422,6 +429,21 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
 }
 
 private[graft] object GraftVtRelation {
+
+  /** Partition-column types whose write-side rendering (cast to string →
+    * directory name) provably roundtrips through a cast back — the ONE
+    * definition both pruning-side consumers share: `partFilterValues`'
+    * literal rendering below (its boxed-class match mirrors this set) and
+    * the metadata-only DELETE path ([[GraftVtDeleteCommand]]), which may
+    * only evaluate a predicate on re-typed partition values when the
+    * types are in this set. Extending one consumer without the other
+    * would silently mis-prune or drop the wrong partitions. */
+  private[sources] val partRenderSafeTypes
+      : Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, BooleanType, ByteType, ShortType, IntegerType,
+      LongType, DateType)
+  }
 
   /** Allowed-value set per (lower-cased) PARTITION column, derived from
     * the pushed filter conjunction — the partition-pruning dual of

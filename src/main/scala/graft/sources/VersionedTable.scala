@@ -397,8 +397,13 @@ object VersionedTable {
   def read(spark: SparkSession, path: String, version: Int,
            partValues: Option[Set[String]] = None,
            mergeSchema: Boolean = false,
-           statsBounds: Map[String, (Long, Long)] = Map.empty): DataFrame = {
-    val entries = liveEntries(spark, path, version)
+           statsBounds: Map[String, (Long, Long)] = Map.empty,
+           preEntries: Option[Seq[LogEntry]] = None): DataFrame = {
+    // preEntries: the caller's already-replayed live set for `version`
+    // (the graftvt relation resolves it once per scan and shares it with
+    // stats-column discovery and partition pruning — one log replay per
+    // query, not three)
+    val entries = preEntries.getOrElse(liveEntries(spark, path, version))
       .filter(e => partValues.forall(_(e.part)))
     val allDataEntries = entries.filter(_.action == "add")
     val dataEntries =
@@ -958,8 +963,15 @@ object VersionedTable {
                               partitionCol: String,
                               statsCol: Option[String] = None,
                               opName: String = "update",
-                              ts: Option[Long] = None): Commit = {
-    val cur = latestVersion(spark, path)
+                              ts: Option[Long] = None,
+                              readVersion: Int = -1): Commit = {
+    // readVersion (default: latest) = the version `rewritten` was COMPUTED
+    // against. Passing it makes the commit's conflict detection cover the
+    // whole read-to-publish window: a concurrent commit that touched an
+    // affected partition after the caller's snapshot read ABORTS instead
+    // of being silently overwritten by stale content.
+    val cur =
+      if (readVersion >= 0) readVersion else latestVersion(spark, path)
     require(cur >= 0,
       s"rewritePartitionsCommit: $path has no version 0 — create() first")
     if (parts.isEmpty)
@@ -992,8 +1004,10 @@ object VersionedTable {
     * partition-value domain. */
   def dropPartitionsCommit(spark: SparkSession, path: String,
                            parts: Set[String],
-                           ts: Option[Long] = None): Commit = {
-    val cur = latestVersion(spark, path)
+                           ts: Option[Long] = None,
+                           readVersion: Int = -1): Commit = {
+    val cur =
+      if (readVersion >= 0) readVersion else latestVersion(spark, path)
     require(cur >= 0,
       s"dropPartitionsCommit: $path has no version 0 — create() first")
     val removes = liveEntries(spark, path, cur)

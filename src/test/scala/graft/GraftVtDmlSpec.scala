@@ -212,6 +212,55 @@ class GraftVtDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_dml_ro")
   }
 
+  test("DML through a filtered AS-SELECT view is not intercepted") {
+    val dir = newTable("graft_dml_vw", "vt_dml_vw")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW vt_dml_vw_hot AS " +
+      "SELECT * FROM vt_dml_vw WHERE v >= 30")
+    // the strict targetOf must NOT match the derived view: a COW rewrite
+    // computed from the filtered rows would silently delete v<30 rows
+    // from the rewritten partitions. Spark's own analysis error fires.
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM vt_dml_vw_hot WHERE k = 3")
+    }
+    assert(!e.isInstanceOf[UnsupportedOperationException] ||
+      !e.getMessage.contains("graftvt"), e.toString)
+    // table unchanged
+    assert(spark.sql("SELECT count(*) FROM vt_dml_vw").head().getLong(0)
+      == 6L)
+    spark.sql("DROP TABLE vt_dml_vw")
+  }
+
+  test("UPDATE after an external commit keeps the intervening rows") {
+    val dir = newTable("graft_dml_st", "vt_dml_st")
+    // pin the cached relation, then commit BEHIND ITS BACK
+    assert(spark.sql("SELECT count(*) FROM vt_dml_st").head().getLong(0)
+      == 6L)
+    import spark.implicits._
+    VersionedTable.appendCommit(spark, dir,
+      Seq((7L, 70L, "p0")).toDF("k", "v", "p"), "p")
+    // the UPDATE rewrites p0: without the refresh-at-operation-start it
+    // would rebuild p0 from the stale pinned snapshot and drop k=7
+    spark.sql("UPDATE vt_dml_st SET v = v + 1 WHERE k = 1")
+    val got = spark.sql("SELECT k, v FROM vt_dml_st ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (7L, 70L)), got.toString)
+    spark.sql("DROP TABLE vt_dml_st")
+  }
+
+  test("nondeterministic DML conditions are rejected") {
+    newTable("graft_dml_nd", "vt_dml_nd")
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE vt_dml_nd SET v = 0 WHERE rand() < 0.5")
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql("DELETE FROM vt_dml_nd WHERE rand() < 0.5")
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    spark.sql("DROP TABLE vt_dml_nd")
+  }
+
   test("DML on a multi-column partition spec") {
     val dir = Files.createTempDirectory("graft_dml_mp").toString + "/t"
     import spark.implicits._

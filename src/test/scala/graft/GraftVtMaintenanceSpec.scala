@@ -150,6 +150,15 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_mnt_rv")
   }
 
+  test("ZORDER BY with the wrong column count fails with a clear error") {
+    newTable("graft_mnt_zc", "vt_mnt_zc")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("OPTIMIZE vt_mnt_zc ZORDER BY (k, v, p)")
+    }
+    assert(e.getMessage.contains("exactly two"), e.getMessage)
+    spark.sql("DROP TABLE vt_mnt_zc")
+  }
+
   test("maintenance verbs on a non-graftvt table fail clearly") {
     spark.sql("DROP TABLE IF EXISTS plain_mnt")
     spark.range(3).createOrReplaceTempView("plain_mnt")
