@@ -1495,6 +1495,60 @@ object Etl {
         .select($"version", $"operation", $"n_added", $"n_removed",
           lit(reused).as("reused"), $"n_rows", $"xor_key", $"sum_price_c")
         .orderBy("version")
+    }),
+
+    // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
+    // parquet directory (Delta's CONVERT TO DELTA): the slice is written
+    // by the PLAIN Spark writer (partition values live only in directory
+    // names), CONVERT imports it as version 0 by reference (the
+    // `imported` flag proves no manifest entry points at an
+    // engine-written file), and the converted table is then driven
+    // through the normal DML surface — INSERT (engine files joining
+    // imported ones in one snapshot) and a COW UPDATE that retires one
+    // imported file. Content is graded PER (version, month), so a
+    // mis-reconstructed partition value — the column exists only in the
+    // directory names — fails the hash row-by-row.
+    "etl_sql_convert" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtCnvPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtCnvPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_cnv")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03")
+        .repartition(col("pmonth"))
+        .write.partitionBy("pmonth").parquet(vtCnvPath)
+      s.sql(s"CONVERT TO graftvt '$vtCnvPath' PARTITIONED BY (pmonth)")
+      val imported = VersionedTable.liveEntries(s, vtCnvPath, 0)
+        .forall(e => !e.file.startsWith("data/"))
+      s.sql(s"CREATE TABLE graft_vt_cnv USING graftvt " +
+        s"OPTIONS (path '$vtCnvPath', partitionCol 'pmonth')")
+      base.filter($"pmonth" === "1997-04")
+        .createOrReplaceTempView("graft_cnv_ins")
+      s.sql("INSERT INTO graft_vt_cnv SELECT * FROM graft_cnv_ins")
+      s.sql("UPDATE graft_vt_cnv SET price_c = price_c + 111 " +
+        "WHERE o_orderkey % 10 = 3 AND pmonth = '1997-02'")
+      (0 to 1).foreach(v => s.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_cnv_v$v " +
+        s"USING graftvt OPTIONS (path '$vtCnvPath', versionAsOf '$v')"))
+      def agg(view: String, v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, pmonth, " +
+          "COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key, " +
+          s"SUM(price_c) AS sum_price_c FROM $view GROUP BY pmonth")
+      val ops = VersionedTable.history(s, vtCnvPath)
+        .select($"version", $"operation", $"n_added", $"n_removed")
+      agg("graft_vt_cnv_v0", 0)
+        .unionByName(agg("graft_vt_cnv_v1", 1))
+        .unionByName(agg("graft_vt_cnv", 2))
+        .join(ops, "version")
+        .select($"version", $"pmonth", $"operation", $"n_added",
+          $"n_removed", lit(imported).as("imported"),
+          $"n_rows", $"xor_key", $"sum_price_c")
+        .orderBy("version", "pmonth")
     })
   )
 
@@ -1561,6 +1615,7 @@ object Etl {
   private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
   private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
+  private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -2885,6 +2940,50 @@ object Etl {
         |  bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY version, operation, n_added, n_removed
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    // CONVERT's ledger and per-(version, month) content, re-derived from
+    // the data: the plain writer leaves one file per month (n_added at v0
+    // = month count), the INSERT appends one month's file, the UPDATE
+    // rewrites the hit month; imported = true — every v0 manifest entry
+    // references a pre-existing file.
+    "etl_sql_convert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |ins AS (SELECT * FROM base WHERE pmonth = '1997-04'),
+        |v1s AS (SELECT * FROM t0 UNION ALL SELECT * FROM ins),
+        |parts AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM t0) AS n0,
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM ins)
+        |      AS n_ins,
+        |    (SELECT CAST(COUNT(DISTINCT pmonth) AS BIGINT) FROM v1s
+        |     WHERE o_orderkey % 10 = 3 AND pmonth = '1997-02') AS n_hit),
+        |u AS (
+        |  SELECT 0 AS version, 'convert' AS operation,
+        |    (SELECT n0 FROM parts) AS n_added,
+        |    CAST(0 AS BIGINT) AS n_removed, o_orderkey, price_c, pmonth
+        |  FROM t0
+        |  UNION ALL
+        |  SELECT 1, 'append', (SELECT n_ins FROM parts),
+        |    CAST(0 AS BIGINT), o_orderkey, price_c, pmonth FROM v1s
+        |  UNION ALL
+        |  SELECT 2, 'update', (SELECT n_hit FROM parts),
+        |    (SELECT n_hit FROM parts), o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 AND pmonth = '1997-02'
+        |         THEN price_c + 111 ELSE price_c END, pmonth
+        |  FROM v1s)
+        |SELECT version, pmonth, operation, n_added, n_removed,
+        |  CAST(1 AS BOOLEAN) AS imported, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY version, pmonth, operation, n_added, n_removed
+        |ORDER BY version, pmonth""".stripMargin
   )
 }

@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *     <epoch-ms>`) → [[VersionedTable.restoreCommit]] (zero-copy
   *     rollback-as-a-commit — history keeps growing, the restore is
   *     itself time-travelable and undoable)
+  *   - `CONVERT TO graftvt '<path>' PARTITIONED BY (c1[, c2])` →
+  *     [[VersionedTable.convert]] (zero-copy in-place adoption of an
+  *     existing Hive-layout parquet directory — Delta's CONVERT TO DELTA;
+  *     path-addressed because the directory is by definition not yet a
+  *     catalog table)
   *
   * The table name resolves through the session catalog at EXECUTION time
   * (`spark.table`), so temp views over graftvt paths work exactly like
@@ -54,6 +59,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*(?:DESC|DESCRIBE)\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
   private val restoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val convertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFTVT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, zlist) =>
@@ -73,6 +80,13 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case restoreRe(t, kind, n) =>
       GraftRestoreCommand(t, n.toLong,
         byTimestamp = kind.equalsIgnoreCase("TIMESTAMP"))
+    case convertRe(p, cols) =>
+      val pCols = cols.split(",").map(_.trim).filter(_.nonEmpty)
+      if (pCols.isEmpty || !pCols.forall(_.matches("\\w+")))
+        throw new UnsupportedOperationException(
+          s"graftvt CONVERT: PARTITIONED BY needs plain column names, " +
+          s"got (${cols.trim})")
+      GraftConvertCommand(p, pCols.mkString(","))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -181,6 +195,22 @@ final case class GraftRestoreCommand(table: String, at: Long,
       partitionCol, statsCol)
     rel.refreshSnapshot()
     Seq(Row(c.version, c.filesAdded.toLong, c.filesRemoved.toLong))
+  }
+}
+
+/** `CONVERT TO graftvt '<path>' PARTITIONED BY (...)` — zero-copy
+  * in-place adoption of an existing Hive-layout parquet directory
+  * ([[VersionedTable.convert]]); returns (version 0, files imported). */
+final case class GraftConvertCommand(path: String, partitionCol: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val c = VersionedTable.convert(spark, path, partitionCol)
+    Seq(Row(c.version, c.filesAdded.toLong))
   }
 }
 

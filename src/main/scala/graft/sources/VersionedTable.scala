@@ -426,12 +426,13 @@ object VersionedTable {
     val logSchema =
       if (mergeSchema) unionSchemaOf(allDataEntries)
       else uniformSchemaOf(dataEntries)
-    val reader = logSchema match {
+    def reader = logSchema match {
       case Some(u) => spark.read.schema(u)
       case None => spark.read.option("mergeSchema", mergeSchema.toString)
     }
     val data =
-      if (dataFiles.nonEmpty) reader.parquet(dataFiles: _*)
+      if (dataFiles.nonEmpty)
+        readDataFiles(spark, path, dataFiles, () => reader)
       else schemaTemplateFile(spark, path, version)
         .map(f => reader.parquet(f).limit(0))
         .getOrElse(spark.emptyDataFrame)
@@ -445,6 +446,40 @@ object VersionedTable {
       data.join(tomb, tomb.columns.toSeq, "left_anti")
         .select(data.columns.map(col).toSeq: _*)
     }
+  }
+
+  /** True for files the ENGINE wrote (under a commit's attempt dir) —
+    * their partition columns live IN the file content. False for files a
+    * [[convert]] imported in place: an external `partitionBy` layout keeps
+    * partition values only in the key=value directory names, so those
+    * files read with `basePath` partition reconstruction. */
+  private def engineOwned(relFile: String): Boolean =
+    relFile.startsWith("data/")
+
+  /** Read a commit's data files, splitting engine-written files (columns
+    * complete in content) from convert-imported external files (partition
+    * columns reconstructed from their key=value directories via
+    * `basePath`). Both halves share the caller's reader CONFIG — passed as
+    * a factory because DataFrameReader is mutable and setting basePath on
+    * a shared instance would leak into engine-file reads (whose __vt_*
+    * layout dirs must NOT be reconstructed as columns). An explicit
+    * log-derived schema also TYPES the reconstructed partition columns,
+    * so directory-string inference can never drift from the schema the
+    * convert recorded. */
+  private def readDataFiles(spark: SparkSession, path: String,
+                            absFiles: Seq[String],
+                            mkReader: () => org.apache.spark.sql.DataFrameReader)
+      : DataFrame = {
+    val prefix = s"$path/"
+    val (own, ext) = absFiles.partition(f =>
+      engineOwned(f.stripPrefix(prefix)))
+    val parts = Seq(
+      if (own.nonEmpty) Some(mkReader().parquet(own: _*)) else None,
+      if (ext.nonEmpty)
+        Some(mkReader().option("basePath", path).parquet(ext: _*))
+      else None).flatten
+    parts.reduce { (a, b) =>
+      a.unionByName(b, allowMissingColumns = true) }
   }
 
   /** Writes `df` as a commit's data files under a token-unique attempt dir
@@ -773,6 +808,75 @@ object VersionedTable {
       cleanupAttempt(spark, path, adds)
       throw new ConcurrentModificationException(s"concurrent create at $path")
     }
+    Commit(0, adds.size, 0)
+  }
+
+  /** CONVERT an existing plain parquet layout into a versioned table IN
+    * PLACE, zero-copy (Delta's CONVERT TO DELTA): version 0's manifest
+    * RE-REFERENCES the directory's existing files — at 100 TB, adopting
+    * the table costs one directory listing, one footer-metadata pass for
+    * per-file row counts, and one log write; no byte of data moves. The
+    * layout must be the Hive `key=value` tree matching `partitionCol`
+    * (one nested level per column — what `df.write.partitionBy(...)`
+    * produces); since such files carry partition values only in their
+    * DIRECTORY NAMES, the snapshot reader reconstructs those columns via
+    * `basePath` ([[readDataFiles]]), typed by the schema this convert
+    * records in the log, so inference can never drift afterwards. Every
+    * later commit (append/merge/delete/optimize/...) works unchanged:
+    * engine-written files supersede imported ones file-by-file, and
+    * vacuum reclaims superseded imported files like any other. Imported
+    * files record no column metrics — manifest-level skipping starts
+    * conservative and accrues from the first engine-written commit. */
+  def convert(spark: SparkSession, path: String, partitionCol: String,
+              ts: Option[Long] = None): Commit = {
+    require(latestVersion(spark, path) < 0, s"convert: $path already has a log")
+    val pCols = partColsOf(partitionCol)
+    val f = fs(spark, path)
+    val rootPrefix = new Path(path).toUri.getPath + "/"
+    val it = f.listFiles(new Path(path), true)
+    val listed = Seq.newBuilder[(String, String)]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toUri.getPath.stripPrefix(rootPrefix)
+        val segs = rel.split('/')
+        require(segs.length == pCols.size + 1,
+          s"convert: '$rel' is not a ${pCols.size}-level key=value layout " +
+          s"for ($partitionCol)")
+        val vals = pCols.zip(segs.init).map { case (c, seg) =>
+          val i = seg.indexOf('=')
+          require(i > 0 && seg.substring(0, i).equalsIgnoreCase(c),
+            s"convert: directory '$seg' does not match partition column '$c'")
+          ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        }
+        listed += ((rel, partKeyOf(pCols, vals)))
+      }
+    }
+    val files = listed.result()
+    require(files.nonEmpty, s"convert: no parquet files under $path")
+    // one directory read: the authoritative schema (partition columns
+    // included, typed by Spark's layout inference — recorded in the log
+    // as every imported file's fschema) and per-file row counts (the scan
+    // projects no data columns, so the vectorized reader answers from
+    // row-group metadata — near-free, same trick as writeCommitFiles'
+    // metrics read-back)
+    val df = spark.read.parquet(path)
+    val fschema = df.schema.json
+    val counts: Map[String, Long] = df
+      .groupBy(input_file_name().as("__graft_f")).count().collect()
+      .map { r =>
+        val rel = new Path(new java.net.URI(r.getString(0)))
+          .toUri.getPath.stripPrefix(rootPrefix)
+        rel -> r.getLong(1)
+      }.toMap
+    val adds = files.map { case (rel, part) =>
+      LogEntry(0, "add", rel, part, None, None, Some(fschema),
+        nrec = counts.get(rel), None, None)
+    }
+    if (!publishIfAbsent(spark, path, 0, adds, Nil, Nil, "convert", ts))
+      // we own none of these files: on a lost race, clean NOTHING
+      throw new ConcurrentModificationException(
+        s"concurrent create/convert at $path")
     Commit(0, adds.size, 0)
   }
 
@@ -1259,7 +1363,7 @@ object VersionedTable {
     val fileKind: Map[String, String] = all
       .collect { case e if e.action == "add" || e.action == "tomb" =>
         e.file -> e.action }.toMap
-    val reader = spark.read.option("mergeSchema", "true")
+    def reader = spark.read.option("mergeSchema", "true")
     def tag(df: DataFrame, v: Int, ct: String) =
       df.select(lit(v).as("_commit_version") +: lit(ct).as("_change_type") +:
         df.columns.toSeq.map(col): _*)
@@ -1303,9 +1407,11 @@ object VersionedTable {
         Seq(tag(prev.join(tomb, tomb.columns.toSeq, "left_semi"), v, "delete"))
       } else {
         val added = if (addF.isEmpty) None
-          else Some(tombFilter(reader.parquet(addF: _*), v))
+          else Some(tombFilter(
+            readDataFiles(spark, path, addF, () => reader), v))
         val removedRows = if (remDataF.isEmpty) None
-          else Some(tombFilter(reader.parquet(remDataF: _*), v - 1))
+          else Some(tombFilter(
+            readDataFiles(spark, path, remDataF, () => reader), v - 1))
         (added, removedRows) match {
           case (None, None)    => Nil
           case (Some(a), None) => Seq(tag(a, v, "insert"))
@@ -1359,18 +1465,32 @@ object VersionedTable {
       f.getFileStatus(
         new Path(f"${logDir(path)}/v$latest%05d.parquet")).getModificationTime,
       System.currentTimeMillis() - inflightGraceMs)
-    val it = f.listFiles(new Path(s"$path/data"), true)
+    // walk the whole table dir (minus the log/checkpoint machinery), not
+    // just data/: convert-imported external files live at the table root
+    // in their original key=value layout and must be reclaimable once a
+    // later commit supersedes them
+    val rootPrefix = new Path(path).toUri.getPath + "/"
+    val skipDirs = Set("_log", "_ckpt")
+    val tops = f.listStatus(new Path(path)).filter { st =>
+      val n = st.getPath.getName
+      !skipDirs(n) && !n.startsWith("_logtmp_") && !n.startsWith("_ckpttmp_")
+    }
     val deleted = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
+    def consider(p: Path, mtime: Long): Unit =
       if (p.getName.endsWith(".parquet")) {
-        val rel = p.toUri.getPath.stripPrefix(
-          new Path(path).toUri.getPath + "/")
-        if (!keep(rel) && st.getModificationTime < cutoff) {
+        val rel = p.toUri.getPath.stripPrefix(rootPrefix)
+        if (!keep(rel) && mtime < cutoff) {
           f.delete(p, false); deleted += rel
         }
       }
+    tops.foreach { top =>
+      if (top.isDirectory) {
+        val it = f.listFiles(top.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          consider(st.getPath, st.getModificationTime)
+        }
+      } else consider(top.getPath, top.getModificationTime)
     }
     deleted.result()
   }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import graft.sources.VersionedTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL maintenance verbs over graftvt tables (GraftSqlParser): OPTIMIZE,
@@ -148,6 +149,62 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("vacuum retention"), e.getMessage)
     spark.sql("DROP TABLE vt_mnt_rv")
+  }
+
+  test("CONVERT TO graftvt adopts a Hive layout in place, zero-copy") {
+    val dir = Files.createTempDirectory("graft_mnt_cv").toString + "/t"
+    import spark.implicits._
+    // a PLAIN Spark partitioned write: partition values live only in the
+    // directory names, not in the file content
+    Seq((1L, 10L, "p0"), (2L, 20L, "p0"), (3L, 30L, "p1"), (4L, 40L, "p1"))
+      .toDF("k", "v", "p")
+      .repartition(col("p"))
+      .write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    val r = spark.sql(s"CONVERT TO graftvt '$dir' PARTITIONED BY (p)").head()
+    assert(r.getInt(0) == 0 && r.getLong(1) == 2L, r.toString)
+    // zero-copy: the manifest references the pre-existing files
+    val v0 = VersionedTable.liveEntries(spark, dir, 0).map(_.file)
+    assert(v0.forall(f => !f.startsWith("data/")), v0.toString)
+    assert(spark.read.parquet(dir).inputFiles.toSet == before)
+    // full read-back with the partition column reconstructed AND typed
+    spark.sql("DROP TABLE IF EXISTS vt_mnt_cv")
+    spark.sql(s"CREATE TABLE vt_mnt_cv USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    val got = spark.sql("SELECT k, v, p FROM vt_mnt_cv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, "p0"), (2L, 20L, "p0"),
+      (3L, 30L, "p1"), (4L, 40L, "p1")), got.toString)
+    // the converted table is fully functional: DML mixes engine-written
+    // and imported files in one snapshot, and CDF covers both shapes
+    spark.sql("INSERT INTO vt_mnt_cv VALUES (5, 50, 'p0')")
+    spark.sql("UPDATE vt_mnt_cv SET v = 99 WHERE k = 3")
+    val after = spark.sql("SELECT k, v FROM vt_mnt_cv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == Seq((1L, 10L), (2L, 20L), (3L, 99L), (4L, 40L),
+      (5L, 50L)), after.toString)
+    val ops = VersionedTable.history(spark, dir).orderBy("version")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("convert", "append", "update"))
+    // per-file row counts were recorded at convert (metadata-only count)
+    assert(VersionedTable.snapshotRowCount(spark, dir, 0).contains(4L))
+    // CDF of the UPDATE reads the imported p1 file (old image) correctly
+    val cdf = VersionedTable.changes(spark, dir, 2, 2)
+      .select("_change_type", "k", "p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(cdf == Set(("insert", 3L, "p1"), ("delete", 3L, "p1")), cdf.toString)
+    spark.sql("DROP TABLE vt_mnt_cv")
+  }
+
+  test("CONVERT rejects a layout that does not match the declared columns") {
+    val dir = Files.createTempDirectory("graft_mnt_cvb").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "q").write.partitionBy("q").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT TO graftvt '$dir' PARTITIONED BY (p)")
+    }
+    assert(e.getMessage.contains("does not match partition column"),
+      e.getMessage)
   }
 
   test("ZORDER BY with the wrong column count fails with a clear error") {
