@@ -196,6 +196,44 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_mnt_cv")
   }
 
+  test("converted tables prune partitions and OPTIMIZE finishes adoption") {
+    val dir = Files.createTempDirectory("graft_mnt_cvp").toString + "/t"
+    import spark.implicits._
+    Seq((1L, 10L, "p0"), (2L, 20L, "p0"), (3L, 30L, "p1"), (4L, 40L, "p2"))
+      .toDF("k", "v", "p")
+      .repartition(col("p"))
+      .write.partitionBy("p").parquet(dir)
+    spark.sql(s"CONVERT TO graftvt '$dir' PARTITIONED BY (p)")
+    // manifest-level partition pruning works on imported entries, proven
+    // the VtMultiPartSpec way: corrupt a sibling partition's file — a
+    // pruned scan never opens it, an unpruned one would fail
+    val p2File = VersionedTable.liveEntries(spark, dir, 0)
+      .find(_.part == "p2").get.file
+    val p2Path = java.nio.file.Paths.get(s"$dir/$p2File")
+    val orig = java.nio.file.Files.readAllBytes(p2Path)
+    java.nio.file.Files.write(p2Path, "not parquet".getBytes)
+    val pruned = spark.read.format("graftvt").option("partitionCol", "p")
+      .load(dir).filter(col("p") === "p0")
+    assert(pruned.count() == 2L)
+    java.nio.file.Files.write(p2Path, orig)
+    // OPTIMIZE materializes the imported files into engine-written ones —
+    // the "finish adoption" step; content unchanged, externals retired
+    spark.sql("DROP TABLE IF EXISTS vt_mnt_cvp")
+    spark.sql(s"CREATE TABLE vt_mnt_cvp USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    val r = spark.sql("OPTIMIZE vt_mnt_cvp").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L, r.toString)
+    val live = VersionedTable.liveEntries(spark, dir, 1)
+    assert(live.forall(_.file.startsWith("data/")), live.map(_.file).toString)
+    assert(spark.sql("SELECT sum(v), count(*) FROM vt_mnt_cvp").head().toSeq
+      == Seq(100L, 4L))
+    // and vacuum can now reclaim the original external files
+    val n = spark.sql("VACUUM vt_mnt_cvp RETAIN 1 VERSIONS").head().getLong(0)
+    assert(n == 3L, n.toString)
+    assert(spark.sql("SELECT count(*) FROM vt_mnt_cvp").head().getLong(0) == 4L)
+    spark.sql("DROP TABLE vt_mnt_cvp")
+  }
+
   test("CONVERT rejects a layout that does not match the declared columns") {
     val dir = Files.createTempDirectory("graft_mnt_cvb").toString + "/t"
     import spark.implicits._
