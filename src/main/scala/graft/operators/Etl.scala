@@ -1524,7 +1524,7 @@ object Etl {
         .write.partitionBy("pmonth").parquet(vtCnvPath)
       s.sql(s"CONVERT TO graftvt '$vtCnvPath' PARTITIONED BY (pmonth)")
       val imported = VersionedTable.liveEntries(s, vtCnvPath, 0)
-        .forall(e => !e.file.startsWith("data/"))
+        .forall(e => !graft.sources.VersionedTable.engineOwned(e.file))
       s.sql(s"CREATE TABLE graft_vt_cnv USING graftvt " +
         s"OPTIONS (path '$vtCnvPath', partitionCol 'pmonth')")
       base.filter($"pmonth" === "1997-04")

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SupportsSubquery, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -128,6 +128,17 @@ private[sources] object GraftVtDml {
     plan match {
       case SubqueryAlias(_, child) => targetOf(child)
       case v: View                 => targetOf(v.child)
+      // a PASSTHROUGH projection (what `CREATE VIEW v AS SELECT * FROM t`
+      // analyzes to: Project over the relation, same attributes in the
+      // same order) hides nothing and qualifies; any real projection,
+      // rename, or filter does not
+      case p: Project
+          if p.projectList.length == p.child.output.length &&
+            p.projectList.zip(p.child.output).forall {
+              case (a: AttributeReference, b) =>
+                a.exprId == b.exprId && a.name == b.name
+              case _ => false
+            } => targetOf(p.child)
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftVtRelation] =>
         Some((lr, lr.relation.asInstanceOf[GraftVtRelation]))
       case _ => None

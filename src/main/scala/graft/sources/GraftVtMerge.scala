@@ -330,7 +330,8 @@ final case class GraftVtMergeCommand(
     VersionedTable.mergeCommit(spark, path,
       changes.withColumn("__seq", lit(0L)),
       keyCols.filterNot(k => partCols.exists(resolver(k, _))), partitionCol,
-      opCol = "__op", seqCol = "__seq", statsCol = statsCol)
+      opCol = "__op", seqCol = "__seq", statsCol = statsCol,
+      readVersion = rel.pinnedVersion)
     // the session catalog caches this LogicalRelation: re-pin so a
     // SELECT-after-MERGE in the same session reads the new version
     rel.refreshSnapshot()

@@ -403,8 +403,8 @@ object VersionedTable {
     // (the graftvt relation resolves it once per scan and shares it with
     // stats-column discovery and partition pruning — one log replay per
     // query, not three)
-    val entries = preEntries.getOrElse(liveEntries(spark, path, version))
-      .filter(e => partValues.forall(_(e.part)))
+    val entriesAll = preEntries.getOrElse(liveEntries(spark, path, version))
+    val entries = entriesAll.filter(e => partValues.forall(_(e.part)))
     val allDataEntries = entries.filter(_.action == "add")
     val dataEntries =
       if (statsBounds.isEmpty) allDataEntries
@@ -433,9 +433,23 @@ object VersionedTable {
     val data =
       if (dataFiles.nonEmpty)
         readDataFiles(spark, path, dataFiles, () => reader)
-      else schemaTemplateFile(spark, path, version)
-        .map(f => reader.parquet(f).limit(0))
-        .getOrElse(spark.emptyDataFrame)
+      else {
+        // empty slice (all partitions pruned away): the schema must still
+        // be the TABLE's — from the UNFILTERED live set's recorded
+        // schemas when possible, else from a template file read through
+        // the split reader (a convert-imported template carries its
+        // partition columns only in the directory name, so a raw read
+        // would lose them and the caller's partition filter would fail
+        // to resolve instead of returning 0 rows)
+        unionSchemaOf(entriesAll.filter(_.action == "add")) match {
+          case Some(u) => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), u)
+          case None => schemaTemplateFile(spark, path, version)
+            .map(f => readDataFiles(spark, path, Seq(f), () => reader)
+              .limit(0))
+            .getOrElse(spark.emptyDataFrame)
+        }
+      }
     if (tombFiles.isEmpty || dataFiles.isEmpty) data
     else {
       val tomb = spark.read.parquet(tombFiles: _*)
@@ -453,7 +467,7 @@ object VersionedTable {
     * [[convert]] imported in place: an external `partitionBy` layout keeps
     * partition values only in the key=value directory names, so those
     * files read with `basePath` partition reconstruction. */
-  private def engineOwned(relFile: String): Boolean =
+  private[graft] def engineOwned(relFile: String): Boolean =
     relFile.startsWith("data/")
 
   /** Read a commit's data files, splitting engine-written files (columns
@@ -837,8 +851,14 @@ object VersionedTable {
     val listed = Seq.newBuilder[(String, String)]
     while (it.hasNext) {
       val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) {
-        val rel = p.toUri.getPath.stripPrefix(rootPrefix)
+      val rel0 = p.toUri.getPath.stripPrefix(rootPrefix)
+      // skip hidden/underscore paths (any segment) — Spark's own reader
+      // ignores them, and a leftover _temporary/.staging file from a
+      // crashed write must not block adopting an otherwise readable dir
+      val hidden = rel0.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (p.getName.endsWith(".parquet") && !hidden) {
+        val rel = rel0
         val segs = rel.split('/')
         require(segs.length == pCols.size + 1,
           s"convert: '$rel' is not a ${pCols.size}-level key=value layout " +
@@ -926,7 +946,9 @@ object VersionedTable {
       case e if e.action == "tomb" => s"$path/${e.file}" }
     if (dataFiles.isEmpty) read(spark, path, version, Some(Set.empty))
     else {
-      val data = spark.read.parquet(dataFiles: _*)
+      // split reader: convert-imported files reconstruct their partition
+      // columns via basePath, like read()/changes()
+      val data = readDataFiles(spark, path, dataFiles, () => spark.read)
       if (tombFiles.isEmpty) data
       else {
         val tomb = spark.read.parquet(tombFiles: _*)
@@ -988,8 +1010,14 @@ object VersionedTable {
                   keyCols: Seq[String], partitionCol: String,
                   opCol: String = "op", seqCol: String = "seq",
                   statsCol: Option[String] = None,
-                  ts: Option[Long] = None): Commit = {
-    val cur = latestVersion(spark, path)
+                  ts: Option[Long] = None,
+                  readVersion: Int = -1): Commit = {
+    // readVersion (default: latest) = the version the caller CLASSIFIED
+    // its changes against (SQL MERGE's matched/not-matched flag join) —
+    // passing it extends conflict detection over the whole
+    // classify-to-publish window, same contract as rewritePartitionsCommit
+    val cur =
+      if (readVersion >= 0) readVersion else latestVersion(spark, path)
     require(cur >= 0, s"mergeCommit: $path has no version 0 — create() first")
     val affected = affectedPartsOf(changes, partColsOf(partitionCol),
       "mergeCommit")
@@ -1468,7 +1496,14 @@ object VersionedTable {
     // walk the whole table dir (minus the log/checkpoint machinery), not
     // just data/: convert-imported external files live at the table root
     // in their original key=value layout and must be reclaimable once a
-    // later commit supersedes them
+    // later commit supersedes them. SAFETY: outside data/ (whose attempt
+    // dirs the engine owns outright, crashed-commit orphans included),
+    // only files SOME version of the log has ever referenced are
+    // candidates — a raw parquet that was never part of the table (e.g.
+    // the source dump the table was converted NEXT TO) is never touched.
+    val known: Set[String] = logRows(spark, path, -1, latest)
+      .collect { case e if e.action == "add" || e.action == "tomb" => e.file }
+      .toSet
     val rootPrefix = new Path(path).toUri.getPath + "/"
     val skipDirs = Set("_log", "_ckpt")
     val tops = f.listStatus(new Path(path)).filter { st =>
@@ -1479,7 +1514,8 @@ object VersionedTable {
     def consider(p: Path, mtime: Long): Unit =
       if (p.getName.endsWith(".parquet")) {
         val rel = p.toUri.getPath.stripPrefix(rootPrefix)
-        if (!keep(rel) && mtime < cutoff) {
+        if (!keep(rel) && (engineOwned(rel) || known(rel)) &&
+            mtime < cutoff) {
           f.delete(p, false); deleted += rel
         }
       }

@@ -230,6 +230,17 @@ class GraftVtDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_dml_vw")
   }
 
+  test("DML through a passthrough AS-SELECT view works (hides nothing)") {
+    val dir = newTable("graft_dml_pv", "vt_dml_pv")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW vt_dml_pv_all AS " +
+      "SELECT * FROM vt_dml_pv")
+    spark.sql("UPDATE vt_dml_pv_all SET v = v + 5 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM vt_dml_pv WHERE k = 2")
+      .head().getLong(0) == 25L)
+    assert(VersionedTable.latestVersion(spark, dir) == 1)
+    spark.sql("DROP TABLE vt_dml_pv")
+  }
+
   test("UPDATE after an external commit keeps the intervening rows") {
     val dir = newTable("graft_dml_st", "vt_dml_st")
     // pin the cached relation, then commit BEHIND ITS BACK

@@ -78,6 +78,19 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_mnt_v")
   }
 
+  test("VACUUM never touches parquet the log has never referenced") {
+    val dir = newTable("graft_mnt_vf", "vt_mnt_vf")
+    import spark.implicits._
+    // a foreign parquet sitting inside the table dir (e.g. the source
+    // dump the table was built from) — in no manifest, must survive
+    val foreign = s"$dir/foreign_dump"
+    Seq((7L, 70L)).toDF("a", "b").write.parquet(foreign)
+    spark.sql("OPTIMIZE vt_mnt_vf")
+    spark.sql("VACUUM vt_mnt_vf RETAIN 1 VERSIONS")
+    assert(spark.read.parquet(foreign).count() == 1L)
+    spark.sql("DROP TABLE vt_mnt_vf")
+  }
+
   test("DESCRIBE HISTORY returns the commit log rows") {
     newTable("graft_mnt_h", "vt_mnt_h")
     val rows = spark.sql("DESCRIBE HISTORY vt_mnt_h")
@@ -165,7 +178,7 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     assert(r.getInt(0) == 0 && r.getLong(1) == 2L, r.toString)
     // zero-copy: the manifest references the pre-existing files
     val v0 = VersionedTable.liveEntries(spark, dir, 0).map(_.file)
-    assert(v0.forall(f => !f.startsWith("data/")), v0.toString)
+    assert(v0.forall(f => !VersionedTable.engineOwned(f)), v0.toString)
     assert(spark.read.parquet(dir).inputFiles.toSet == before)
     // full read-back with the partition column reconstructed AND typed
     spark.sql("DROP TABLE IF EXISTS vt_mnt_cv")
@@ -224,7 +237,7 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     val r = spark.sql("OPTIMIZE vt_mnt_cvp").head()
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L, r.toString)
     val live = VersionedTable.liveEntries(spark, dir, 1)
-    assert(live.forall(_.file.startsWith("data/")), live.map(_.file).toString)
+    assert(live.forall(e => VersionedTable.engineOwned(e.file)), live.map(_.file).toString)
     assert(spark.sql("SELECT sum(v), count(*) FROM vt_mnt_cvp").head().toSeq
       == Seq(100L, 4L))
     // and vacuum can now reclaim the original external files
