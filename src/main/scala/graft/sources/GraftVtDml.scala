@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, View}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SupportsSubquery, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -110,6 +110,26 @@ final class GraftVtDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fail(s"assigning partition column '$name' is not supported — rows " +
           "are addressed by (key, partition); move rows across partitions " +
           "with DELETE + INSERT or a library mergeCommit")
+      // ANSI store-assignment check (Spark/Delta reject the same way at
+      // analysis): in a non-ANSI session the rewrite's cast would silently
+      // write NULL into every matched row for an incompatible SET (e.g. a
+      // non-numeric string into a bigint column); in an ANSI session it
+      // would die at RUNTIME mid-rewrite. Either way the statement should
+      // fail AT ANALYSIS. Spark's assignment alignment may have wrapped
+      // the value in its own cast to the column type already — look
+      // through casts the USER did not write to judge the real source
+      // type (an explicit `SET v = CAST(s AS BIGINT)` keeps its
+      // USER_SPECIFIED_CAST tag and is the documented opt-in).
+      def userSource(e: Expression): Expression = e match {
+        case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+          userSource(c.child)
+        case other => other
+      }
+      val srcType = userSource(a.value).dataType
+      if (!identity && !Cast.canANSIStoreAssign(srcType, a.key.dataType))
+        fail(s"cannot assign ${srcType.simpleString} to column " +
+          s"'$name' of type ${a.key.dataType.simpleString}; cast the value " +
+          "explicitly if the conversion is intended")
     }
     GraftVtUpdateCommand(lr, u.table, u.assignments, u.condition)
   }
@@ -131,12 +151,26 @@ private[sources] object GraftVtDml {
       // a PASSTHROUGH projection (what `CREATE VIEW v AS SELECT * FROM t`
       // analyzes to: Project over the relation, same attributes in the
       // same order) hides nothing and qualifies; any real projection,
-      // rename, or filter does not
+      // rename, or filter does not. Spark's view resolution may wrap each
+      // column in a no-op schema-compensation alias `Alias(Cast(attr, dt),
+      // name)` with dt identical to the attribute's own type — that still
+      // hides nothing, so it qualifies too; a cast to a DIFFERENT type is a
+      // real projection and does not.
       case p: Project
           if p.projectList.length == p.child.output.length &&
             p.projectList.zip(p.child.output).forall {
               case (a: AttributeReference, b) =>
                 a.exprId == b.exprId && a.name == b.name
+              case (al: Alias, b) =>
+                al.name == b.name && (al.child match {
+                  case c: Cast =>
+                    c.dataType == b.dataType && (c.child match {
+                      case a: AttributeReference => a.exprId == b.exprId
+                      case _                     => false
+                    })
+                  case a: AttributeReference => a.exprId == b.exprId
+                  case _                     => false
+                })
               case _ => false
             } => targetOf(p.child)
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftVtRelation] =>

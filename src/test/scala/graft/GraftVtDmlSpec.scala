@@ -241,6 +241,51 @@ class GraftVtDmlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_dml_pv")
   }
 
+  test("MERGE through a passthrough AS-SELECT view works (same matcher)") {
+    val dir = newTable("graft_dml_pvm", "vt_dml_pvm")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW vt_dml_pvm_all AS " +
+      "SELECT * FROM vt_dml_pvm")
+    import spark.implicits._
+    Seq((2L, 200L, "p0"), (7L, 70L, "p2"))
+      .toDF("k", "v", "p").createOrReplaceTempView("src_dml_pvm")
+    spark.sql(
+      """MERGE INTO vt_dml_pvm_all t USING src_dml_pvm s
+        |ON t.k = s.k AND t.p = s.p
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM vt_dml_pvm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (7L, 70L)), got.toString)
+    assert(VersionedTable.latestVersion(spark, dir) == 1)
+    spark.sql("DROP TABLE vt_dml_pvm")
+  }
+
+  test("MERGE after an external commit keeps the intervening rows") {
+    val dir = newTable("graft_dml_mst", "vt_dml_mst")
+    // pin the cached relation, then commit BEHIND ITS BACK
+    assert(spark.sql("SELECT count(*) FROM vt_dml_mst").head().getLong(0)
+      == 6L)
+    import spark.implicits._
+    VersionedTable.appendCommit(spark, dir,
+      Seq((7L, 70L, "p0")).toDF("k", "v", "p"), "p")
+    Seq((1L, 111L, "p0")).toDF("k", "v", "p")
+      .createOrReplaceTempView("src_dml_mst")
+    // the MERGE rewrites p0: if its readVersion were the stale pinned
+    // snapshot it would rebuild p0 without k=7 and silently drop it
+    spark.sql(
+      """MERGE INTO vt_dml_mst t USING src_dml_mst s
+        |ON t.k = s.k AND t.p = s.p
+        |WHEN MATCHED THEN UPDATE SET *
+        |""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM vt_dml_mst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 111L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L), (7L, 70L)), got.toString)
+    spark.sql("DROP TABLE vt_dml_mst")
+  }
+
   test("UPDATE after an external commit keeps the intervening rows") {
     val dir = newTable("graft_dml_st", "vt_dml_st")
     // pin the cached relation, then commit BEHIND ITS BACK
@@ -257,6 +302,26 @@ class GraftVtDmlSpec extends AnyFunSuite {
     assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L),
       (5L, 50L), (6L, 60L), (7L, 70L)), got.toString)
     spark.sql("DROP TABLE vt_dml_st")
+  }
+
+  test("UPDATE rejects incompatible SET types at analysis (ANSI store rule)") {
+    newTable("graft_dml_sa", "vt_dml_sa")
+    // non-ANSI cast would silently NULL every matched row's v; the rule
+    // must fail the statement instead (string is not ANSI-store-assignable
+    // to bigint)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("UPDATE vt_dml_sa SET v = 'not a number' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("cannot assign"), e.getMessage)
+    // numeric widening/narrowing between numeric types stays allowed
+    spark.sql("UPDATE vt_dml_sa SET v = 7 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM vt_dml_sa WHERE k = 1")
+      .head().getLong(0) == 7L)
+    // an EXPLICIT user cast is the documented opt-in
+    spark.sql("UPDATE vt_dml_sa SET v = CAST('8' AS BIGINT) WHERE k = 1")
+    assert(spark.sql("SELECT v FROM vt_dml_sa WHERE k = 1")
+      .head().getLong(0) == 8L)
+    spark.sql("DROP TABLE vt_dml_sa")
   }
 
   test("nondeterministic DML conditions are rejected") {
