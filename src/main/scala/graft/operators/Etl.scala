@@ -1432,7 +1432,7 @@ object Etl {
       s.sql(s"CREATE TABLE graft_vt_mnt USING graftvt " +
         s"OPTIONS (path '$vtMntPath', partitionCol 'pmonth')")
       s.sql("OPTIMIZE graft_vt_mnt")
-      val nDeleted = s.sql("VACUUM graft_vt_mnt RETAIN 1 VERSIONS")
+      val nDeleted = s.sql("VACUUM graft_vt_mnt RETAIN 1 VERSIONS GRACE 0 HOURS")
         .head().getLong(0)
       val content = s.sql("SELECT COUNT(*) AS n_rows, " +
         "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +

@@ -86,5 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // recognized, everything else goes to Spark's parser verbatim.
     ext.injectParser((s, delegate) =>
       new graft.sources.GraftSqlParser(s, delegate))
+    // Native time-travel SQL (`FROM t VERSION AS OF n` / `TIMESTAMP AS OF
+    // ts`): the parser above substitutes Spark's RelationTimeTravel with a
+    // graft placeholder; this rule resolves it to the pinned versionAsOf /
+    // timestampAsOf relation (non-graftvt targets revert to stock Spark).
+    ext.injectResolutionRule(s => new graft.sources.GraftVtTimeTravelRule(s))
   }
 }

@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *     rows to one file per partition, as a commit — time travel across it)
   *   - `OPTIMIZE t ZORDER BY (c1, c2)` → [[VersionedTable.zorderCommit]]
   *     (Morton-clustered rewrite with 2-column manifest stats)
-  *   - `VACUUM t [RETAIN n VERSIONS]` → [[VersionedTable.vacuum]] (reclaim
-  *     files no retained snapshot references; default retains 10 versions)
+  *   - `VACUUM t [RETAIN n VERSIONS] [GRACE n HOURS]` →
+  *     [[VersionedTable.vacuum]] (reclaim files no retained snapshot
+  *     references; default retains 10 versions with a 7-day in-flight
+  *     grace — `GRACE 0 HOURS` opts a quiesced table out)
   *   - `DESCRIBE HISTORY t` → [[VersionedTable.history]] rows (bounded by
   *     the version count — the same driver-side shape as Delta's)
   *   - `RESTORE [TABLE] t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
@@ -50,15 +52,25 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   // the column list is captured loosely and validated in the command, so
   // `ZORDER BY (a)` / `(a, b, c)` get a clear "exactly 2 columns" error
-  // instead of falling through to Spark's inscrutable parse failure
+  // instead of falling through to Spark's inscrutable parse failure.
+  // Table names accept plain dotted identifiers AND backquoted ones
+  // (`my-table`) — the quoted form passes to catalog resolution verbatim
+  // (spark.table parses backquotes), so special-character names get
+  // graft's clear errors rather than falling through to Spark's parser
+  // (which has no such verbs).
+  private val ident = """(`[^`]+`|[\w.]+)"""
   private val optimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+""" + ident +
+      """\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*$""").r
   private val vacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+""" + ident +
+      """\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?""" +
+      """(?:GRACE\s+(\d+)\s+HOURS\s*)?;?\s*$""").r
   private val historyRe =
-    """(?is)^\s*(?:DESC|DESCRIBE)\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*(?:DESC|DESCRIBE)\s+HISTORY\s+""" + ident + """\s*;?\s*$""").r
   private val restoreRe =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + ident +
+      """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFTVT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
 
@@ -73,8 +85,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         (cols(0), cols(1))
       }
       GraftOptimizeCommand(t, zCols)
-    case vacuumRe(t, n) =>
-      GraftVacuumCommand(t, Option(n).map(_.toInt).getOrElse(10))
+    case vacuumRe(t, n, g) =>
+      GraftVacuumCommand(t, Option(n).map(_.toInt).getOrElse(10),
+        graceMs = Option(g).map(_.toLong * 3600L * 1000L)
+          .getOrElse(GraftVacuumCommand.DefaultGraceMs))
     case historyRe(t) =>
       GraftDescribeHistoryCommand(t)
     case restoreRe(t, kind, n) =>
@@ -87,11 +101,16 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           s"graftvt CONVERT: PARTITIONED BY needs plain column names, " +
           s"got (${cols.trim})")
       GraftConvertCommand(p, pCols.mkString(","))
-    case _ => delegate.parsePlan(sqlText)
+    // everything else is Spark's grammar — with one post-parse substitution:
+    // `FROM t VERSION|TIMESTAMP AS OF ...` (which Spark parses but cannot
+    // resolve for V1 relations) becomes the graft time-travel placeholder,
+    // resolved by GraftVtTimeTravelRule (see GraftVtTimeTravel.scala)
+    case _ => GraftVtTimeTravel.substitute(delegate.parsePlan(sqlText))
   }
 
+
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    GraftVtTimeTravel.substitute(delegate.parseQuery(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -156,11 +175,18 @@ final case class GraftOptimizeCommand(table: String,
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` — reclaims data/tombstone files no
-  * retained snapshot references (library grace semantics: see
-  * [[VersionedTable.vacuum]] on the in-flight rebase window); returns the
-  * deleted-file count. */
-final case class GraftVacuumCommand(table: String, retainLast: Int)
+/** `VACUUM t [RETAIN n VERSIONS] [GRACE n HOURS]` — reclaims
+  * data/tombstone files no retained snapshot references; returns the
+  * deleted-file count. The grace is the in-flight-writer window
+  * ([[VersionedTable.vacuum]]'s `inflightGraceMs`): files younger than it
+  * are never reaped, because a concurrently-committing loser's
+  * rebase-window files could otherwise be deleted while the rebased
+  * manifest still references them. The SQL default is 7 days (Delta's
+  * retention floor for the same hazard); `GRACE 0 HOURS` is the explicit
+  * opt-out for quiesced tables — tests and single-writer maintenance
+  * jobs — matching the library default. */
+final case class GraftVacuumCommand(table: String, retainLast: Int,
+                                    graceMs: Long)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -168,9 +194,16 @@ final case class GraftVacuumCommand(table: String, retainLast: Int)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (_, path, _, _) = GraftVtMaintenance.resolve(spark, table, "VACUUM")
-    val deleted = VersionedTable.vacuum(spark, path, retainLast)
+    val deleted = VersionedTable.vacuum(spark, path, retainLast,
+      inflightGraceMs = graceMs)
     Seq(Row(deleted.size.toLong))
   }
+}
+
+object GraftVacuumCommand {
+  /** 7 days, Delta's default retention for the identical reap-vs-in-flight
+    * hazard. */
+  val DefaultGraceMs: Long = 7L * 24 * 3600 * 1000
 }
 
 /** `RESTORE [TABLE] t TO VERSION AS OF n` / `TO TIMESTAMP AS OF ms` —

@@ -56,9 +56,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *   - `UPDATE t SET ... WHERE ...` / `DELETE FROM t [WHERE ...]` —
   *     [[GraftVtDmlRule]] routes them to partition-scoped COW rewrites
   *     (and whole-partition DELETE to a metadata-only partition drop);
-  *   - `OPTIMIZE t [ZORDER BY (a, b)]`, `VACUUM t [RETAIN n VERSIONS]`,
-  *     `DESCRIBE HISTORY t` — [[GraftSqlParser]], a delegating parser for
-  *     the maintenance verbs Spark's grammar lacks.
+  *   - `OPTIMIZE t [ZORDER BY (a, b)]`, `VACUUM t [RETAIN n VERSIONS]
+  *     [GRACE n HOURS]`, `DESCRIBE HISTORY t` — [[GraftSqlParser]], a
+  *     delegating parser for the maintenance verbs Spark's grammar lacks;
+  *   - `SELECT ... FROM t VERSION|TIMESTAMP AS OF ...` — native time
+  *     travel, resolved to the same pinned relation as the `versionAsOf` /
+  *     `timestampAsOf` options ([[GraftVtTimeTravelRule]]).
   * A DSv2 `TableProvider` would change none of these semantics — Spark's
   * own DataFrameReader/Writer fall back to exactly this V1 surface for
   * tables that don't claim BATCH_READ/BATCH_WRITE capabilities, and the

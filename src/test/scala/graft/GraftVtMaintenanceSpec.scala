@@ -72,10 +72,44 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("OPTIMIZE vt_mnt_v")
     // retain only the optimized version: the six fragments are
     // unreferenced and older than the v3 manifest
-    val n = spark.sql("VACUUM vt_mnt_v RETAIN 1 VERSIONS").head().getLong(0)
+    val n = spark.sql("VACUUM vt_mnt_v RETAIN 1 VERSIONS GRACE 0 HOURS").head().getLong(0)
     assert(n == 6L, n.toString)
     assert(spark.sql("SELECT count(*) FROM vt_mnt_v").head().getLong(0) == 6L)
     spark.sql("DROP TABLE vt_mnt_v")
+  }
+
+  test("VACUUM default grace spares just-written files; GRACE 0 opts out") {
+    newTable("graft_mnt_vg", "vt_mnt_vg")
+    spark.sql("OPTIMIZE vt_mnt_vg")
+    // no GRACE clause → the 7-day in-flight default: the six unreferenced
+    // fragments were written seconds ago and MUST survive (a concurrent
+    // writer's rebase window could still reference files this young)
+    val spared = spark.sql("VACUUM vt_mnt_vg RETAIN 1 VERSIONS")
+      .head().getLong(0)
+    assert(spared == 0L, s"default grace reaped $spared files")
+    // the explicit opt-out reclaims them
+    val n = spark.sql("VACUUM vt_mnt_vg RETAIN 1 VERSIONS GRACE 0 HOURS")
+      .head().getLong(0)
+    assert(n == 6L, n.toString)
+    spark.sql("DROP TABLE vt_mnt_vg")
+  }
+
+  test("maintenance verbs accept backquoted table names") {
+    newTable("graft_mnt_bq", "vt_mnt_bq")
+    // backquoted catalog name parses and resolves (the session catalog
+    // itself only admits word characters in persistent names, so the
+    // special-character case rides a temp view below)
+    val r = spark.sql("OPTIMIZE `vt_mnt_bq`").head()
+    assert(r.getInt(0) == 3 && r.getLong(1) == 2L, r.toString)
+    // a dashed temp-view name is only addressable backquoted; DESCRIBE
+    // HISTORY through the passthrough view resolves read-only
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW `vt-mnt-bq` AS " +
+      "SELECT * FROM vt_mnt_bq")
+    assert(spark.sql("DESCRIBE HISTORY `vt-mnt-bq`").count() == 4L)
+    assert(spark.sql("SELECT count(*) FROM `vt-mnt-bq`").head().getLong(0)
+      == 6L)
+    spark.sql("DROP VIEW `vt-mnt-bq`")
+    spark.sql("DROP TABLE vt_mnt_bq")
   }
 
   test("VACUUM never touches parquet the log has never referenced") {
@@ -86,7 +120,7 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     val foreign = s"$dir/foreign_dump"
     Seq((7L, 70L)).toDF("a", "b").write.parquet(foreign)
     spark.sql("OPTIMIZE vt_mnt_vf")
-    spark.sql("VACUUM vt_mnt_vf RETAIN 1 VERSIONS")
+    spark.sql("VACUUM vt_mnt_vf RETAIN 1 VERSIONS GRACE 0 HOURS")
     assert(spark.read.parquet(foreign).count() == 1L)
     spark.sql("DROP TABLE vt_mnt_vf")
   }
@@ -156,7 +190,7 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
   test("RESTORE past a vacuumed version fails with a clear error") {
     val dir = newTable("graft_mnt_rv", "vt_mnt_rv")
     spark.sql("OPTIMIZE vt_mnt_rv")
-    spark.sql("VACUUM vt_mnt_rv RETAIN 1 VERSIONS")
+    spark.sql("VACUUM vt_mnt_rv RETAIN 1 VERSIONS GRACE 0 HOURS")
     val e = intercept[IllegalArgumentException] {
       spark.sql("RESTORE vt_mnt_rv TO VERSION AS OF 0")
     }
@@ -241,7 +275,7 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(v), count(*) FROM vt_mnt_cvp").head().toSeq
       == Seq(100L, 4L))
     // and vacuum can now reclaim the original external files
-    val n = spark.sql("VACUUM vt_mnt_cvp RETAIN 1 VERSIONS").head().getLong(0)
+    val n = spark.sql("VACUUM vt_mnt_cvp RETAIN 1 VERSIONS GRACE 0 HOURS").head().getLong(0)
     assert(n == 3L, n.toString)
     assert(spark.sql("SELECT count(*) FROM vt_mnt_cvp").head().getLong(0) == 4L)
     spark.sql("DROP TABLE vt_mnt_cvp")
