@@ -195,10 +195,16 @@ final case class GraftVtMergeCommand(
     // materialize the source ONCE: it is otherwise recomputed three times
     // (cardinality gate, partition probe, change-batch write) — 3x the
     // dominant cost for an expensive USING query, and a nondeterministic
-    // source could pass the uniqueness gate yet produce duplicates later
-    // (Delta materializes its merge source for the same two reasons)
+    // source could pass the uniqueness gate yet produce duplicates later.
+    // localCheckpoint, not persist: a persisted partition can be EVICTED
+    // (or lost with its executor) and silently recomputed, so persist
+    // alone does not pin a nondeterministic source; a checkpointed
+    // partition's loss is an ERROR, never a recompute — Delta materializes
+    // its merge source with RDD local checkpointing for exactly this
+    // reason. eager=true so the materialization happens here, before the
+    // gate reads it.
     val source = PlanShim.ofRows(spark, sourcePlan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     try {
 
     // 1. cardinality gate (distributed; one shuffle over the source)

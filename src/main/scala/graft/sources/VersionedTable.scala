@@ -885,10 +885,28 @@ object VersionedTable {
     val counts: Map[String, Long] = df
       .groupBy(input_file_name().as("__graft_f")).count().collect()
       .map { r =>
-        val rel = new Path(new java.net.URI(r.getString(0)))
-          .toUri.getPath.stripPrefix(rootPrefix)
-        rel -> r.getLong(1)
+        // input_file_name() is the URI-encoded form; decode through URI
+        // when it parses, else let Hadoop Path take the raw string (paths
+        // with URI-illegal characters — spaces — arrive undecoded), and
+        // normalize to the same `.toUri.getPath` rendering the listing
+        // side used so the two enumerations of one directory agree
+        val s = r.getString(0)
+        val p =
+          try new Path(new java.net.URI(s))
+          catch {
+            case _: java.net.URISyntaxException |
+                 _: IllegalArgumentException => new Path(s)
+          }
+        p.toUri.getPath.stripPrefix(rootPrefix) -> r.getLong(1)
       }.toMap
+    // both maps enumerate the same directory: a counts key the listing
+    // does not know means the encode/decode above diverged — fail loudly
+    // rather than silently dropping that file's nrec
+    val listedRels = files.map(_._1).toSet
+    val unmatched = counts.keys.filterNot(listedRels)
+    require(unmatched.isEmpty,
+      s"convert: row-count mapping missed ${unmatched.take(3).mkString(", ")}" +
+      " — scan-vs-listing path rendering mismatch")
     val adds = files.map { case (rel, part) =>
       LogEntry(0, "add", rel, part, None, None, Some(fschema),
         nrec = counts.get(rel), None, None)
