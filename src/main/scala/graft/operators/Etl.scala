@@ -1497,6 +1497,58 @@ object Etl {
         .orderBy("version")
     }),
 
+    // Native time-travel SQL — `FROM t VERSION AS OF n` and `TIMESTAMP AS
+    // OF ts` resolved to the pinned snapshot (GraftVtTimeTravelRule; the
+    // grammar is Spark's own, the V1 resolution is graft's). The fixture
+    // commits carry explicit metadata timestamps one hour apart so the
+    // TIMESTAMP pins are deterministic: an epoch-ms integer exactly at
+    // v1's commit → v1, a far-future string timestamp → latest. Each
+    // VERSION AS OF read is additionally proven equal (collected rows) to
+    // the `versionAsOf` VIEW-option path — `matches_view` grades that the
+    // two pinning surfaces are one code path.
+    "etl_sql_time_travel" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtTtPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtTtPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_tt")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      val t0 = 1700000000000L
+      val h = 3600L * 1000
+      VersionedTable.create(s, vtTtPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-03"),
+        "pmonth", ts = Some(t0))
+      VersionedTable.appendCommit(s, vtTtPath,
+        base.filter($"pmonth" === "1997-04"), "pmonth", ts = Some(t0 + h))
+      VersionedTable.dropPartitionsCommit(s, vtTtPath, Set("1997-01"),
+        ts = Some(t0 + 2 * h))
+      s.sql(s"CREATE TABLE graft_vt_tt USING graftvt " +
+        s"OPTIONS (path '$vtTtPath', partitionCol 'pmonth')")
+      def agg(from: String, src: String, v: Int) =
+        s.sql(s"SELECT '$src' AS src, CAST($v AS INT) AS version, " +
+          "COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key, " +
+          s"SUM(price_c) AS sum_price_c FROM $from")
+      val matches = (0 to 2).forall { v =>
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_vt_tt_v$v " +
+          s"USING graftvt OPTIONS (path '$vtTtPath', versionAsOf '$v')")
+        agg(s"graft_vt_tt VERSION AS OF $v", "v", v).collect().toSeq ==
+          agg(s"graft_vt_tt_v$v", "v", v).collect().toSeq
+      }
+      Seq(
+        agg("graft_vt_tt VERSION AS OF 0", "v", 0),
+        agg("graft_vt_tt VERSION AS OF 1", "v", 1),
+        agg("graft_vt_tt VERSION AS OF 2", "v", 2),
+        agg(s"graft_vt_tt TIMESTAMP AS OF ${t0 + h}", "ts", 1),
+        agg("graft_vt_tt TIMESTAMP AS OF '2100-01-01 00:00:00'", "ts", 2))
+        .reduce(_ unionByName _)
+        .withColumn("matches_view", lit(matches))
+        .orderBy("src", "version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1614,6 +1666,7 @@ object Etl {
   private[graft] val vtUpdPath = s"${graft.fixtureRoot}/vt_orders_upd"
   private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
   private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
+  private[graft] val vtTtPath = s"${graft.fixtureRoot}/vt_orders_tt"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -2941,6 +2994,35 @@ object Etl {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY version, operation, n_added, n_removed
         |ORDER BY version""".stripMargin,
+    // Time-travel pins re-derived from the data: v0 = the three seed
+    // months, v1 = + 1997-04, v2 = v1 minus the dropped 1997-01; the two
+    // ts-pins land on v1 (exactly at its commit ts) and v2 (far future).
+    "etl_sql_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-03'),
+        |v1 AS (
+        |  SELECT * FROM t0
+        |  UNION ALL SELECT * FROM base WHERE pmonth = '1997-04'),
+        |v2 AS (SELECT * FROM v1 WHERE pmonth <> '1997-01'),
+        |u AS (
+        |  SELECT 'v' AS src, 0 AS version, o_orderkey, price_c FROM t0
+        |  UNION ALL SELECT 'v', 1, o_orderkey, price_c FROM v1
+        |  UNION ALL SELECT 'v', 2, o_orderkey, price_c FROM v2
+        |  UNION ALL SELECT 'ts', 1, o_orderkey, price_c FROM v1
+        |  UNION ALL SELECT 'ts', 2, o_orderkey, price_c FROM v2)
+        |SELECT src, version, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(1 AS BOOLEAN) AS matches_view
+        |FROM u GROUP BY src, version
+        |ORDER BY src, version""".stripMargin,
     // CONVERT's ledger and per-(version, month) content, re-derived from
     // the data: the plain writer leaves one file per month (n_added at v0
     // = month count), the INSERT appends one month's file, the UPDATE
