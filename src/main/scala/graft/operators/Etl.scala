@@ -1549,6 +1549,53 @@ object Etl {
         .orderBy("src", "version")
     }),
 
+    // ALTER TABLE ADD COLUMNS — schema evolution as a METADATA-ONLY
+    // commit (GraftVtAlterRule → VersionedTable.addColumnsCommit): v1
+    // widens the schema without touching a data file, v2 inserts rows
+    // that carry the new column. Graded per version through the catalog
+    // table with native time travel: v0 reads the NARROW schema (n_cols
+    // proves it), v1 reads the widened schema with null backfill
+    // (n_flag = 0 over the same rows), v2 mixes pre- and post-evolution
+    // files in one scan (COUNT(flag) counts only the new month's rows).
+    "etl_sql_alter_add_column" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtAltPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtAltPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_alt")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.createOrReplaceTempView("graft_vt_alt_src")
+      VersionedTable.create(s, vtAltPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_alt USING graftvt " +
+        s"OPTIONS (path '$vtAltPath', partitionCol 'pmonth')")
+      s.sql("ALTER TABLE graft_vt_alt ADD COLUMNS (flag BIGINT)")
+      s.sql("INSERT INTO graft_vt_alt " +
+        "SELECT o_orderkey, price_c, pmonth, o_orderkey % 5 " +
+        "FROM graft_vt_alt_src WHERE pmonth = '1997-03'")
+      def aggV(v: Int, hasFlag: Boolean) = {
+        val from = s"graft_vt_alt VERSION AS OF $v"
+        val nCols = s.sql(s"SELECT * FROM $from").columns.length
+        val flagExprs =
+          if (hasFlag) "COUNT(flag) AS n_flag, " +
+            "CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag"
+          else "CAST(0 AS BIGINT) AS n_flag, CAST(0 AS BIGINT) AS sum_flag"
+        s.sql(s"SELECT CAST($v AS INT) AS version, " +
+          s"CAST($nCols AS INT) AS n_cols, COUNT(*) AS n_rows, " +
+          s"bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c, " +
+          s"$flagExprs FROM $from")
+      }
+      aggV(0, hasFlag = false)
+        .unionByName(aggV(1, hasFlag = true))
+        .unionByName(aggV(2, hasFlag = true))
+        .orderBy("version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1667,6 +1714,7 @@ object Etl {
   private[graft] val vtDelPath = s"${graft.fixtureRoot}/vt_orders_del"
   private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
   private[graft] val vtTtPath = s"${graft.fixtureRoot}/vt_orders_tt"
+  private[graft] val vtAltPath = s"${graft.fixtureRoot}/vt_orders_alt"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -2993,6 +3041,38 @@ object Etl {
         |  bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY version, operation, n_added, n_removed
+        |ORDER BY version""".stripMargin,
+    // Schema evolution re-derived from the data: v0/v1 = the two seed
+    // months (v1 differs only in schema width — flags all absent/null),
+    // v2 adds 1997-03 carrying flag = o_orderkey % 5.
+    "etl_sql_alter_add_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT *, CAST(NULL AS BIGINT) AS flag FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-02'),
+        |v2 AS (
+        |  SELECT * FROM t0
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c, pmonth, o_orderkey % 5 FROM base
+        |  WHERE pmonth = '1997-03'),
+        |u AS (
+        |  SELECT 0 AS version, 3 AS n_cols, o_orderkey, price_c,
+        |    CAST(NULL AS BIGINT) AS flag FROM t0
+        |  UNION ALL
+        |  SELECT 1, 4, o_orderkey, price_c, flag FROM t0
+        |  UNION ALL
+        |  SELECT 2, 4, o_orderkey, price_c, flag FROM v2)
+        |SELECT version, n_cols, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  COUNT(flag) AS n_flag,
+        |  CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag
+        |FROM u GROUP BY version, n_cols
         |ORDER BY version""".stripMargin,
     // Time-travel pins re-derived from the data: v0 = the three seed
     // months, v1 = + 1997-04, v2 = v1 minus the dropped 1997-01; the two

@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scoped rewrite / metadata-only partition-drop commits. Same
     // match-only-graftvt-targets economics as the MERGE rule.
     ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtDmlRule(s))
+    // ALTER TABLE ADD COLUMNS over graftvt catalog tables → metadata-only
+    // schema-evolution commit (VersionedTable.addColumnsCommit); Spark's
+    // own command would reject the provider at run time.
+    ext.injectPostHocResolutionRule(s => new graft.sources.GraftVtAlterRule(s))
     // SQL maintenance verbs Spark's grammar lacks (OPTIMIZE [ZORDER BY],
     // VACUUM, DESCRIBE HISTORY) — a delegating parser, Delta's
     // DeltaSqlParser architecture: three anchored statement shapes are

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, LeafRunnableCommand}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+
+/** `ALTER TABLE t ADD COLUMNS (c type, ...)` for `graftvt` tables — the
+  * statement routes to a schema-evolution commit
+  * ([[VersionedTable.addColumnsCommit]]): one metadata-only manifest write
+  * appending nullable columns, zero data I/O at any table size. Spark's
+  * own `AlterTableAddColumnsCommand` would reject the statement at run
+  * time (its datasource allowlist covers the built-in file formats only),
+  * so a post-hoc resolution rule swaps in the graft command — the same
+  * analyzer-extension architecture as MERGE/UPDATE/DELETE, and the same
+  * place Delta's DeltaAnalysis intercepts its ALTER surface.
+  *
+  * The command keeps the THREE schema copies coherent in one run: the log
+  * (the evolve commit — authoritative, what time travel replays), the
+  * relation instance (refreshSnapshot), and the catalog's stored schema
+  * (alterTableDataSchema + refreshTable, so the next resolution's
+  * schema-equality check against the relation passes). Reads of versions
+  * below the evolve still see the narrow schema; reads at or above it
+  * return null for the new columns in files that predate them. */
+final class GraftVtAlterRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case a: AlterTableAddColumnsCommand
+        if providerOf(a.table).exists(_.equalsIgnoreCase("graftvt")) =>
+      GraftVtAddColumnsCommand(a.table, a.colsToAdd)
+    case _ => plan
+  }
+
+  private def providerOf(t: TableIdentifier): Option[String] =
+    try spark.sessionState.catalog.getTableMetadata(t).provider
+    catch { case _: Exception => None }
+}
+
+/** The runnable half: evolve commit + relation refresh + catalog schema
+  * sync. Returns (version, added) so the statement grades like any query. */
+final case class GraftVtAddColumnsCommand(table: TableIdentifier,
+                                          colsToAdd: Seq[StructField])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("added", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, path, _, _) = GraftVtMaintenance.resolve(spark,
+      table.quotedString, "ALTER TABLE ADD COLUMNS")
+    val c = VersionedTable.addColumnsCommit(spark, path, colsToAdd)
+    rel.refreshSnapshot()
+    val catalog = spark.sessionState.catalog
+    // store the exact schema a fresh relation reports (both derive from
+    // the same log union), then invalidate the cached plan so the next
+    // resolution rebuilds against it
+    catalog.alterTableDataSchema(table,
+      VersionedTable.read(spark, path, c.version).schema)
+    catalog.refreshTable(table)
+    Seq(Row(c.version, colsToAdd.map(_.name).mkString(",")))
+  }
+}

@@ -359,7 +359,10 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
     // separate replays would triple the per-query metadata cost of a
     // long-lived table). Resolved lazily — a filterless scan reuses the
     // cached snapshot and replays nothing.
-    lazy val entries = VersionedTable.liveEntries(spark, path, version)
+    // replayEntries, not liveEntries: the shared set must carry any
+    // schema-evolution entries so the pruned re-read keeps the widened
+    // schema (evolve rows are inert for pruning — empty part key, no file)
+    lazy val entries = VersionedTable.replayEntries(spark, path, version)
     // manifest-level file skipping: conjunctive bounds over the stats
     // column(s) decide the file list FROM THE LOG before any storage I/O —
     // the filters are still re-applied below (and by Spark above), so the
@@ -383,7 +386,7 @@ private[graft] final class GraftVtRelation(override val sqlContext: SQLContext,
       if (allowed.isEmpty) partValues
       else {
         val keep = entries
-          .iterator.map(_.part).filter { p =>
+          .iterator.filter(_.action != "evolve").map(_.part).filter { p =>
             val vals = VersionedTable.partValuesOf(pCols, p)
               .map { case (c, v) => c.toLowerCase -> v }
             allowed.forall { case (c, set) =>

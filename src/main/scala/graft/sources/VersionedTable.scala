@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Manifest-versioned parquet table: snapshot reads (time travel), atomic
   * commits with optimistic concurrency, row-level deletes via tombstones
@@ -296,7 +296,25 @@ object VersionedTable {
     * snapshot of a long-lived table costs O(live files + commits since last
     * checkpoint), not O(all commits ever). */
   def liveEntries(spark: SparkSession, path: String, version: Int)
-      : Seq[LogEntry] = {
+      : Seq[LogEntry] = replayAll(spark, path, version)._1
+
+  /** [[liveEntries]] PLUS the snapshot's schema-evolution entries
+    * (`action = "evolve"`, [[addColumnsCommit]]) — the full replayed state
+    * a schema-correct read needs, from ONE replay. Evolve entries
+    * reference no data file and are never removed, so they ride outside
+    * the remove resolution; they survive checkpointing because
+    * [[checkpoint]] materializes THIS set. Kept separate from liveEntries
+    * so every maintenance path that turns "the live set" into removes
+    * (OPTIMIZE, RESTORE, rewrites) keeps its file-only contract
+    * untouched. */
+  private[graft] def replayEntries(spark: SparkSession, path: String,
+                                   version: Int): Seq[LogEntry] = {
+    val (live, evolves) = replayAll(spark, path, version)
+    live ++ evolves
+  }
+
+  private def replayAll(spark: SparkSession, path: String, version: Int)
+      : (Seq[LogEntry], Seq[LogEntry]) = {
     val ck = latestCheckpointAtOrBefore(spark, path, version)
     val base: Seq[LogEntry] =
       if (ck < 0) Nil
@@ -313,9 +331,10 @@ object VersionedTable {
       .filter(_.action == "remove")
       .map(e => e.file -> e.version).toList
       .groupMapReduce(_._1)(_._2)(math.max)
-    rows.filter(e =>
+    (rows.filter(e =>
       (e.action == "add" || e.action == "tomb") &&
-      lastRemove.get(e.file).forall(_ < e.version))
+      lastRemove.get(e.file).forall(_ < e.version)),
+      rows.filter(_.action == "evolve"))
   }
 
   /** Materializes `version`'s live set as a checkpoint manifest (atomic
@@ -325,7 +344,7 @@ object VersionedTable {
     * resolvable. */
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
     import spark.implicits._
-    val rows = liveEntries(spark, path, version)
+    val rows = replayEntries(spark, path, version)
       .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema,
         e.nrec, e.scol, e.mstats))
     val tmp = s"$path/_ckpttmp_${newToken()}"
@@ -403,8 +422,13 @@ object VersionedTable {
     // (the graftvt relation resolves it once per scan and shares it with
     // stats-column discovery and partition pruning — one log replay per
     // query, not three)
-    val entriesAll = preEntries.getOrElse(liveEntries(spark, path, version))
-    val entries = entriesAll.filter(e => partValues.forall(_(e.part)))
+    val entriesAll = preEntries.getOrElse(replayEntries(spark, path, version))
+    // schema-evolution entries (from the UNFILTERED set — partition
+    // pruning must never narrow the visible schema); latest one is the
+    // authoritative table schema for this snapshot
+    val evolveEntries = entriesAll.filter(_.action == "evolve")
+    val entries = entriesAll.filter(e =>
+      e.action != "evolve" && partValues.forall(_(e.part)))
     val allDataEntries = entries.filter(_.action == "add")
     val dataEntries =
       if (statsBounds.isEmpty) allDataEntries
@@ -423,8 +447,14 @@ object VersionedTable {
     // only a non-uniform snapshot read WITHOUT mergeSchema still falls
     // back to Spark's footer inference (whose pick is file-order
     // dependent — the caller asked for exactly that hazard).
+    // An evolve entry widens the TABLE schema for plain and mergeSchema
+    // reads alike (Delta: the log's metadata schema governs, files
+    // missing appended columns read null) — the entry merges as one more
+    // recorded schema in version order.
     val logSchema =
-      if (mergeSchema) unionSchemaOf(allDataEntries)
+      if (evolveEntries.nonEmpty)
+        unionSchemaOf(allDataEntries ++ evolveEntries)
+      else if (mergeSchema) unionSchemaOf(allDataEntries)
       else uniformSchemaOf(dataEntries)
     def reader = logSchema match {
       case Some(u) => spark.read.schema(u)
@@ -441,7 +471,8 @@ object VersionedTable {
         // partition columns only in the directory name, so a raw read
         // would lose them and the caller's partition filter would fail
         // to resolve instead of returning 0 rows)
-        unionSchemaOf(entriesAll.filter(_.action == "add")) match {
+        unionSchemaOf(entriesAll.filter(e =>
+          e.action == "add" || e.action == "evolve")) match {
           case Some(u) => spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), u)
           case None => schemaTemplateFile(spark, path, version)
@@ -686,7 +717,8 @@ object VersionedTable {
   private def publishIfAbsent(spark: SparkSession, path: String, version: Int,
                               adds: Seq[LogEntry], tombs: Seq[LogEntry],
                               removes: Seq[(String, String)],
-                              opName: String, ts: Option[Long]): Boolean = {
+                              opName: String, ts: Option[Long],
+                              evolves: Seq[LogEntry] = Nil): Boolean = {
     import spark.implicits._
     val fileOps =
       adds.map(e => (version, "add", e.file, e.part, e.smin, e.smax, e.fschema,
@@ -696,7 +728,10 @@ object VersionedTable {
       removes.map { case (fl, p) =>
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
           None: Option[String], None: Option[Long], None: Option[String],
-          None: Option[String]) }
+          None: Option[String]) } ++
+      evolves.map(e => (version, "evolve", e.file, e.part, None: Option[Long],
+        None: Option[Long], e.fschema, None: Option[Long],
+        None: Option[String], None: Option[String]))
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
@@ -1180,6 +1215,55 @@ object VersionedTable {
     * a restore commit is always adds+removes — [[changes]]'s commit-shape
     * contract holds and CDF reports the restore as the row-level rollback
     * diff, bounded by the two file sets. */
+  /** Schema evolution as a METADATA-ONLY commit: appends nullable columns
+    * to the table schema without touching one data file (Delta's ALTER
+    * TABLE ADD COLUMNS). The commit carries a single `evolve` log entry
+    * whose `fschema` is the widened schema; reads at or after this
+    * version merge it as the latest recorded write schema, so files
+    * predating it return null for the new columns — at ANY table size the
+    * statement is one manifest write. Time travel below the evolve
+    * version still sees the narrow schema. Note one deliberate
+    * divergence from data restore: RESTORE rolls back the FILE set, not
+    * the schema — an evolve stays visible after a restore-to-earlier
+    * (the appended columns read null), because the log replays evolve
+    * entries by version, not by live-file membership. */
+  def addColumnsCommit(spark: SparkSession, path: String,
+                       cols: Seq[StructField],
+                       ts: Option[Long] = None): Commit = {
+    require(cols.nonEmpty, "addColumnsCommit: no columns to add")
+    val resolver = spark.sessionState.conf.resolver
+    cols.groupBy(_.name.toLowerCase).foreach { case (_, g) =>
+      require(g.size == 1,
+        s"addColumnsCommit: duplicate new column '${g.head.name}'")
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = latestVersion(spark, path)
+      require(cur >= 0,
+        s"addColumnsCommit: $path has no version 0 — create() first")
+      val current = read(spark, path, cur, mergeSchema = true).schema
+      cols.foreach { f =>
+        require(!current.exists(g => resolver(g.name, f.name)),
+          s"addColumnsCommit: column '${f.name}' already exists")
+      }
+      val widened =
+        StructType(current.fields ++ cols.map(_.copy(nullable = true)))
+      val v = cur + 1
+      val entry = LogEntry(v, "evolve", f"_evolve/v$v%05d", "",
+        None, None, Some(widened.json))
+      if (publishIfAbsent(spark, path, v, Nil, Nil, Nil, "add_columns", ts,
+          evolves = Seq(entry)))
+        return Commit(v, 0, 0)
+      if (attempts >= MaxCommitAttempts)
+        throw new ConcurrentModificationException(
+          s"addColumnsCommit: lost $attempts commit races at $path")
+      // losing the race just means another writer took v — re-resolve the
+      // schema against the new latest and re-claim (pure metadata rebase)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def restoreCommit(spark: SparkSession, path: String, toVersion: Int,
                     partitionCol: String, statsCol: Option[String] = None,
                     ts: Option[Long] = None): Commit = {
