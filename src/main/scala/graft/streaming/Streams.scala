@@ -853,6 +853,65 @@ object Streams {
       perVersion.unionByName(replayed).orderBy("version", "change_type")
     }),
 
+    // The stream source's `startingVersion=latest`, graded end to end:
+    // the stream first runs against a 2-commit table and must emit
+    // NOTHING (latest pins the position AFTER the current snapshot — the
+    // pre-existing data is never re-delivered), but the position it
+    // checkpoints even in that empty run is the load-bearing claim: two
+    // commits land AFTER the run (an append and a partition drop) and the
+    // restart must drain exactly those — v2's inserts, v3's deletes —
+    // one version per microbatch (n_bids = 1 per group). A source that
+    // re-resolved "latest" at restart would skip both intervening commits
+    // (zero rows); one that seeded at 0 would re-deliver the snapshot
+    // (v0/v1 rows) — either way the hash fails.
+    "stream_vt_source_latest" -> ((s, d) => {
+      import s.implicits._
+      val root = s"${graft.fixtureRoot}/stream_vt_source_latest"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val tbl = s"$root/table"
+      val sink = s"$root/sink"
+      import graft.sources.VersionedTable
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      VersionedTable.create(s, tbl,
+        base.filter($"pmonth" === "1997-01"), "pmonth")
+      VersionedTable.appendCommit(s, tbl,
+        base.filter($"pmonth" === "1997-02"), "pmonth")
+      def run(): Unit = {
+        val q = s.readStream.format("graftvt")
+          .option("startingVersion", "latest")
+          .option("maxVersionsPerTrigger", "1")
+          .load(tbl)
+          .select($"_commit_version".as("version"),
+            $"_change_type".as("change_type"), $"o_orderkey", $"price_c")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.withColumn("bid", lit(bid))
+              .write.mode("overwrite").parquet(s"$sink/b=$bid")
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run() // nothing to drain; the position (v1) is checkpointed
+      VersionedTable.appendCommit(s, tbl,
+        base.filter($"pmonth" === "1997-03"), "pmonth") // v2: inserts
+      VersionedTable.dropPartitionsCommit(s, tbl, Set("1997-01")) // v3: deletes
+      run() // resumes from the checkpoint: exactly v2 then v3
+      s.read.parquet(sink)
+        .groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(o_orderkey)").as("xor_key"),
+          sum($"price_c").as("sum_price_c"),
+          countDistinct($"bid").as("n_bids"))
+        .orderBy("version", "change_type")
+    }),
+
     // The stream source's startingTimestamp option, graded: on the
     // ts-stamped table (v0 ts=1000 create, v1 ts=2000 append, v2 ts=3000
     // tombstone delete), startingTimestamp=1500 must begin the stream at
@@ -1061,6 +1120,28 @@ object Streams {
     // v2's is the tombstone delete of keys %10=7 at their ORIGINAL prices
     // (the prior-snapshot rows the tombstones address). v0's snapshot must
     // NOT appear.
+    // startingVersion=latest drains ONLY the post-subscription commits:
+    // v2 = the appended 1997-03 inserts, v3 = the dropped 1997-01 rows as
+    // deletes. The two pre-existing commits must not appear.
+    "stream_vt_source_latest" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 2 AS version, 'insert' AS change_type, o_orderkey, price_c
+        |  FROM base WHERE pmonth = '1997-03'
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_orderkey, price_c FROM base
+        |  WHERE pmonth = '1997-01')
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(1 AS BIGINT) AS n_bids
+        |FROM feed GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     "stream_vt_source_ts" ->
       """WITH base AS (
         |  SELECT o_orderkey,
