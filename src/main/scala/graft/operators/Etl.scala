@@ -1506,7 +1506,7 @@ object Etl {
     // VERSION AS OF read is additionally proven equal (collected rows) to
     // the `versionAsOf` VIEW-option path — `matches_view` grades that the
     // two pinning surfaces are one code path.
-    "etl_sql_time_travel" -> ((s, d) => {
+    "etl_sql_time_travel_native" -> ((s, d) => {
       import s.implicits._
       import graft.sources.VersionedTable
       val fs = new org.apache.hadoop.fs.Path(vtTtPath)
@@ -3077,7 +3077,7 @@ object Etl {
     // Time-travel pins re-derived from the data: v0 = the three seed
     // months, v1 = + 1997-04, v2 = v1 minus the dropped 1997-01; the two
     // ts-pins land on v1 (exactly at its commit ts) and v2 (far future).
-    "etl_sql_time_travel" ->
+    "etl_sql_time_travel_native" ->
       """WITH base AS (
         |  SELECT o_orderkey,
         |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
