@@ -461,8 +461,21 @@ object VersionedTable {
       case None => spark.read.option("mergeSchema", mergeSchema.toString)
     }
     val data =
-      if (dataFiles.nonEmpty)
-        readDataFiles(spark, path, dataFiles, () => reader)
+      if (dataFiles.nonEmpty) {
+        val df = readDataFiles(spark, path, dataFiles, () => reader)
+        // the convert-imported split reads with basePath partition
+        // reconstruction, and Spark renders reconstructed partition
+        // columns LAST regardless of the requested schema — which
+        // reorders the table schema once an evolve appended columns
+        // after the partition column. The log's schema order is the
+        // table's declared order; enforce it.
+        logSchema match {
+          case Some(u) if df.columns.toSeq != u.fieldNames.toSeq &&
+              df.columns.sorted.sameElements(u.fieldNames.sorted) =>
+            df.select(u.fieldNames.map(col).toSeq: _*)
+          case _ => df
+        }
+      }
       else {
         // empty slice (all partitions pruned away): the schema must still
         // be the TABLE's — from the UNFILTERED live set's recorded

@@ -198,6 +198,60 @@ class GraftVtMaintenanceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_mnt_rv")
   }
 
+  test("VACUUM beside a CONVERTED table spares never-referenced parquet") {
+    // the r11 snapshot commit added vacuum's known-files guard untested:
+    // a converted table's data files live at the TABLE ROOT in their
+    // original key=value layout, so vacuum's walk covers the whole dir —
+    // a raw parquet that was never in any manifest (e.g. the source dump
+    // the table was converted NEXT TO) must survive even there
+    val dir = Files.createTempDirectory("graft_mnt_cvv").toString + "/t"
+    import spark.implicits._
+    Seq((1L, 10L, "p0"), (2L, 20L, "p1")).toDF("k", "v", "p")
+      .repartition(col("p")).write.partitionBy("p").parquet(dir)
+    spark.sql(s"CONVERT TO graftvt '$dir' PARTITIONED BY (p)")
+    // a foreign dump INSIDE the converted table's directory tree
+    val foreign = s"$dir/source_dump"
+    Seq((9L, 90L)).toDF("a", "b").write.parquet(foreign)
+    spark.sql("DROP TABLE IF EXISTS vt_mnt_cvv")
+    spark.sql(s"CREATE TABLE vt_mnt_cvv USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    // supersede the imported files so they become vacuum candidates
+    spark.sql("OPTIMIZE vt_mnt_cvv")
+    val n = spark.sql("VACUUM vt_mnt_cvv RETAIN 1 VERSIONS GRACE 0 HOURS")
+      .head().getLong(0)
+    // exactly the two superseded imports reclaimed; the dump untouched
+    assert(n == 2L, n.toString)
+    assert(spark.read.parquet(foreign).count() == 1L)
+    assert(spark.sql("SELECT count(*) FROM vt_mnt_cvv").head().getLong(0)
+      == 2L)
+    spark.sql("DROP TABLE vt_mnt_cvv")
+  }
+
+  test("ALTER TABLE ADD COLUMNS works on a CONVERTED table") {
+    // the evolve entry must merge with the convert-imported files'
+    // directory-inferred schemas (partition column typed from the log)
+    val dir = Files.createTempDirectory("graft_mnt_cva").toString + "/t"
+    import spark.implicits._
+    Seq((1L, 10L, "p0"), (2L, 20L, "p1")).toDF("k", "v", "p")
+      .repartition(col("p")).write.partitionBy("p").parquet(dir)
+    spark.sql(s"CONVERT TO graftvt '$dir' PARTITIONED BY (p)")
+    spark.sql("DROP TABLE IF EXISTS vt_mnt_cva")
+    spark.sql(s"CREATE TABLE vt_mnt_cva USING graftvt " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    spark.sql("ALTER TABLE vt_mnt_cva ADD COLUMNS (note STRING)")
+    spark.sql("INSERT INTO vt_mnt_cva VALUES (3, 30, 'p0', 'x')")
+    val got = spark.sql(
+      "SELECT k, note FROM vt_mnt_cva ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq
+    assert(got == Seq((1L, null), (2L, null), (3L, "x")), got.toString)
+    // partition pruning still resolves over the mixed imported/engine set
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_mnt_cva WHERE p = 'p0'").head().getLong(0)
+      == 2L)
+    spark.sql("DROP TABLE vt_mnt_cva")
+  }
+
   test("CONVERT TO graftvt adopts a Hive layout in place, zero-copy") {
     val dir = Files.createTempDirectory("graft_mnt_cv").toString + "/t"
     import spark.implicits._
