@@ -1596,6 +1596,61 @@ object Etl {
         .orderBy("version")
     }),
 
+    // ALTER TABLE DROP COLUMN — schema NARROWING as a metadata-only
+    // commit (parser-routed GraftVtDropColumnsCommand →
+    // VersionedTable.dropColumnsCommit; Spark itself rejects DROP for
+    // every V1 table). The graded lifecycle: v0 creates WITH a flag
+    // column, v1 drops it (n_cols 4 → 3; the bytes stay in the files but
+    // no read surfaces them — n_flag must be 0 over the same rows), v2
+    // inserts a month through the narrowed schema, v3 OPTIMIZE physically
+    // purges the dropped bytes with the content hash UNCHANGED, v4
+    // re-adds the name (legal only after the purge — the engine refuses
+    // it before OPTIMIZE, or old values would resurface) and reads pure
+    // null. Every version pins via native time travel in one scan chain.
+    "etl_sql_alter_drop_column" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtDropPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtDropPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_drop")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        ($"o_orderkey" % 5).as("flag"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.createOrReplaceTempView("graft_vt_drop_src")
+      VersionedTable.create(s, vtDropPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_drop USING graftvt " +
+        s"OPTIONS (path '$vtDropPath', partitionCol 'pmonth')")
+      s.sql("ALTER TABLE graft_vt_drop DROP COLUMN flag")
+      s.sql("INSERT INTO graft_vt_drop " +
+        "SELECT o_orderkey, price_c, pmonth " +
+        "FROM graft_vt_drop_src WHERE pmonth = '1997-03'")
+      s.sql("OPTIMIZE graft_vt_drop")
+      s.sql("ALTER TABLE graft_vt_drop ADD COLUMNS (flag BIGINT)")
+      def aggV(v: Int, hasFlag: Boolean) = {
+        val from = s"graft_vt_drop VERSION AS OF $v"
+        val nCols = s.sql(s"SELECT * FROM $from").columns.length
+        val flagExprs =
+          if (hasFlag) "COUNT(flag) AS n_flag, " +
+            "CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag"
+          else "CAST(0 AS BIGINT) AS n_flag, CAST(0 AS BIGINT) AS sum_flag"
+        s.sql(s"SELECT CAST($v AS INT) AS version, " +
+          s"CAST($nCols AS INT) AS n_cols, COUNT(*) AS n_rows, " +
+          s"bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c, " +
+          s"$flagExprs FROM $from")
+      }
+      aggV(0, hasFlag = true)
+        .unionByName(aggV(1, hasFlag = false))
+        .unionByName(aggV(2, hasFlag = false))
+        .unionByName(aggV(3, hasFlag = false))
+        .unionByName(aggV(4, hasFlag = true))
+        .orderBy("version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1715,6 +1770,7 @@ object Etl {
   private[graft] val vtMntPath = s"${graft.fixtureRoot}/vt_orders_mnt"
   private[graft] val vtTtPath = s"${graft.fixtureRoot}/vt_orders_tt"
   private[graft] val vtAltPath = s"${graft.fixtureRoot}/vt_orders_alt"
+  private[graft] val vtDropPath = s"${graft.fixtureRoot}/vt_orders_drop"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -3067,6 +3123,45 @@ object Etl {
         |  SELECT 1, 4, o_orderkey, price_c, flag FROM t0
         |  UNION ALL
         |  SELECT 2, 4, o_orderkey, price_c, flag FROM v2)
+        |SELECT version, n_cols, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  COUNT(flag) AS n_flag,
+        |  CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag
+        |FROM u GROUP BY version, n_cols
+        |ORDER BY version""".stripMargin,
+    // Drop-column lifecycle re-derived from the data: v0 = two seed
+    // months WITH flag, v1 = same rows flagless (the drop is
+    // metadata-only), v2 = + 1997-03, v3 = OPTIMIZE (content identical to
+    // v2 — the compaction invariant IS the graded claim), v4 = flag
+    // re-added as pure null after the physical purge.
+    "etl_sql_alter_drop_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    o_orderkey % 5 AS flag,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-02'),
+        |t2 AS (
+        |  SELECT o_orderkey, price_c, pmonth FROM t0
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c, pmonth FROM base
+        |  WHERE pmonth = '1997-03'),
+        |u AS (
+        |  SELECT 0 AS version, 4 AS n_cols, o_orderkey, price_c, flag
+        |  FROM t0
+        |  UNION ALL
+        |  SELECT 1, 3, o_orderkey, price_c, CAST(NULL AS BIGINT) FROM t0
+        |  UNION ALL
+        |  SELECT 2, 3, o_orderkey, price_c, CAST(NULL AS BIGINT) FROM t2
+        |  UNION ALL
+        |  SELECT 3, 3, o_orderkey, price_c, CAST(NULL AS BIGINT) FROM t2
+        |  UNION ALL
+        |  SELECT 4, 4, o_orderkey, price_c, CAST(NULL AS BIGINT) FROM t2)
         |SELECT version, n_cols, COUNT(*) AS n_rows,
         |  bit_xor(o_orderkey) AS xor_key,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,

@@ -63,3 +63,34 @@ final case class GraftVtAddColumnsCommand(table: TableIdentifier,
     Seq(Row(c.version, colsToAdd.map(_.name).mkString(",")))
   }
 }
+
+/** `ALTER TABLE t DROP COLUMN[S] ...` for `graftvt` tables — parser-routed
+  * ([[GraftSqlParser]]'s catalog-probed claim, because Spark rejects the
+  * statement for every V1 table during resolution, before an injected rule
+  * could see it). Runs [[VersionedTable.dropColumnsCommit]]: one
+  * metadata-only evolve commit; data files keep the bytes until OPTIMIZE
+  * physically purges them, reads never surface them again, time travel
+  * below the drop still does.
+  *
+  * The catalog schema sync goes through the EXTERNAL catalog:
+  * `SessionCatalog.alterTableDataSchema` hard-refuses any schema that
+  * loses columns (Spark has no V1 drop support to validate for), while the
+  * external-catalog contract it delegates to accepts it — the same layer
+  * Delta owns via its catalog plugin. */
+final case class GraftVtDropColumnsCommand(table: String, names: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("dropped", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, path, partitionCol, _) = GraftVtMaintenance.resolve(spark,
+      table, "ALTER TABLE DROP COLUMNS")
+    val c = VersionedTable.dropColumnsCommit(spark, path, names, partitionCol)
+    rel.refreshSnapshot()
+    GraftVtMaintenance.syncCatalogSchema(spark, table,
+      VersionedTable.read(spark, path, c.version).schema)
+    Seq(Row(c.version, names.mkString(",")))
+  }
+}

@@ -35,6 +35,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *     existing Hive-layout parquet directory — Delta's CONVERT TO DELTA;
   *     path-addressed because the directory is by definition not yet a
   *     catalog table)
+  *   - `ALTER TABLE t DROP COLUMN[S] ...` →
+  *     [[VersionedTable.dropColumnsCommit]] (metadata-only schema
+  *     narrowing) — claimed only when a catalog probe says the table IS
+  *     graftvt, since this shape belongs to Spark's grammar (see
+  *     [[isGraftVt]]; ADD COLUMNS instead rides Spark's v1 command via
+  *     [[GraftVtAlterRule]])
   *
   * The table name resolves through the session catalog at EXECUTION time
   * (`spark.table`), so temp views over graftvt paths work exactly like
@@ -73,6 +79,16 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val convertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFTVT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
+  // `ALTER TABLE t DROP COLUMN c` / `DROP COLUMNS (c1, c2)` — Spark's own
+  // grammar parses this but ResolveSessionCatalog rejects it for every V1
+  // table BEFORE an injected resolution rule could swap the plan (the ADD
+  // COLUMNS route via GraftVtAlterRule works only because Spark converts
+  // that one to a v1 command first), so DROP intercepts at the parser —
+  // guarded by a catalog provider probe so non-graftvt tables fall
+  // through to Spark's grammar and keep Spark's error
+  private val alterDropRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+DROP\s+COLUMNS?\s+(?:\(([^)]*)\)|([^()]+?))\s*;?\s*$""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, zlist) =>
@@ -101,12 +117,34 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           s"graftvt CONVERT: PARTITIONED BY needs plain column names, " +
           s"got (${cols.trim})")
       GraftConvertCommand(p, pCols.mkString(","))
-    // everything else is Spark's grammar — with one post-parse substitution:
+    case alterDropRe(t, plist, bare) if isGraftVt(t) =>
+      val names = Option(plist).getOrElse(bare).split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        .toSeq
+      if (names.isEmpty || !names.forall(_.matches("\\w+")))
+        throw new UnsupportedOperationException(
+          "graftvt ALTER TABLE DROP COLUMNS: plain column names only, " +
+          s"got ${Option(plist).getOrElse(bare).trim}")
+      GraftVtDropColumnsCommand(t, names)
+    // everything else — including ALTER TABLE DROP on non-graftvt tables
+    // — is Spark's grammar, with one post-parse substitution:
     // `FROM t VERSION|TIMESTAMP AS OF ...` (which Spark parses but cannot
     // resolve for V1 relations) becomes the graft time-travel placeholder,
     // resolved by GraftVtTimeTravelRule (see GraftVtTimeTravel.scala)
     case _ => GraftVtTimeTravel.substitute(delegate.parsePlan(sqlText))
   }
+
+  /** Catalog-metadata probe for the ALTER DROP route — the ONE statement
+    * family whose shape belongs to Spark's grammar, so graft may claim it
+    * only for its own tables. A name that is no catalog table (temp view,
+    * nonexistent, unparseable) answers false and the statement delegates
+    * unchanged. */
+  private def isGraftVt(table: String): Boolean =
+    try {
+      val id = delegate.parseTableIdentifier(table)
+      session.sessionState.catalog.getTableMetadata(id)
+        .provider.exists(_.equalsIgnoreCase("graftvt"))
+    } catch { case _: Exception => false }
 
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -146,6 +184,28 @@ private[sources] object GraftVtMaintenance {
       throw new IllegalArgumentException(
         s"graftvt $what: table must declare a 'partitionCol' option"))
     (rel, rel.path, partitionCol, rel.tableParameters.get("statsCol"))
+  }
+
+  /** Push a statement's post-commit table schema into the catalog when the
+    * name IS a catalog table (temp views keep only their refreshed
+    * relation). Writes through the EXTERNAL catalog:
+    * `SessionCatalog.alterTableDataSchema` hard-refuses schemas that LOSE
+    * columns (Spark has no V1 drop to validate for), and both DROP
+    * COLUMNS and RESTORE-across-a-drop legitimately narrow. */
+  def syncCatalogSchema(spark: SparkSession, table: String,
+                        schema: StructType): Unit = {
+    val catalog = spark.sessionState.catalog
+    val meta =
+      try Some(catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+      catch { case _: Exception => None }
+    meta.filter(_.provider.exists(_.equalsIgnoreCase("graftvt")))
+      .filter(_.schema != schema).foreach { m =>
+        spark.sharedState.externalCatalog.alterTableDataSchema(
+          m.identifier.database.getOrElse(catalog.getCurrentDatabase),
+          m.identifier.table, schema)
+        catalog.refreshTable(m.identifier)
+      }
   }
 }
 
@@ -227,6 +287,11 @@ final case class GraftRestoreCommand(table: String, at: Long,
     val c = VersionedTable.restoreCommit(spark, path, toVersion,
       partitionCol, statsCol)
     rel.refreshSnapshot()
+    // restore restores the SCHEMA too (rolling back across an ALTER) —
+    // keep the catalog's stored copy in step or the V1 relation check
+    // rejects the next resolution
+    GraftVtMaintenance.syncCatalogSchema(spark, table,
+      VersionedTable.read(spark, path, c.version).schema)
     Seq(Row(c.version, c.filesAdded.toLong, c.filesRemoved.toLong))
   }
 }

@@ -447,13 +447,15 @@ object VersionedTable {
     // only a non-uniform snapshot read WITHOUT mergeSchema still falls
     // back to Spark's footer inference (whose pick is file-order
     // dependent — the caller asked for exactly that hazard).
-    // An evolve entry widens the TABLE schema for plain and mergeSchema
-    // reads alike (Delta: the log's metadata schema governs, files
-    // missing appended columns read null) — the entry merges as one more
-    // recorded schema in version order.
+    // An evolve entry is the AUTHORITATIVE table schema for plain and
+    // mergeSchema reads alike (Delta: the log's metadata schema governs):
+    // files missing appended columns read null, and files still carrying
+    // DROPPED columns never surface them — only schemas recorded AFTER
+    // the latest evolve merge on top of it (the append-evolve widening
+    // path keeps working across an ALTER).
     val logSchema =
       if (evolveEntries.nonEmpty)
-        unionSchemaOf(allDataEntries ++ evolveEntries)
+        effectiveSchemaOf(evolveEntries, allDataEntries)
       else if (mergeSchema) unionSchemaOf(allDataEntries)
       else uniformSchemaOf(dataEntries)
     def reader = logSchema match {
@@ -484,8 +486,10 @@ object VersionedTable {
         // partition columns only in the directory name, so a raw read
         // would lose them and the caller's partition filter would fail
         // to resolve instead of returning 0 rows)
-        unionSchemaOf(entriesAll.filter(e =>
-          e.action == "add" || e.action == "evolve")) match {
+        // same authoritative-evolve rule as the populated path, over the
+        // UNFILTERED live set
+        effectiveSchemaOf(evolveEntries,
+          entriesAll.filter(_.action == "add")) match {
           case Some(u) => spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), u)
           case None => schemaTemplateFile(spark, path, version)
@@ -697,6 +701,20 @@ object VersionedTable {
     }
   }
 
+  /** The snapshot's log-derived TABLE schema: the latest evolve entry is
+    * authoritative (it alone can NARROW — dropped columns carried by older
+    * files never resurface), with data schemas recorded strictly AFTER it
+    * merged on top so append-driven widening keeps working across an
+    * ALTER. With no evolve entry, the plain union of recorded write
+    * schemas. None when any contributing entry predates schema
+    * recording — callers fall back to footer inference. */
+  private[sources] def effectiveSchemaOf(
+      evolves: Seq[LogEntry], adds: Seq[LogEntry]): Option[StructType] =
+    if (evolves.nonEmpty) {
+      val latest = evolves.maxBy(_.version)
+      unionSchemaOf(latest +: adds.filter(_.version > latest.version))
+    } else unionSchemaOf(adds)
+
   private def unionSchemaOf(entries: Seq[LogEntry]): Option[StructType] = {
     if (entries.isEmpty || entries.exists(_.fschema.isEmpty)) return None
     val jsons = entries.sortBy(_.version).map(_.fschema.get).distinct
@@ -742,9 +760,12 @@ object VersionedTable {
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
           None: Option[String], None: Option[Long], None: Option[String],
           None: Option[String]) } ++
-      evolves.map(e => (version, "evolve", e.file, e.part, None: Option[Long],
-        None: Option[Long], e.fschema, None: Option[Long],
-        None: Option[String], None: Option[String]))
+      // the label derives from the CLAIMED version (a rebased attempt may
+      // publish at a later v than the entry was built for; evolve entries
+      // reference no physical file, the label only names the commit)
+      evolves.map(e => (version, "evolve", f"_evolve/v$version%05d", e.part,
+        None: Option[Long], None: Option[Long], e.fschema,
+        None: Option[Long], None: Option[String], None: Option[String]))
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
     // CONTENTS (the DuckDB oracle does) sees empty commits too; replay
@@ -821,7 +842,8 @@ object VersionedTable {
                                    removes: Seq[(String, String)],
                                    affected: Option[Set[String]],
                                    opName: String, ts: Option[Long],
-                                   ownsNewFiles: Boolean = true): Commit = {
+                                   ownsNewFiles: Boolean = true,
+                                   evolves: Seq[LogEntry] = Nil): Commit = {
     // ownsNewFiles = false when `adds` RE-REFERENCE files older commits
     // still own (restoreCommit's zero-copy re-add): aborting must then
     // leave them on disk — cleanupAttempt would delete live table data
@@ -829,7 +851,8 @@ object VersionedTable {
       if (ownsNewFiles) cleanupAttempt(spark, path, adds ++ tombs)
     var v = readVersion + 1
     var attempts = 0
-    while (!publishIfAbsent(spark, path, v, adds, tombs, removes, opName, ts)) {
+    while (!publishIfAbsent(spark, path, v, adds, tombs, removes, opName, ts,
+        evolves)) {
       attempts += 1
       if (attempts >= MaxCommitAttempts) {
         abortCleanup()
@@ -1038,9 +1061,45 @@ object VersionedTable {
                    opName: String = "append"): Commit = {
     val cur = latestVersion(spark, path)
     require(cur >= 0, s"appendCommit: $path has no version 0 — create() first")
+    requireNoResurface(spark, path, cur, df.columns.toSeq, "appendCommit")
     val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol, statsCol,
       fileSplits)
     commitAttempt(spark, path, cur, adds, Nil, Nil, None, opName, ts)
+  }
+
+  /** Refuse a write whose schema re-introduces a column name some live
+    * data file still PHYSICALLY carries while the effective schema no
+    * longer lists it (i.e. a dropped column): append-driven widening
+    * would merge the name back into the union schema and the old files'
+    * values would resurface — the write-path twin of
+    * [[addColumnsCommit]]'s re-add guard. No-ops on tables with no
+    * evolve entry (nothing was ever dropped), so plain appends pay one
+    * log replay only after a schema lifecycle began; on a pre-
+    * schema-recording log the effective schema is unknowable and the
+    * legacy footer-union behavior stands. */
+  private def requireNoResurface(spark: SparkSession, path: String, cur: Int,
+                                 writeCols: Seq[String],
+                                 what: String): Unit = {
+    val (live, evolves) = replayAll(spark, path, cur)
+    if (evolves.isEmpty) return
+    effectiveSchemaOf(evolves, live.filter(_.action == "add")).foreach { eff =>
+      val resolver = spark.sessionState.conf.resolver
+      val fresh = writeCols.filterNot(c =>
+        eff.exists(f => resolver(f.name, c)))
+      if (fresh.nonEmpty) {
+        val carried = live.flatMap(_.fschema).distinct
+          .flatMap(j => DataType.fromJson(j) match {
+            case s: StructType => s.fieldNames.toSeq
+            case _             => Nil
+          }).toSet
+        fresh.foreach { c =>
+          require(!carried.exists(resolver(_, c)),
+            s"$what: a live data file still carries a dropped column " +
+            s"named '$c' — widening the schema back would resurface its " +
+            "old values; OPTIMIZE the table first to purge it")
+        }
+      }
+    }
   }
 
   /** OVERWRITE as a new commit — SaveMode.Overwrite's semantics inside the
@@ -1085,6 +1144,11 @@ object VersionedTable {
     val cur =
       if (readVersion >= 0) readVersion else latestVersion(spark, path)
     require(cur >= 0, s"mergeCommit: $path has no version 0 — create() first")
+    // the merge rewrite covers only the AFFECTED partitions, so a change
+    // batch re-carrying a dropped name would resurface the other
+    // partitions' old bytes — same guard as append
+    requireNoResurface(spark, path, cur, changes.columns.toSeq,
+      "mergeCommit")
     val affected = affectedPartsOf(changes, partColsOf(partitionCol),
       "mergeCommit")
     if (affected.isEmpty) {
@@ -1235,11 +1299,9 @@ object VersionedTable {
     * version merge it as the latest recorded write schema, so files
     * predating it return null for the new columns — at ANY table size the
     * statement is one manifest write. Time travel below the evolve
-    * version still sees the narrow schema. Note one deliberate
-    * divergence from data restore: RESTORE rolls back the FILE set, not
-    * the schema — an evolve stays visible after a restore-to-earlier
-    * (the appended columns read null), because the log replays evolve
-    * entries by version, not by live-file membership. */
+    * version still sees the narrow schema, and [[restoreCommit]] to a
+    * pre-evolve version publishes a fresh evolve entry restoring that
+    * version's effective schema alongside the file rollback. */
   def addColumnsCommit(spark: SparkSession, path: String,
                        cols: Seq[StructField],
                        ts: Option[Long] = None): Commit = {
@@ -1260,6 +1322,23 @@ object VersionedTable {
         require(!current.exists(g => resolver(g.name, f.name)),
           s"addColumnsCommit: column '${f.name}' already exists")
       }
+      // name-addressed log: re-adding a name some LIVE file still carries
+      // (a previously DROPPED column) would resurface that file's old
+      // values instead of null — Delta needs column mapping for this;
+      // without it the re-add must be refused until a rewrite (OPTIMIZE)
+      // purges the physical column
+      val carried = liveEntries(spark, path, cur)
+        .flatMap(_.fschema).distinct
+        .flatMap(j => DataType.fromJson(j) match {
+          case s: StructType => s.fieldNames.toSeq
+          case _             => Nil
+        }).toSet
+      cols.foreach { f =>
+        require(!carried.exists(resolver(_, f.name)),
+          s"addColumnsCommit: a live data file still carries a dropped " +
+          s"column named '${f.name}' — its old values would resurface; " +
+          "OPTIMIZE the table first to purge it, then re-add")
+      }
       val widened =
         StructType(current.fields ++ cols.map(_.copy(nullable = true)))
       val v = cur + 1
@@ -1273,6 +1352,73 @@ object VersionedTable {
           s"addColumnsCommit: lost $attempts commit races at $path")
       // losing the race just means another writer took v — re-resolve the
       // schema against the new latest and re-claim (pure metadata rebase)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Schema narrowing as a METADATA-ONLY commit (Delta's ALTER TABLE DROP
+    * COLUMNS, minus column mapping — this log is name-addressed, so a
+    * re-ADD of the same name would resurface old files' values; the
+    * command therefore also forbids re-adding a name any live file still
+    * carries, see [[addColumnsCommit]]). Data files keep the dropped
+    * column's bytes until a rewrite (OPTIMIZE reads the narrow schema and
+    * physically purges — Delta's REORG semantics); reads at or after this
+    * version never surface them because the evolve schema is the
+    * AUTHORITATIVE baseline for the snapshot ([[effectiveSchemaOf]]).
+    * Time travel below the drop still sees the column. */
+  def dropColumnsCommit(spark: SparkSession, path: String,
+                        names: Seq[String], partitionCol: String,
+                        ts: Option[Long] = None): Commit = {
+    require(names.nonEmpty, "dropColumnsCommit: no columns to drop")
+    val resolver = spark.sessionState.conf.resolver
+    val pCols = partColsOf(partitionCol)
+    names.foreach { n =>
+      require(!pCols.exists(resolver(_, n)),
+        s"dropColumnsCommit: '$n' is a partition column — rows are " +
+        "addressed by (key, partition); repartition via a rewrite instead")
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = latestVersion(spark, path)
+      require(cur >= 0,
+        s"dropColumnsCommit: $path has no version 0 — create() first")
+      val current = read(spark, path, cur, mergeSchema = true).schema
+      names.foreach { n =>
+        require(current.exists(f => resolver(f.name, n)),
+          s"dropColumnsCommit: column '$n' does not exist")
+      }
+      // live tombstones name their columns as the DELETE IDENTITY — the
+      // snapshot read anti-joins on exactly that set, so dropping one
+      // would make every snapshot read fail to resolve it. Refuse until a
+      // rewrite retires the tombstones (OPTIMIZE materializes the
+      // deletions). A tombstone predating schema recording is
+      // conservatively assumed to use the column.
+      val tombCols = liveEntries(spark, path, cur)
+        .filter(_.action == "tomb")
+        .map(_.fschema.flatMap(j => DataType.fromJson(j) match {
+          case s: StructType => Some(s.fieldNames.toSeq)
+          case _             => None
+        }))
+      names.foreach { n =>
+        require(!tombCols.exists(_.forall(_.exists(resolver(_, n)))),
+          s"dropColumnsCommit: live tombstones use '$n' as a " +
+          "delete-identity column — the snapshot anti-join would lose " +
+          "it; OPTIMIZE the table first to materialize the deletions")
+      }
+      val narrowed = StructType(current.fields.filterNot(f =>
+        names.exists(resolver(f.name, _))))
+      require(narrowed.nonEmpty,
+        "dropColumnsCommit: cannot drop every column")
+      val v = cur + 1
+      val entry = LogEntry(v, "evolve", f"_evolve/v$v%05d", "",
+        None, None, Some(narrowed.json))
+      if (publishIfAbsent(spark, path, v, Nil, Nil, Nil, "drop_columns", ts,
+          evolves = Seq(entry)))
+        return Commit(v, 0, 0)
+      if (attempts >= MaxCommitAttempts)
+        throw new ConcurrentModificationException(
+          s"dropColumnsCommit: lost $attempts commit races at $path")
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1316,14 +1462,32 @@ object VersionedTable {
           src.select(cols.map(col).toSeq: _*), partitionCol, statsCol)
       }
     val adds = readds ++ matAdds
+    // restore the SCHEMA too: once any evolve entry exists, the latest one
+    // is authoritative ([[effectiveSchemaOf]]), so rolling back across an
+    // ALTER must publish a fresh evolve entry recording the TARGET
+    // version's effective schema — otherwise a restore to a pre-DROP
+    // version would bring the files back but keep the narrowed schema
+    // (and the re-ADD escape hatch is itself refused while those files
+    // still carry the column). Schema-only restores (across a
+    // metadata-only ALTER) commit the evolve entry alone. Concurrent
+    // schema changes racing the restore resolve last-writer-wins, like
+    // any two evolve commits.
+    val schemaEvolve: Seq[LogEntry] =
+      if (replayEntries(spark, path, cur).forall(_.action != "evolve")) Nil
+      else {
+        val tgt = read(spark, path, toVersion).schema
+        if (tgt == read(spark, path, cur).schema) Nil
+        else Seq(LogEntry(cur + 1, "evolve", f"_evolve/v${cur + 1}%05d", "",
+          None, None, Some(tgt.json)))
+      }
     if (adds.isEmpty && removes.isEmpty)
       return commitAttempt(spark, path, cur, Nil, Nil, Nil,
-        Some(Set.empty), "restore", ts)
+        Some(Set.empty), "restore", ts, evolves = schemaEvolve)
     val affected = (adds.map(_.part) ++ removes.map(_._2)).toSet
     // ownsNewFiles = false: the zero-copy re-adds belong to older commits;
     // an aborted attempt must only clean the freshly-materialized files
     try commitAttempt(spark, path, cur, adds, Nil, removes, Some(affected),
-      "restore", ts, ownsNewFiles = false)
+      "restore", ts, ownsNewFiles = false, evolves = schemaEvolve)
     catch { case e: java.util.ConcurrentModificationException =>
       if (matAdds.nonEmpty) cleanupAttempt(spark, path, matAdds)
       throw e

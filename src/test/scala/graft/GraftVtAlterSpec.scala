@@ -104,4 +104,130 @@ class GraftVtAlterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE alt_plain_pq")
     spark.sql("DROP TABLE vt_alt_e")
   }
+
+  test("DROP COLUMN is metadata-only and never resurfaces the bytes") {
+    val dir = newTable("graft_alt_d", "vt_alt_d")
+    val r = spark.sql("ALTER TABLE vt_alt_d DROP COLUMN v").head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "v", r.toString)
+    // metadata-only: no data file touched
+    assert(VersionedTable.liveEntries(spark, dir, 1).forall(_.version == 0))
+    // the physical column stays in the v0 files but no read surfaces it
+    assert(spark.table("vt_alt_d").columns.sameElements(Array("k", "p")))
+    assert(VersionedTable.read(spark, dir, 1, mergeSchema = true)
+      .columns.sameElements(Array("k", "p")))
+    // time travel below the drop still sees it, with its values
+    val v0 = spark.sql(
+      "SELECT v FROM vt_alt_d VERSION AS OF 0 ORDER BY v").collect()
+    assert(v0.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    // append-driven widening keeps working ACROSS the drop
+    import spark.implicits._
+    VersionedTable.appendCommit(spark, dir,
+      Seq((3L, "p0", "w3")).toDF("k", "p", "w"), "p")
+    val cols = VersionedTable.read(spark, dir, 2, mergeSchema = true).columns
+    assert(cols.sameElements(Array("k", "p", "w")), cols.toSeq.toString)
+    spark.sql("DROP TABLE vt_alt_d")
+  }
+
+  test("re-ADD of a dropped name is refused until OPTIMIZE purges it") {
+    val dir = newTable("graft_alt_r", "vt_alt_r")
+    spark.sql("ALTER TABLE vt_alt_r DROP COLUMN v")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_r ADD COLUMNS (v BIGINT)")
+    }
+    assert(e.getMessage.contains("still carries"), e.getMessage)
+    spark.sql("OPTIMIZE vt_alt_r")
+    spark.sql("ALTER TABLE vt_alt_r ADD COLUMNS (v BIGINT)")
+    // the re-added column reads null everywhere — old values are GONE
+    val got = spark.sql("SELECT v FROM vt_alt_r").collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(0)))
+    assert(VersionedTable.read(spark, dir, 3).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("DROP TABLE vt_alt_r")
+  }
+
+  test("DROP COLUMN guards: partition col, delete identity, non-graftvt") {
+    val dir = newTable("graft_alt_g", "vt_alt_g")
+    val ep = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_g DROP COLUMN p") }
+    assert(ep.getMessage.contains("partition column"), ep.getMessage)
+    // a live tombstone's columns are the delete identity: dropping one
+    // is refused, dropping an uninvolved column is fine
+    import spark.implicits._
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((1L, "p0")).toDF("k", "p"), "p")
+    val ek = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_g DROP COLUMN k") }
+    assert(ek.getMessage.contains("delete-identity"), ek.getMessage)
+    spark.sql("ALTER TABLE vt_alt_g DROP COLUMN v")
+    assert(spark.sql("SELECT k FROM vt_alt_g ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // after OPTIMIZE materializes the deletion, the identity frees up
+    spark.sql("OPTIMIZE vt_alt_g")
+    spark.sql("ALTER TABLE vt_alt_g DROP COLUMN k")
+    assert(spark.table("vt_alt_g").columns.sameElements(Array("p")))
+    // non-graftvt tables keep Spark's own (unsupported) DROP path
+    val pdir = Files.createTempDirectory("graft_alt_gpq").toString + "/t"
+    Seq((1, "a")).toDF("id", "s").write.parquet(pdir)
+    spark.sql("DROP TABLE IF EXISTS alt_plain_dpq")
+    spark.sql(s"CREATE TABLE alt_plain_dpq USING parquet LOCATION '$pdir'")
+    val es = intercept[Exception] {
+      spark.sql("ALTER TABLE alt_plain_dpq DROP COLUMN s") }
+    assert(!es.getMessage.contains("graftvt"), es.getMessage)
+    spark.sql("DROP TABLE alt_plain_dpq")
+    spark.sql("DROP TABLE vt_alt_g")
+  }
+
+  test("a widening append cannot resurface a dropped column") {
+    val dir = newTable("graft_alt_w", "vt_alt_w")
+    spark.sql("ALTER TABLE vt_alt_w DROP COLUMN v")
+    import spark.implicits._
+    // re-carrying the dropped name through the APPEND path must hit the
+    // same wall as re-ADD: live v0 files still physically carry v
+    val e = intercept[Exception] {
+      VersionedTable.appendCommit(spark, dir,
+        Seq((3L, 99L, "p0")).toDF("k", "v", "p"), "p")
+    }
+    assert(e.getMessage.contains("resurface"), e.getMessage)
+    // ...and through the MERGE path
+    val em = intercept[Exception] {
+      VersionedTable.mergeCommit(spark, dir,
+        Seq((3L, 99L, "p0", "U", 1L)).toDF("k", "v", "p", "op", "seq"),
+        Seq("k"), "p")
+    }
+    assert(em.getMessage.contains("resurface"), em.getMessage)
+    // a genuinely new name still widens fine (library path — a library
+    // append does not sync the CATALOG's stored schema, so the rest of
+    // this test stays on the library surface)
+    VersionedTable.appendCommit(spark, dir,
+      Seq((3L, "p0", 1L)).toDF("k", "p", "w"), "p")
+    // after OPTIMIZE purges the bytes, the append path frees up too
+    VersionedTable.optimizeCommit(spark, dir, "p")
+    VersionedTable.appendCommit(spark, dir,
+      Seq((4L, 7L, "p0")).toDF("k", "v", "p"), "p")
+    val got = VersionedTable.read(spark, dir,
+        VersionedTable.latestVersion(spark, dir))
+      .filter($"v".isNotNull).select("k", "v").collect()
+    assert(got.map(g => (g.getLong(0), g.getLong(1))).toSeq == Seq((4L, 7L)))
+    spark.sql("DROP TABLE vt_alt_w")
+  }
+
+  test("RESTORE across a DROP restores the wide schema and the values") {
+    val dir = newTable("graft_alt_rs", "vt_alt_rs")
+    spark.sql("ALTER TABLE vt_alt_rs DROP COLUMN v")
+    assert(spark.table("vt_alt_rs").columns.sameElements(Array("k", "p")))
+    spark.sql("RESTORE TABLE vt_alt_rs TO VERSION AS OF 0")
+    // the restore commit re-publishes v0's effective schema: the column
+    // is back WITH its values (the bytes never left the files)
+    val got = spark.sql(
+      "SELECT k, v FROM vt_alt_rs ORDER BY k").collect()
+    assert(got.map(g => (g.getLong(0), g.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // and the drop is still visible mid-history
+    assert(!spark.sql("SELECT * FROM vt_alt_rs VERSION AS OF 1")
+      .columns.contains("v"))
+    VersionedTable.checkpoint(spark, dir, 2)
+    assert(VersionedTable.read(spark, dir, 2).columns
+      .sameElements(Array("k", "v", "p")))
+    spark.sql("DROP TABLE vt_alt_rs")
+  }
 }
