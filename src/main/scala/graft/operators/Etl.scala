@@ -1651,6 +1651,48 @@ object Etl {
         .orderBy("version")
     }),
 
+    // ALTER TABLE RENAME COLUMN — the one schema verb a name-addressed
+    // log CANNOT do metadata-only (parquet resolves columns by name; no
+    // column mapping), so it is an explicit REWRITE commit
+    // (renameColumnCommit). Graded: v1 renames price_c -> amount_c with
+    // every value preserved (sum_c is computed from whichever name the
+    // version carries — a lost or nulled row breaks the hash), v2
+    // inserts through the renamed schema, time travel below the rename
+    // still reads the OLD name, and the column list is part of the row
+    // so the rename's visibility is itself hashed.
+    "etl_sql_alter_rename_column" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtRenPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtRenPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_ren")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.createOrReplaceTempView("graft_vt_ren_src")
+      VersionedTable.create(s, vtRenPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_ren USING graftvt " +
+        s"OPTIONS (path '$vtRenPath', partitionCol 'pmonth')")
+      s.sql("ALTER TABLE graft_vt_ren RENAME COLUMN price_c TO amount_c")
+      s.sql("INSERT INTO graft_vt_ren " +
+        "SELECT o_orderkey, price_c, pmonth " +
+        "FROM graft_vt_ren_src WHERE pmonth = '1997-03'")
+      def aggV(v: Int) = {
+        val from = s"graft_vt_ren VERSION AS OF $v"
+        val cols = s.sql(s"SELECT * FROM $from").columns
+        val measure = if (cols.contains("amount_c")) "amount_c" else "price_c"
+        s.sql(s"SELECT CAST($v AS INT) AS version, " +
+          s"'${cols.mkString(",")}' AS cols, COUNT(*) AS n_rows, " +
+          s"bit_xor(o_orderkey) AS xor_key, SUM($measure) AS sum_c " +
+          s"FROM $from")
+      }
+      aggV(0).unionByName(aggV(1)).unionByName(aggV(2)).orderBy("version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1771,6 +1813,7 @@ object Etl {
   private[graft] val vtTtPath = s"${graft.fixtureRoot}/vt_orders_tt"
   private[graft] val vtAltPath = s"${graft.fixtureRoot}/vt_orders_alt"
   private[graft] val vtDropPath = s"${graft.fixtureRoot}/vt_orders_drop"
+  private[graft] val vtRenPath = s"${graft.fixtureRoot}/vt_orders_ren"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -3168,6 +3211,38 @@ object Etl {
         |  COUNT(flag) AS n_flag,
         |  CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag
         |FROM u GROUP BY version, n_cols
+        |ORDER BY version""".stripMargin,
+    // Rename lifecycle re-derived from the data: v0 = two seed months
+    // under the old name, v1 = same rows under the new name (every value
+    // preserved — sum_c must match), v2 = + 1997-03 through the renamed
+    // schema; the column list is hashed as a row value.
+    "etl_sql_alter_rename_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-02'),
+        |t2 AS (
+        |  SELECT * FROM t0
+        |  UNION ALL
+        |  SELECT * FROM base WHERE pmonth = '1997-03'),
+        |u AS (
+        |  SELECT 0 AS version, 'o_orderkey,price_c,pmonth' AS cols,
+        |    o_orderkey, price_c FROM t0
+        |  UNION ALL
+        |  SELECT 1, 'o_orderkey,amount_c,pmonth', o_orderkey, price_c
+        |  FROM t0
+        |  UNION ALL
+        |  SELECT 2, 'o_orderkey,amount_c,pmonth', o_orderkey, price_c
+        |  FROM t2)
+        |SELECT version, cols, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_c
+        |FROM u GROUP BY version, cols
         |ORDER BY version""".stripMargin,
     // Time-travel pins re-derived from the data: v0 = the three seed
     // months, v1 = + 1997-04, v2 = v1 minus the dropped 1997-01; the two

@@ -94,3 +94,45 @@ final case class GraftVtDropColumnsCommand(table: String, names: Seq[String])
     Seq(Row(c.version, names.mkString(",")))
   }
 }
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — parser-routed like DROP, but a
+  * REWRITE commit ([[VersionedTable.renameColumnCommit]]): without column
+  * mapping a rename must rewrite the table, and the command says so by
+  * reporting the rewritten file count. A declared statsCol follows the
+  * rename in the table's stored options so later commits keep recording
+  * pruning stats under the live name. */
+final case class GraftVtRenameColumnCommand(table: String, from: String,
+                                            to: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("renamed", StringType, nullable = false)(),
+    AttributeReference("n_rewritten", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, path, partitionCol, statsCol) = GraftVtMaintenance.resolve(
+      spark, table, "ALTER TABLE RENAME COLUMN")
+    val c = VersionedTable.renameColumnCommit(spark, path, from, to,
+      partitionCol, statsCol)
+    rel.refreshSnapshot()
+    GraftVtMaintenance.syncCatalogSchema(spark, table,
+      VersionedTable.read(spark, path, c.version).schema)
+    // if the table OPTIONS declare the renamed column as statsCol, point
+    // them at the new name (the relation rebuilt from options must keep
+    // recording stats for the column that now exists)
+    val resolver = spark.sessionState.conf.resolver
+    if (statsCol.exists(resolver(_, from))) {
+      val catalog = spark.sessionState.catalog
+      try {
+        val meta = catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val st = meta.storage
+        catalog.alterTable(meta.copy(storage = st.copy(
+          properties = st.properties ++ Map("statsCol" -> to))))
+        catalog.refreshTable(meta.identifier)
+      } catch { case _: Exception => () } // temp view: options not stored
+    }
+    Seq(Row(c.version, s"$from->$to", c.filesAdded))
+  }
+}

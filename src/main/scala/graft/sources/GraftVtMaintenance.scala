@@ -41,6 +41,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *     graftvt, since this shape belongs to Spark's grammar (see
   *     [[isGraftVt]]; ADD COLUMNS instead rides Spark's v1 command via
   *     [[GraftVtAlterRule]])
+  *   - `ALTER TABLE t RENAME COLUMN a TO b` →
+  *     [[VersionedTable.renameColumnCommit]] (an explicit REWRITE commit
+  *     — no column mapping in a name-addressed log), same catalog-probed
+  *     claim as DROP
   *
   * The table name resolves through the session catalog at EXECUTION time
   * (`spark.table`), so temp views over graftvt paths work exactly like
@@ -89,6 +93,13 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val alterDropRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
       """\s+DROP\s+COLUMNS?\s+(?:\(([^)]*)\)|([^()]+?))\s*;?\s*$""").r
+  // `ALTER TABLE t RENAME COLUMN a TO b` — same V1-rejection story as
+  // DROP, same catalog-probed parser claim; the command is a REWRITE
+  // commit (no column mapping in a name-addressed log)
+  private val alterRenameRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)""" +
+      """\s*;?\s*$""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, zlist) =>
@@ -126,8 +137,12 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "graftvt ALTER TABLE DROP COLUMNS: plain column names only, " +
           s"got ${Option(plist).getOrElse(bare).trim}")
       GraftVtDropColumnsCommand(t, names)
-    // everything else — including ALTER TABLE DROP on non-graftvt tables
-    // — is Spark's grammar, with one post-parse substitution:
+    case alterRenameRe(t, from, to) if isGraftVt(t) =>
+      GraftVtRenameColumnCommand(t,
+        from.stripPrefix("`").stripSuffix("`"),
+        to.stripPrefix("`").stripSuffix("`"))
+    // everything else — including ALTER TABLE DROP/RENAME on non-graftvt
+    // tables — is Spark's grammar, with one post-parse substitution:
     // `FROM t VERSION|TIMESTAMP AS OF ...` (which Spark parses but cannot
     // resolve for V1 relations) becomes the graft time-travel placeholder,
     // resolved by GraftVtTimeTravelRule (see GraftVtTimeTravel.scala)

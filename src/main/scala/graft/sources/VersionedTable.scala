@@ -1524,6 +1524,58 @@ object VersionedTable {
       Some(removes.map(_._2).toSet), "optimize", ts)
   }
 
+  /** `RENAME COLUMN a TO b` as a REWRITE commit. The log is
+    * name-addressed (no Delta column mapping, by design — see
+    * [[dropColumnsCommit]]), so a metadata-only rename is impossible:
+    * parquet scans resolve columns by NAME, and an evolve entry alone
+    * would read null from every pre-rename file. The honest rename is
+    * therefore what Delta itself requires without column mapping — a
+    * full rewrite, here as ONE commit: read the snapshot (deletion
+    * vectors applied, so tombstones retire like OPTIMIZE), rename,
+    * rewrite every partition, remove every old entry, and publish the
+    * renamed schema as the new authoritative evolve entry (without it, a
+    * PRIOR evolve entry carrying the old name would stay latest and
+    * resurrect it). Cost is proportional to the table — at large scale
+    * rename at the view layer instead; the verb exists to complete the
+    * schema lifecycle. Time travel below the rename sees the old name;
+    * old files stay for it until vacuum. */
+  def renameColumnCommit(spark: SparkSession, path: String, from: String,
+                         to: String, partitionCol: String,
+                         statsCol: Option[String] = None,
+                         ts: Option[Long] = None): Commit = {
+    val resolver = spark.sessionState.conf.resolver
+    val pCols = partColsOf(partitionCol)
+    require(!pCols.exists(resolver(_, from)),
+      s"renameColumnCommit: '$from' is a partition column — rows are " +
+      "addressed by (key, partition); repartition via a rewrite instead")
+    require(!resolver(from, to),
+      s"renameColumnCommit: '$from' and '$to' are the same name")
+    val cur = latestVersion(spark, path)
+    require(cur >= 0,
+      s"renameColumnCommit: $path has no version 0 — create() first")
+    val current = read(spark, path, cur, mergeSchema = true)
+    require(current.schema.exists(f => resolver(f.name, from)),
+      s"renameColumnCommit: column '$from' does not exist")
+    require(!current.schema.exists(f => resolver(f.name, to)),
+      s"renameColumnCommit: column '$to' already exists")
+    // a declared stats column follows the rename (new files record their
+    // min/max under the NEW name; old files leave the manifest with this
+    // commit, so pruning stays coherent)
+    val effStats = statsCol.map(s => if (resolver(s, from)) to else s)
+    val renamed = current.withColumnRenamed(from, to)
+    def evolveAt(v: Int) = LogEntry(v, "evolve", f"_evolve/v$v%05d", "",
+      None, None, Some(renamed.schema.json))
+    val removes = liveEntries(spark, path, cur).map(e => (e.file, e.part))
+    if (removes.isEmpty)
+      return commitAttempt(spark, path, cur, Nil, Nil, Nil,
+        Some(Set.empty), "rename_column", ts, evolves = Seq(evolveAt(cur + 1)))
+    val adds = writeCommitFiles(spark, path, cur + 1, renamed, partitionCol,
+      effStats)
+    commitAttempt(spark, path, cur, adds, Nil, removes,
+      Some(removes.map(_._2).toSet ++ adds.map(_.part)), "rename_column",
+      ts, evolves = Seq(evolveAt(cur + 1)))
+  }
+
   /** OPTIMIZE ... ZORDER BY as a commit — re-CLUSTERING inside the log
     * (Delta's shape): rewrites the chosen partitions' live rows
     * range-partitioned and sorted by the Morton interleave of the two

@@ -211,6 +211,55 @@ class GraftVtAlterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_alt_w")
   }
 
+  test("RENAME COLUMN rewrites once, keeps values, frees the old name") {
+    val dir = newTable("graft_alt_rn", "vt_alt_rn")
+    val r = spark.sql(
+      "ALTER TABLE vt_alt_rn RENAME COLUMN v TO amount").head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "v->amount", r.toString)
+    assert(r.getInt(2) > 0, "a rename is a rewrite — files must move")
+    // values follow the name; the catalog copy is synced
+    val got = spark.sql(
+      "SELECT k, amount FROM vt_alt_rn ORDER BY k").collect()
+    assert(got.map(g => (g.getLong(0), g.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    assert(!spark.table("vt_alt_rn").columns.contains("v"))
+    // time travel below the rename sees the old name, with values
+    val v0 = spark.sql(
+      "SELECT v FROM vt_alt_rn VERSION AS OF 0 ORDER BY v").collect()
+    assert(v0.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    // the rewrite freed the old name: re-ADD works immediately (no live
+    // file carries it) and reads null
+    spark.sql("ALTER TABLE vt_alt_rn ADD COLUMNS (v BIGINT)")
+    assert(spark.sql("SELECT v FROM vt_alt_rn").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("DROP TABLE vt_alt_rn")
+  }
+
+  test("RENAME COLUMN guards and tombstone retirement") {
+    val dir = newTable("graft_alt_rg", "vt_alt_rg")
+    val ep = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_rg RENAME COLUMN p TO q") }
+    assert(ep.getMessage.contains("partition column"), ep.getMessage)
+    val ee = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_rg RENAME COLUMN v TO k") }
+    assert(ee.getMessage.contains("already exists"), ee.getMessage)
+    val en = intercept[Exception] {
+      spark.sql("ALTER TABLE vt_alt_rg RENAME COLUMN nope TO x") }
+    assert(en.getMessage.contains("does not exist"), en.getMessage)
+    // a live tombstone retires with the rewrite (the rename reads the
+    // snapshot deletion-vectors-applied, like OPTIMIZE)
+    import spark.implicits._
+    VersionedTable.deleteCommit(spark, dir,
+      Seq((1L, "p0")).toDF("k", "p"), "p")
+    spark.sql("ALTER TABLE vt_alt_rg RENAME COLUMN v TO amount")
+    val live = VersionedTable.liveEntries(spark, dir,
+      VersionedTable.latestVersion(spark, dir))
+    assert(live.forall(_.action == "add"), "tombstones must retire")
+    assert(spark.sql("SELECT k, amount FROM vt_alt_rg").collect()
+      .map(g => (g.getLong(0), g.getLong(1))).toSeq == Seq((2L, 20L)))
+    spark.sql("DROP TABLE vt_alt_rg")
+  }
+
   test("RESTORE across a DROP restores the wide schema and the values") {
     val dir = newTable("graft_alt_rs", "vt_alt_rs")
     spark.sql("ALTER TABLE vt_alt_rs DROP COLUMN v")
