@@ -1693,6 +1693,63 @@ object Etl {
       aggV(0).unionByName(aggV(1)).unionByName(aggV(2)).orderBy("version")
     }),
 
+    // CHECK constraints — Delta's table constraints over the versioned
+    // log (addConstraintCommit / write-path enforcement /
+    // dropConstraintCommit). The graded lifecycle: v1 ADDs
+    // CHECK (price_c >= 0) (admission scan passes on the seed months),
+    // v2 inserts a clean month through the gate, a VIOLATING insert is
+    // then REJECTED pre-commit (`rejected` carries proof: the version
+    // did not advance and the row count is unchanged), v3 drops the
+    // constraint and v4 lands the same once-rejected row. n_active =
+    // the active-constraint count at each version — the constraint set
+    // itself is versioned state.
+    "etl_sql_constraint" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fs = new org.apache.hadoop.fs.Path(vtConPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(vtConPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_con")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.createOrReplaceTempView("graft_vt_con_src")
+      VersionedTable.create(s, vtConPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_con USING graftvt " +
+        s"OPTIONS (path '$vtConPath', partitionCol 'pmonth')")
+      s.sql("ALTER TABLE graft_vt_con " +
+        "ADD CONSTRAINT price_pos CHECK (price_c >= 0)")
+      s.sql("INSERT INTO graft_vt_con " +
+        "SELECT o_orderkey, price_c, pmonth " +
+        "FROM graft_vt_con_src WHERE pmonth = '1997-03'")
+      val beforeReject = VersionedTable.latestVersion(s, vtConPath)
+      val rejected =
+        try {
+          s.sql("INSERT INTO graft_vt_con VALUES (-99, -1, '1997-01')")
+          false
+        } catch { case t: Throwable =>
+          t.getMessage != null && t.getMessage.contains("price_pos") &&
+            VersionedTable.latestVersion(s, vtConPath) == beforeReject
+        }
+      s.sql("ALTER TABLE graft_vt_con DROP CONSTRAINT price_pos")
+      s.sql("INSERT INTO graft_vt_con VALUES (-99, -1, '1997-01')")
+      // n_active is read back from the LOG (constraintsAt), so the graded
+      // row proves the per-version constraint state, not the test's input
+      def aggV(v: Int) =
+        s.sql(s"SELECT CAST($v AS INT) AS version, COUNT(*) AS n_rows, " +
+          "bit_xor(o_orderkey) AS xor_key, SUM(price_c) AS sum_price_c " +
+          s"FROM graft_vt_con VERSION AS OF $v")
+          .withColumn("n_active", lit(
+            VersionedTable.constraintsAt(s, vtConPath, v).size).cast("int"))
+      aggV(0).unionByName(aggV(1)).unionByName(aggV(2))
+        .unionByName(aggV(3)).unionByName(aggV(4))
+        .withColumn("rejected", lit(rejected))
+        .orderBy("version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1814,6 +1871,7 @@ object Etl {
   private[graft] val vtAltPath = s"${graft.fixtureRoot}/vt_orders_alt"
   private[graft] val vtDropPath = s"${graft.fixtureRoot}/vt_orders_drop"
   private[graft] val vtRenPath = s"${graft.fixtureRoot}/vt_orders_ren"
+  private[graft] val vtConPath = s"${graft.fixtureRoot}/vt_orders_con"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -3211,6 +3269,41 @@ object Etl {
         |  COUNT(flag) AS n_flag,
         |  CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag
         |FROM u GROUP BY version, n_cols
+        |ORDER BY version""".stripMargin,
+    // Constraint lifecycle re-derived from the data: v0 = two seed
+    // months, v1 = ADD (content unchanged), v2 = + 1997-03, v3 = DROP
+    // (content unchanged), v4 = + the once-rejected violating row;
+    // n_active replays the metadata commits and rejected must be TRUE —
+    // the violating INSERT between v2 and v3 left no version behind.
+    "etl_sql_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-02'),
+        |t2 AS (
+        |  SELECT * FROM t0
+        |  UNION ALL
+        |  SELECT * FROM base WHERE pmonth = '1997-03'),
+        |t4 AS (
+        |  SELECT * FROM t2
+        |  UNION ALL
+        |  SELECT CAST(-99 AS BIGINT), CAST(-1 AS BIGINT), '1997-01'),
+        |u AS (
+        |  SELECT 0 AS version, 0 AS n_active, o_orderkey, price_c FROM t0
+        |  UNION ALL SELECT 1, 1, o_orderkey, price_c FROM t0
+        |  UNION ALL SELECT 2, 1, o_orderkey, price_c FROM t2
+        |  UNION ALL SELECT 3, 0, o_orderkey, price_c FROM t2
+        |  UNION ALL SELECT 4, 0, o_orderkey, price_c FROM t4)
+        |SELECT version, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  n_active, CAST(1 AS BOOLEAN) AS rejected
+        |FROM u GROUP BY version, n_active
         |ORDER BY version""".stripMargin,
     // Rename lifecycle re-derived from the data: v0 = two seed months
     // under the old name, v1 = same rows under the new name (every value

@@ -136,3 +136,34 @@ final case class GraftVtRenameColumnCommand(table: String, from: String,
     Seq(Row(c.version, s"$from->$to", c.filesAdded))
   }
 }
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` (expr = Some) /
+  * `DROP CONSTRAINT name` (expr = None) — Delta's table-constraint DDL
+  * over the versioned log: ADD pays one validating scan of the existing
+  * rows (Delta's same admission price), DROP is one metadata commit,
+  * and every write path thereafter checks its new files against the
+  * active set before publishing. No schema change — nothing to sync to
+  * the catalog. */
+final case class GraftVtConstraintCommand(table: String, name: String,
+                                          expr: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("active", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, path, _, _) = GraftVtMaintenance.resolve(spark, table,
+      expr.fold("ALTER TABLE DROP CONSTRAINT")(_ =>
+        "ALTER TABLE ADD CONSTRAINT"))
+    val c = expr match {
+      case Some(e) => VersionedTable.addConstraintCommit(spark, path, name, e)
+      case None    => VersionedTable.dropConstraintCommit(spark, path, name)
+    }
+    rel.refreshSnapshot()
+    Seq(Row(c.version, name,
+      VersionedTable.constraintsAt(spark, path, c.version)
+        .keys.toSeq.sorted.mkString(",")))
+  }
+}

@@ -100,6 +100,15 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)""" +
       """\s*;?\s*$""").r
+  // `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT
+  // name` — Delta's constraint DDL shape; the greedy expression capture
+  // spans to the LAST ')', so nested parens stay balanced
+  private val addConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val dropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, zlist) =>
@@ -141,6 +150,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVtRenameColumnCommand(t,
         from.stripPrefix("`").stripSuffix("`"),
         to.stripPrefix("`").stripSuffix("`"))
+    case addConstraintRe(t, name, ex) if isGraftVt(t) =>
+      GraftVtConstraintCommand(t, name, Some(ex.trim))
+    case dropConstraintRe(t, name) if isGraftVt(t) =>
+      GraftVtConstraintCommand(t, name, None)
     // everything else — including ALTER TABLE DROP/RENAME on non-graftvt
     // tables — is Spark's grammar, with one post-parse substitution:
     // `FROM t VERSION|TIMESTAMP AS OF ...` (which Spark parses but cannot

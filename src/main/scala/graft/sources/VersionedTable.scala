@@ -334,19 +334,31 @@ object VersionedTable {
     (rows.filter(e =>
       (e.action == "add" || e.action == "tomb") &&
       lastRemove.get(e.file).forall(_ < e.version)),
-      rows.filter(_.action == "evolve"))
+      // the ride-along metadata channel: evolve (schema) and constraint
+      // entries reference no data file and are never removed — they
+      // survive checkpointing because checkpoint materializes exactly
+      // this set (with versions preserved; per-name/latest resolution is
+      // version-order-dependent)
+      rows.filter(e => e.action == "evolve" || e.action == "constraint"))
   }
 
   /** Materializes `version`'s live set as a checkpoint manifest (atomic
     * temp-write + rename, like commits), PRESERVING each entry's action so
-    * tombstones survive replay-from-checkpoint. Older manifests stay in
-    * place — they are what makes versions BELOW the checkpoint still
+    * tombstones survive replay-from-checkpoint — and each entry's ORIGINAL
+    * version: the replayed state is version-ORDER-dependent (the latest
+    * evolve entry is the authoritative schema; order-aware remove
+    * resolution compares add vs remove versions; union schemas merge in
+    * commit order), so collapsing every row to the checkpoint's version
+    * would tie those comparisons and let a later replay pick the wrong
+    * winner — a DROP COLUMN followed by a checkpoint used to resurrect
+    * the dropped columns exactly this way. Older manifests stay in place
+    * — they are what makes versions BELOW the checkpoint still
     * resolvable. */
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
     import spark.implicits._
     val rows = replayEntries(spark, path, version)
-      .map(e => (version, e.action, e.file, e.part, e.smin, e.smax, e.fschema,
-        e.nrec, e.scol, e.mstats))
+      .map(e => (e.version, e.action, e.file, e.part, e.smin, e.smax,
+        e.fschema, e.nrec, e.scol, e.mstats))
     val tmp = s"$path/_ckpttmp_${newToken()}"
     rows.toDF("version", "action", "file", "part", "smin", "smax", "fschema",
         "nrec", "scol", "mstats")
@@ -428,7 +440,8 @@ object VersionedTable {
     // authoritative table schema for this snapshot
     val evolveEntries = entriesAll.filter(_.action == "evolve")
     val entries = entriesAll.filter(e =>
-      e.action != "evolve" && partValues.forall(_(e.part)))
+      e.action != "evolve" && e.action != "constraint" &&
+      partValues.forall(_(e.part)))
     val allDataEntries = entries.filter(_.action == "add")
     val dataEntries =
       if (statsBounds.isEmpty) allDataEntries
@@ -709,11 +722,15 @@ object VersionedTable {
     * schemas. None when any contributing entry predates schema
     * recording — callers fall back to footer inference. */
   private[sources] def effectiveSchemaOf(
-      evolves: Seq[LogEntry], adds: Seq[LogEntry]): Option[StructType] =
-    if (evolves.nonEmpty) {
-      val latest = evolves.maxBy(_.version)
+      evolves: Seq[LogEntry], adds: Seq[LogEntry]): Option[StructType] = {
+    // callers may hand the whole metadata channel (replayAll._2) —
+    // constraint entries carry an EXPRESSION in fschema, not a schema
+    val ev = evolves.filter(_.action == "evolve")
+    if (ev.nonEmpty) {
+      val latest = ev.maxBy(_.version)
       unionSchemaOf(latest +: adds.filter(_.version > latest.version))
     } else unionSchemaOf(adds)
+  }
 
   private def unionSchemaOf(entries: Seq[LogEntry]): Option[StructType] = {
     if (entries.isEmpty || entries.exists(_.fschema.isEmpty)) return None
@@ -760,11 +777,14 @@ object VersionedTable {
         (version, "remove", fl, p, None: Option[Long], None: Option[Long],
           None: Option[String], None: Option[Long], None: Option[String],
           None: Option[String]) } ++
-      // the label derives from the CLAIMED version (a rebased attempt may
-      // publish at a later v than the entry was built for; evolve entries
-      // reference no physical file, the label only names the commit)
-      evolves.map(e => (version, "evolve", f"_evolve/v$version%05d", e.part,
-        None: Option[Long], None: Option[Long], e.fschema,
+      // evolve labels derive from the CLAIMED version (a rebased attempt
+      // may publish at a later v than the entry was built for; evolve
+      // entries reference no physical file, the label only names the
+      // commit). Constraint entries ride the same channel but KEEP their
+      // label — it encodes the constraint's NAME.
+      evolves.map(e => (version, e.action,
+        if (e.action == "evolve") f"_evolve/v$version%05d" else e.file,
+        e.part, None: Option[Long], None: Option[Long], e.fschema,
         None: Option[Long], None: Option[String], None: Option[String]))
     // an empty commit still carries one `noop` row: every manifest names
     // its version, so any reader deriving the version set from the log
@@ -1064,6 +1084,7 @@ object VersionedTable {
     requireNoResurface(spark, path, cur, df.columns.toSeq, "appendCommit")
     val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol, statsCol,
       fileSplits)
+    requireConstraintsHold(spark, path, cur, adds)
     commitAttempt(spark, path, cur, adds, Nil, Nil, None, opName, ts)
   }
 
@@ -1119,6 +1140,7 @@ object VersionedTable {
     val removes = liveEntries(spark, path, cur).map(e => (e.file, e.part))
     val adds = writeCommitFiles(spark, path, cur + 1, df, partitionCol,
       statsCol, fileSplits)
+    requireConstraintsHold(spark, path, cur, adds)
     commitAttempt(spark, path, cur, adds, Nil, removes,
       Some((removes.map(_._2) ++ adds.map(_.part)).toSet), "overwrite", ts)
   }
@@ -1172,6 +1194,7 @@ object VersionedTable {
     try {
       val adds = writeCommitFiles(spark, path, cur + 1, merged, partitionCol,
         statsCol)
+      requireConstraintsHold(spark, path, cur, adds)
       commitAttempt(spark, path, cur, adds, Nil, removes,
         Some(affectedSet), "merge", ts)
     } finally MergeSink.dropCheckpoint(merged)
@@ -1250,6 +1273,9 @@ object VersionedTable {
         s"rewritePartitionsCommit: rewritten rows landed outside the " +
         s"declared partitions: ${escaped.take(5).mkString(", ")}")
     }
+    // UPDATE can assign a violating value — the COW rewrite enforces CHECK
+    // constraints like any other write of new content
+    requireConstraintsHold(spark, path, cur, adds)
     commitAttempt(spark, path, cur, adds, Nil, removes, Some(parts), opName, ts)
   }
 
@@ -1406,6 +1432,7 @@ object VersionedTable {
           "delete-identity column — the snapshot anti-join would lose " +
           "it; OPTIMIZE the table first to materialize the deletions")
       }
+      requireNoConstraintRef(spark, path, cur, names, "dropColumnsCommit")
       val narrowed = StructType(current.fields.filterNot(f =>
         names.exists(resolver(f.name, _))))
       require(narrowed.nonEmpty,
@@ -1421,6 +1448,167 @@ object VersionedTable {
           s"dropColumnsCommit: lost $attempts commit races at $path")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Active CHECK constraints of snapshot `version`: name → boolean SQL
+    * expression. Constraint entries ride the log's metadata channel like
+    * evolves (never removed, checkpoint-materialized, time-travelable);
+    * per name the LATEST entry wins, and an entry with no expression is
+    * the drop marker. */
+  def constraintsAt(spark: SparkSession, path: String,
+                    version: Int): Map[String, String] =
+    replayEntries(spark, path, version)
+      .filter(_.action == "constraint")
+      .groupBy(_.file).values
+      .map(_.maxBy(_.version))
+      .collect { case e if e.fschema.nonEmpty =>
+        e.file.stripPrefix("_constraint/") -> e.fschema.get }
+      .toMap
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (expr)` — Delta's table
+    * constraint, as a metadata commit with Delta's same admission price:
+    * every EXISTING row must already satisfy the expression, proven by
+    * one scan of the current snapshot (predicate-pushed; the only
+    * data-proportional cost, paid once at ADD). From this version on,
+    * every write path validates its freshly-written files against the
+    * active set before publishing ([[requireConstraintsHold]]). SQL CHECK
+    * semantics: NULL passes, only FALSE violates. Time travel below the
+    * ADD (or a RESTORE) is unconstrained history — the entries ride the
+    * metadata channel, so the constraint set itself is versioned. */
+  def addConstraintCommit(spark: SparkSession, path: String, name: String,
+                          expr: String, ts: Option[Long] = None): Commit = {
+    require(name.matches("\\w+"),
+      s"addConstraintCommit: constraint name must be a plain identifier, " +
+      s"got '$name'")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = latestVersion(spark, path)
+      require(cur >= 0,
+        s"addConstraintCommit: $path has no version 0 — create() first")
+      require(!constraintsAt(spark, path, cur).keys
+          .exists(_.equalsIgnoreCase(name)),
+        s"addConstraintCommit: constraint '$name' already exists")
+      val df = read(spark, path, cur, mergeSchema = true)
+      // the expression must analyze as BOOLEAN over the current schema
+      val dt = try df.selectExpr(s"($expr) AS __c").schema.head.dataType
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"addConstraintCommit: CHECK ($expr) does not resolve against " +
+          s"the table schema: ${e.getMessage}", e) }
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"addConstraintCommit: CHECK ($expr) must be BOOLEAN, got $dt")
+      val bad = df.filter(org.apache.spark.sql.functions.not(
+        coalesce(expression(spark, expr), lit(true)))).take(1)
+      require(bad.isEmpty,
+        s"addConstraintCommit: existing rows violate CHECK ($expr), " +
+        s"e.g. ${bad.headOption.getOrElse("")}")
+      val v = cur + 1
+      val entry = LogEntry(v, "constraint", s"_constraint/$name", "",
+        None, None, Some(expr))
+      if (publishIfAbsent(spark, path, v, Nil, Nil, Nil, "add_constraint",
+          ts, evolves = Seq(entry)))
+        return Commit(v, 0, 0)
+      if (attempts >= MaxCommitAttempts)
+        throw new ConcurrentModificationException(
+          s"addConstraintCommit: lost $attempts commit races at $path")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — a metadata commit writing the
+    * per-name drop marker (an entry with no expression). */
+  def dropConstraintCommit(spark: SparkSession, path: String, name: String,
+                           ts: Option[Long] = None): Commit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = latestVersion(spark, path)
+      require(cur >= 0,
+        s"dropConstraintCommit: $path has no version 0 — create() first")
+      val active = constraintsAt(spark, path, cur)
+      val actual = active.keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropConstraintCommit: no active constraint named '$name' " +
+          s"(active: ${active.keys.mkString(", ")})"))
+      val v = cur + 1
+      val entry = LogEntry(v, "constraint", s"_constraint/$actual", "",
+        None, None, None)
+      if (publishIfAbsent(spark, path, v, Nil, Nil, Nil, "drop_constraint",
+          ts, evolves = Seq(entry)))
+        return Commit(v, 0, 0)
+      if (attempts >= MaxCommitAttempts)
+        throw new ConcurrentModificationException(
+          s"dropConstraintCommit: lost $attempts commit races at $path")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def expression(spark: SparkSession, sql: String) =
+    org.apache.spark.sql.functions.expr(sql)
+
+  /** True when `ex` (a stored CHECK expression) references `colName` —
+    * the DROP/RENAME COLUMN guard: a later write-validation of a
+    * constraint whose column vanished would fail to resolve, so the
+    * schema change is refused until the constraint is dropped.
+    * Unparseable stored text answers true (conservative). */
+  private def exprReferences(spark: SparkSession, ex: String,
+                             colName: String,
+                             resolver: (String, String) => Boolean)
+      : Boolean =
+    try spark.sessionState.sqlParser.parseExpression(ex).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    }.exists(resolver(_, colName))
+    catch { case _: Exception => true }
+
+  /** Refuse dropping/renaming any column an active constraint mentions. */
+  private def requireNoConstraintRef(spark: SparkSession, path: String,
+                                     cur: Int, names: Seq[String],
+                                     what: String): Unit = {
+    val resolver = spark.sessionState.conf.resolver
+    val cons = constraintsAt(spark, path, cur)
+    names.foreach { n =>
+      cons.foreach { case (cn, ex) =>
+        require(!exprReferences(spark, ex, n, resolver),
+          s"$what: active CHECK constraint '$cn' ($ex) references " +
+          s"column '$n' — DROP CONSTRAINT $cn first")
+      }
+    }
+  }
+
+  /** Enforce the snapshot's CHECK constraints over freshly-WRITTEN commit
+    * files before they publish. Validating the durable files (not the
+    * caller's DataFrame) costs one pushdown-friendly scan of the NEW
+    * bytes only and cannot be split from the written content by a
+    * nondeterministic source. Files are read under the table's effective
+    * schema widened by the batch's own, so a constraint referencing a
+    * column this batch omits sees NULL — which passes, per SQL CHECK.
+    * On violation the attempt files are cleaned and the write aborts. */
+  private def requireConstraintsHold(spark: SparkSession, path: String,
+                                     cur: Int, adds: Seq[LogEntry]): Unit = {
+    if (adds.isEmpty) return
+    val cons = constraintsAt(spark, path, cur)
+    if (cons.isEmpty) return
+    val (live, meta) = replayAll(spark, path, cur)
+    val eff = effectiveSchemaOf(meta, live.filter(_.action == "add"))
+      .map(s => LogEntry(-1, "add", "", "", None, None, Some(s.json)))
+    val schema = unionSchemaOf(eff.toSeq ++ adds)
+    val files = adds.map(e => s"$path/${e.file}")
+    val df = schema match {
+      case Some(u) => spark.read.schema(u).parquet(files: _*)
+      case None    => spark.read.option("mergeSchema", "true")
+        .parquet(files: _*)
+    }
+    cons.foreach { case (name, ex) =>
+      val bad = df.filter(org.apache.spark.sql.functions.not(
+        coalesce(expression(spark, ex), lit(true)))).take(1)
+      if (bad.nonEmpty) {
+        cleanupAttempt(spark, path, adds)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($ex) violated by this write, " +
+          s"e.g. ${bad.head}")
+      }
+    }
   }
 
   def restoreCommit(spark: SparkSession, path: String, toVersion: Int,
@@ -1558,6 +1746,7 @@ object VersionedTable {
       s"renameColumnCommit: column '$from' does not exist")
     require(!current.schema.exists(f => resolver(f.name, to)),
       s"renameColumnCommit: column '$to' already exists")
+    requireNoConstraintRef(spark, path, cur, Seq(from), "renameColumnCommit")
     // a declared stats column follows the rename (new files record their
     // min/max under the NEW name; old files leave the manifest with this
     // commit, so pruning stays coherent)

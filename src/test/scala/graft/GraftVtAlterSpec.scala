@@ -260,6 +260,33 @@ class GraftVtAlterSpec extends AnyFunSuite {
     spark.sql("DROP TABLE vt_alt_rg")
   }
 
+  test("a checkpoint preserves evolve ORDER — drop survives compaction") {
+    // regression: checkpoint() used to rewrite every materialized entry
+    // to the checkpoint's version, so the "latest evolve wins" rule tied
+    // and a DROP followed by a checkpoint resurrected the dropped columns
+    val dir = Files.createTempDirectory("graft_alt_ckv").toString + "/t"
+    import spark.implicits._
+    VersionedTable.create(spark, dir,
+      Seq((1L, 10L, "p0")).toDF("k", "v", "p"), "p")
+    VersionedTable.addColumnsCommit(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType)))
+    VersionedTable.dropColumnsCommit(spark, dir, Seq("a", "v"), "p")
+    VersionedTable.checkpoint(spark, dir, 2)
+    assert(VersionedTable.read(spark, dir, 2).columns
+      .sameElements(Array("k", "p")))
+    // original versions survive the materialization (the data file is
+    // still a v0 entry, the evolves keep their commit order)
+    assert(VersionedTable.liveEntries(spark, dir, 2).forall(_.version == 0))
+    // and a SECOND checkpoint (replaying from the first) stays stable
+    VersionedTable.addColumnsCommit(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.LongType)))
+    VersionedTable.checkpoint(spark, dir, 3)
+    assert(VersionedTable.read(spark, dir, 3).columns
+      .sameElements(Array("k", "p", "z")))
+  }
+
   test("RESTORE across a DROP restores the wide schema and the values") {
     val dir = newTable("graft_alt_rs", "vt_alt_rs")
     spark.sql("ALTER TABLE vt_alt_rs DROP COLUMN v")
