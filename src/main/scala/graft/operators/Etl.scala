@@ -1750,6 +1750,61 @@ object Etl {
         .orderBy("version")
     }),
 
+    // SHALLOW CLONE — zero-copy dataset fork (cloneCommit): the clone's
+    // v0 re-references the PINNED source snapshot's files in place
+    // (zero_copy proves every v0 manifest entry points outside the
+    // clone's directory; n_referenced is the command's own file count),
+    // then the two tables diverge — the clone gains 1997-04, the source
+    // gains 1997-05, and neither sees the other's month. The clone pins
+    // VERSION AS OF 0, so the source's pre-clone append of 1997-03 is
+    // NOT part of the fork either.
+    "etl_sql_clone" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val fsrc = new org.apache.hadoop.fs.Path(vtClSrcPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsrc.delete(new org.apache.hadoop.fs.Path(vtClSrcPath), true)
+      fsrc.delete(new org.apache.hadoop.fs.Path(vtClDstPath), true)
+      s.sql("DROP TABLE IF EXISTS graft_vt_clsrc")
+      s.sql("DROP TABLE IF EXISTS graft_vt_cldst")
+      val base = Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(Tables.dec($"o_totalprice") * 100).cast("long").as("price_c"),
+        date_format($"o_orderdate", "yyyy-MM").as("pmonth"))
+      base.createOrReplaceTempView("graft_vt_cl_src")
+      VersionedTable.create(s, vtClSrcPath,
+        base.filter($"pmonth" >= "1997-01" && $"pmonth" <= "1997-02"),
+        "pmonth")
+      VersionedTable.appendCommit(s, vtClSrcPath,
+        base.filter($"pmonth" === "1997-03"), "pmonth")
+      s.sql(s"CREATE TABLE graft_vt_clsrc USING graftvt " +
+        s"OPTIONS (path '$vtClSrcPath', partitionCol 'pmonth')")
+      val cl = s.sql("CREATE TABLE graft_vt_cldst SHALLOW CLONE " +
+        s"graft_vt_clsrc VERSION AS OF 0 LOCATION '$vtClDstPath'").head()
+      s.sql("INSERT INTO graft_vt_cldst " +
+        "SELECT o_orderkey, price_c, pmonth " +
+        "FROM graft_vt_cl_src WHERE pmonth = '1997-04'")
+      s.sql("INSERT INTO graft_vt_clsrc " +
+        "SELECT o_orderkey, price_c, pmonth " +
+        "FROM graft_vt_cl_src WHERE pmonth = '1997-05'")
+      val cloneRoot = new org.apache.hadoop.fs.Path(vtClDstPath)
+        .toUri.getPath
+      val zeroCopy = VersionedTable.liveEntries(s, vtClDstPath, 0)
+        .forall(e => !new org.apache.hadoop.fs.Path(
+          VersionedTable.resolveFile(vtClDstPath, e.file))
+          .toUri.getPath.startsWith(cloneRoot))
+      def agg(side: String, from: String, v: Int) =
+        s.sql(s"SELECT '$side' AS side, CAST($v AS INT) AS version, " +
+          "COUNT(*) AS n_rows, bit_xor(o_orderkey) AS xor_key, " +
+          s"SUM(price_c) AS sum_price_c FROM $from")
+      agg("src", "graft_vt_clsrc", 2)
+        .unionByName(agg("clone", "graft_vt_cldst VERSION AS OF 0", 0))
+        .unionByName(agg("clone", "graft_vt_cldst", 1))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("n_referenced", lit(cl.getLong(1)))
+        .orderBy("side", "version")
+    }),
+
     // SQL CONVERT — zero-copy in-place adoption of a plain Hive-layout
     // parquet directory (Delta's CONVERT TO DELTA): the slice is written
     // by the PLAIN Spark writer (partition values live only in directory
@@ -1872,6 +1927,8 @@ object Etl {
   private[graft] val vtDropPath = s"${graft.fixtureRoot}/vt_orders_drop"
   private[graft] val vtRenPath = s"${graft.fixtureRoot}/vt_orders_ren"
   private[graft] val vtConPath = s"${graft.fixtureRoot}/vt_orders_con"
+  private[graft] val vtClSrcPath = s"${graft.fixtureRoot}/vt_orders_clsrc"
+  private[graft] val vtClDstPath = s"${graft.fixtureRoot}/vt_orders_cldst"
   private[graft] val vtRstPath = s"${graft.fixtureRoot}/vt_orders_rst"
   private[graft] val vtCnvPath = s"${graft.fixtureRoot}/vt_orders_cnv"
   private val mpWrittenFor =
@@ -3270,6 +3327,39 @@ object Etl {
         |  CAST(coalesce(SUM(flag), 0) AS BIGINT) AS sum_flag
         |FROM u GROUP BY version, n_cols
         |ORDER BY version""".stripMargin,
+    // Clone fork re-derived from the data: the source at its latest (3
+    // seed months + 1997-05), the clone pinned at v0 (2 months), the
+    // clone after its own insert (+ 1997-04); zero_copy and
+    // n_referenced (= the two v0 month-files) are engine claims the
+    // oracle states as constants.
+    "etl_sql_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        |      AS price_c,
+        |    strftime(o_orderdate, '%Y-%m') AS pmonth
+        |  FROM orders),
+        |t0 AS (
+        |  SELECT * FROM base
+        |  WHERE pmonth >= '1997-01' AND pmonth <= '1997-02'),
+        |srcl AS (
+        |  SELECT * FROM base
+        |  WHERE (pmonth >= '1997-01' AND pmonth <= '1997-03')
+        |     OR pmonth = '1997-05'),
+        |cll AS (
+        |  SELECT * FROM t0
+        |  UNION ALL SELECT * FROM base WHERE pmonth = '1997-04'),
+        |u AS (
+        |  SELECT 'src' AS side, 2 AS version, o_orderkey, price_c FROM srcl
+        |  UNION ALL SELECT 'clone', 0, o_orderkey, price_c FROM t0
+        |  UNION ALL SELECT 'clone', 1, o_orderkey, price_c FROM cll)
+        |SELECT side, version, COUNT(*) AS n_rows,
+        |  bit_xor(o_orderkey) AS xor_key,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(1 AS BOOLEAN) AS zero_copy,
+        |  CAST(2 AS BIGINT) AS n_referenced
+        |FROM u GROUP BY side, version
+        |ORDER BY side, version""".stripMargin,
     // Constraint lifecycle re-derived from the data: v0 = two seed
     // months, v1 = ADD (content unchanged), v2 = + 1997-03, v3 = DROP
     // (content unchanged), v4 = + the once-rejected violating row;

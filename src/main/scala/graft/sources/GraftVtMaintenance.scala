@@ -109,6 +109,15 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val dropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""").r
+  // `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n] LOCATION '<path>'`
+  // — Delta's clone verb (not Spark grammar, so the claim is
+  // unconditional like OPTIMIZE); LOCATION is required because a clone is
+  // by definition a new external table
+  private val cloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + ident +
+      """\s+SHALLOW\s+CLONE\s+""" + ident +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case optimizeRe(t, zlist) =>
@@ -154,6 +163,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVtConstraintCommand(t, name, Some(ex.trim))
     case dropConstraintRe(t, name) if isGraftVt(t) =>
       GraftVtConstraintCommand(t, name, None)
+    case cloneRe(dst, src, v, loc) =>
+      GraftCloneCommand(dst, src, Option(v).map(_.toInt), loc)
     // everything else — including ALTER TABLE DROP/RENAME on non-graftvt
     // tables — is Spark's grammar, with one post-parse substitution:
     // `FROM t VERSION|TIMESTAMP AS OF ...` (which Spark parses but cannot
@@ -337,6 +348,36 @@ final case class GraftConvertCommand(path: String, partitionCol: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val c = VersionedTable.convert(spark, path, partitionCol)
     Seq(Row(c.version, c.filesAdded.toLong))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] LOCATION p` —
+  * zero-copy dataset fork ([[VersionedTable.cloneCommit]]): the clone's
+  * v0 re-references the source snapshot's files in place, carrying its
+  * schema, stats, live tombstones and CHECK constraints; both tables then
+  * diverge independently. The new table registers in the catalog with the
+  * source's partitionCol/statsCol options. Returns
+  * (version 0, n_referenced, src_version). */
+final case class GraftCloneCommand(dst: String, src: String,
+                                   srcVersion: Option[Int], location: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_referenced", LongType, nullable = false)(),
+    AttributeReference("src_version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, srcPath, partitionCol, statsCol) =
+      GraftVtMaintenance.resolve(spark, src, "SHALLOW CLONE",
+        mutating = false)
+    val v = srcVersion.getOrElse(
+      VersionedTable.latestVersion(spark, srcPath))
+    val c = VersionedTable.cloneCommit(spark, location, srcPath, v)
+    val stats = statsCol.map(s => s", statsCol '$s'").getOrElse("")
+    spark.sql(s"CREATE TABLE $dst USING graftvt OPTIONS " +
+      s"(path '$location', partitionCol '$partitionCol'$stats)")
+    Seq(Row(0, c.filesAdded.toLong, v))
   }
 }
 

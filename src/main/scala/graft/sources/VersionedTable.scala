@@ -395,7 +395,7 @@ object VersionedTable {
     (version to 0 by -1).iterator
       .flatMap(v => adds.find(e =>
         e.version <= v && removedAt.get(e.file).forall(_ > v))
-        .map(e => s"$path/${e.file}"))
+        .map(e => resolveFile(path, e.file)))
       .find(p => f.exists(new Path(p)))
   }
 
@@ -450,9 +450,9 @@ object VersionedTable {
         statsBounds.forall { case (c, (lo, hi)) =>
           ranges.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo } }
       }
-    val dataFiles = dataEntries.map(e => s"$path/${e.file}")
+    val dataFiles = dataEntries.map(e => resolveFile(path, e.file))
     val tombFiles = entries.collect {
-      case e if e.action == "tomb" => s"$path/${e.file}" }
+      case e if e.action == "tomb" => resolveFile(path, e.file) }
     // Schema from the LOG whenever it can answer exactly: the union
     // schema under mergeSchema, or — when every file to be read records
     // the SAME write schema (the common case) — that schema directly.
@@ -531,6 +531,21 @@ object VersionedTable {
   private[graft] def engineOwned(relFile: String): Boolean =
     relFile.startsWith("data/")
 
+  /** Resolve a manifest file reference to an absolute path: relative
+    * labels live under the table's own directory, while a SHALLOW CLONE's
+    * imported entries are recorded ABSOLUTE — they reference the source
+    * table's files in place ([[cloneCommit]]). Vacuum stays safe by
+    * construction: it deletes only files it finds LISTED under the
+    * table's own directory, where a cross-table reference never appears. */
+  private[graft] def isAbsoluteRef(ref: String): Boolean =
+    ref.startsWith("/") ||
+      // any scheme'd URI — Hadoop renders local paths as single-slash
+      // `file:/...`, object stores as `scheme://...`
+      ref.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  private[graft] def resolveFile(path: String, rel: String): String =
+    if (isAbsoluteRef(rel)) rel else s"$path/$rel"
+
   /** Read a commit's data files, splitting engine-written files (columns
     * complete in content) from convert-imported external files (partition
     * columns reconstructed from their key=value directories via
@@ -546,8 +561,12 @@ object VersionedTable {
                             mkReader: () => org.apache.spark.sql.DataFrameReader)
       : DataFrame = {
     val prefix = s"$path/"
+    // under THIS table, the layout decides; a cross-table (clone)
+    // reference is engine-layout by [[cloneCommit]]'s admission check
+    // (sources with convert-imported live files are refused), so it
+    // always reads plain
     val (own, ext) = absFiles.partition(f =>
-      engineOwned(f.stripPrefix(prefix)))
+      !f.startsWith(prefix) || engineOwned(f.stripPrefix(prefix)))
     val parts = Seq(
       if (own.nonEmpty) Some(mkReader().parquet(own: _*)) else None,
       if (ext.nonEmpty)
@@ -1009,6 +1028,64 @@ object VersionedTable {
     Commit(0, adds.size, 0)
   }
 
+  /** SHALLOW CLONE — fork a table's snapshot as a NEW table, zero-copy
+    * (Delta's shape): the clone's version 0 re-references the source
+    * snapshot's live files by ABSOLUTE path ([[resolveFile]]); no byte of
+    * data moves at any table size. The training-pipeline primitive this
+    * engine exists for — pin a dataset version, then let the fork and the
+    * source diverge independently (each table's later commits write under
+    * its OWN directory; the clone's OPTIMIZE fully materializes it).
+    * Cloned state is the complete snapshot: data files AND live
+    * tombstones (merge-on-read deletes carry over), per-file stats (the
+    * clone prunes from its manifest immediately), the effective SCHEMA
+    * pinned as a v0 evolve entry (a source-side DROP's narrowing
+    * survives), and the active CHECK constraints.
+    *
+    * Two Delta-identical sharp edges, guarded or documented:
+    *   - a source whose live set still contains CONVERT-imported files is
+    *     refused (their hive-layout reads need the SOURCE's basePath;
+    *     OPTIMIZE the source once to adopt them, then clone);
+    *   - VACUUM on the source does not know about clones — retain enough
+    *     versions on the source, or OPTIMIZE the clone to cut the cord
+    *     (vacuum on the CLONE is safe by construction: it only deletes
+    *     files listed under the clone's own directory). */
+  def cloneCommit(spark: SparkSession, dstPath: String, srcPath: String,
+                  srcVersion: Int, ts: Option[Long] = None): Commit = {
+    require(latestVersion(spark, dstPath) < 0,
+      s"cloneCommit: $dstPath already has a log")
+    val srcLatest = latestVersion(spark, srcPath)
+    require(srcVersion >= 0 && srcVersion <= srcLatest,
+      s"cloneCommit: source version $srcVersion not in [0, $srcLatest]")
+    val live = liveEntries(spark, srcPath, srcVersion)
+    val imported = live.filter(e =>
+      !isAbsoluteRef(e.file) && !engineOwned(e.file))
+    require(imported.isEmpty,
+      s"cloneCommit: source still references ${imported.size} " +
+      "convert-imported file(s) whose partition values live only in the " +
+      "source's directory layout — OPTIMIZE the source first, then clone")
+    val refs = live.map(e =>
+      e.copy(version = 0, file = resolveFile(srcPath, e.file)))
+    val adds = refs.filter(_.action == "add")
+    val tombs = refs.filter(_.action == "tomb")
+    val schemaEntry =
+      read(spark, srcPath, srcVersion, mergeSchema = true).schema match {
+      case s if s.nonEmpty =>
+        Seq(LogEntry(0, "evolve", "_evolve/v00000", "", None, None,
+          Some(s.json)))
+      case _ => Nil
+    }
+    val consEntries = constraintsAt(spark, srcPath, srcVersion).toSeq
+      .map { case (n, ex) =>
+        LogEntry(0, "constraint", s"_constraint/$n", "", None, None,
+          Some(ex)) }
+    if (!publishIfAbsent(spark, dstPath, 0, adds, tombs, Nil, "clone", ts,
+        evolves = schemaEntry ++ consEntries))
+      // we own none of the referenced files: on a lost race, clean NOTHING
+      throw new ConcurrentModificationException(
+        s"concurrent create/clone at $dstPath")
+    Commit(0, adds.size + tombs.size, 0)
+  }
+
   /** Exactly-once streaming-sink markers, Delta SetTransaction-style but
     * carried in the commit's op metadata: [[txnOp]] stamps a commit with
     * `(appId, batchId)`, [[lastTxn]] recovers the highest batch id a given
@@ -1049,10 +1126,10 @@ object VersionedTable {
     val entries = liveEntries(spark, path, version)
     val dataFiles = entries.collect {
       case e if e.action == "add" &&
-        e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo) => s"$path/${e.file}"
+        e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo) => resolveFile(path, e.file)
     }
     val tombFiles = entries.collect {
-      case e if e.action == "tomb" => s"$path/${e.file}" }
+      case e if e.action == "tomb" => resolveFile(path, e.file) }
     if (dataFiles.isEmpty) read(spark, path, version, Some(Set.empty))
     else {
       // split reader: convert-imported files reconstruct their partition
@@ -1593,7 +1670,7 @@ object VersionedTable {
     val eff = effectiveSchemaOf(meta, live.filter(_.action == "add"))
       .map(s => LogEntry(-1, "add", "", "", None, None, Some(s.json)))
     val schema = unionSchemaOf(eff.toSeq ++ adds)
-    val files = adds.map(e => s"$path/${e.file}")
+    val files = adds.map(e => resolveFile(path, e.file))
     val df = schema match {
       case Some(u) => spark.read.schema(u).parquet(files: _*)
       case None    => spark.read.option("mergeSchema", "true")
@@ -1630,7 +1707,7 @@ object VersionedTable {
       case e if !keepFiles(e.file) => (e.file, e.part) }
     val f = fs(spark, path)
     readds.foreach { e =>
-      require(f.exists(new Path(s"$path/${e.file}")),
+      require(f.exists(new Path(resolveFile(path, e.file))),
         s"restoreCommit: ${e.file} (referenced by v$toVersion) is no " +
         "longer on disk — vacuum retention has passed the restore point")
     }
@@ -1923,7 +2000,7 @@ object VersionedTable {
       val live = all.filter(_.version <= v)
       val removed = live.collect { case e if e.action == "remove" => e.file }.toSet
       val tf = live.collect {
-        case e if e.action == "tomb" && !removed(e.file) => s"$path/${e.file}" }
+        case e if e.action == "tomb" && !removed(e.file) => resolveFile(path, e.file) }
       if (tf.isEmpty) df
       else {
         val tomb = spark.read.parquet(tf: _*)
@@ -1933,11 +2010,11 @@ object VersionedTable {
     }
     val perVersion = (fromVersion to toVersion).flatMap { v =>
       val rows = all.filter(_.version == v)
-      val addF = rows.collect { case e if e.action == "add" => s"$path/${e.file}" }
-      val tombF = rows.collect { case e if e.action == "tomb" => s"$path/${e.file}" }
+      val addF = rows.collect { case e if e.action == "add" => resolveFile(path, e.file) }
+      val tombF = rows.collect { case e if e.action == "tomb" => resolveFile(path, e.file) }
       val remDataF = rows.collect {
         case e if e.action == "remove" && fileKind.get(e.file).contains("add") =>
-          s"$path/${e.file}" }
+          resolveFile(path, e.file) }
       if (tombF.nonEmpty) {
         // deletion-vector commit: the deleted images are the prior
         // snapshot's rows matching the new tombstone keys. The prior read
