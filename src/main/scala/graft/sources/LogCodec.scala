@@ -46,6 +46,8 @@ private[sources] object LogCodec {
       |  optional binary mstats (UTF8);
       |  optional int64 ts;
       |  optional binary op (UTF8);
+      |  optional int64 fsize;
+      |  optional int64 fmtime;
       |}""".stripMargin)
 
   private val CheckpointSchema: MessageType = MessageTypeParser.parseMessageType(
@@ -60,6 +62,8 @@ private[sources] object LogCodec {
       |  optional int64 nrec;
       |  optional binary scol (UTF8);
       |  optional binary mstats (UTF8);
+      |  optional int64 fsize;
+      |  optional int64 fmtime;
       |}""".stripMargin)
 
   /** Writes manifest rows as ONE parquet file at `dest` (driver-side; no
@@ -91,6 +95,8 @@ private[sources] object LogCodec {
         r.ts.foreach(g.add("ts", _))
         r.op.foreach(g.add("op", _))
       }
+      e.fsize.foreach(g.add("fsize", _))
+      e.fmtime.foreach(g.add("fmtime", _))
       writer.write(g)
     } finally writer.close()
   }
@@ -128,7 +134,8 @@ private[sources] object LogCodec {
       part = str("part").orNull,
       smin = lng("smin"), smax = lng("smax"),
       fschema = str("fschema"), nrec = lng("nrec"),
-      scol = str("scol"), mstats = str("mstats")),
+      scol = str("scol"), mstats = str("mstats"),
+      fsize = lng("fsize"), fmtime = lng("fmtime")),
       ts = lng("ts"), op = str("op"))
   }
 

@@ -94,7 +94,12 @@ object MergeSink {
       opCol, seqCol, targetSeqCol)
 
     try {
-      val rows = merged.count()
+      // one pass over the checkpointed result answers BOTH observability
+      // questions (total rows, surviving partition values) — previously a
+      // count() job plus a separate distinct() job
+      val perPart = merged.groupBy(col(partitionCol))
+        .agg(count(lit(1)).as("__n")).collect()
+      val rows = perPart.map(_.getLong(1)).sum
       // Per-write option, not session conf: a concurrent overwrite in the
       // same session must keep its own semantics during this write.
       merged.write.option("partitionOverwriteMode", "dynamic")
@@ -103,8 +108,7 @@ object MergeSink {
       // Dynamic overwrite only replaces directories PRESENT in the output:
       // an affected partition whose every row was deleted produces no output
       // rows, so its stale directory must be removed explicitly.
-      val surviving = merged.select(col(partitionCol)).distinct()
-        .collect().map(v => String.valueOf(v.get(0))).toSet
+      val surviving = perPart.map(v => String.valueOf(v.get(0))).toSet
       val emptied = affected.map(String.valueOf).filterNot(surviving)
       if (emptied.nonEmpty) {
         val conf = spark.sparkContext.hadoopConfiguration

@@ -191,7 +191,9 @@ object VersionedTable {
                             fschema: Option[String] = None,
                             nrec: Option[Long] = None,
                             scol: Option[String] = None,
-                            mstats: Option[String] = None) {
+                            mstats: Option[String] = None,
+                            fsize: Option[Long] = None,
+                            fmtime: Option[Long] = None) {
     /** Per-column [min, max] this entry records: the legacy single column
       * (scol/smin/smax) plus the multi-column `mstats` string. */
     def statRanges: Map[String, (Long, Long)] = {
@@ -485,9 +487,14 @@ object VersionedTable {
       case Some(u) => spark.read.schema(u)
       case None => spark.read.option("mergeSchema", mergeSchema.toString)
     }
+    val fileMeta: Map[String, (Long, Long)] = dataEntries.iterator.collect {
+      case e if e.fsize.isDefined =>
+        resolveFile(path, e.file) -> ((e.fsize.get, e.fmtime.getOrElse(0L)))
+    }.toMap
     val data =
       if (dataFiles.nonEmpty) {
-        val df = readDataFiles(spark, path, dataFiles, () => reader)
+        val df = readDataFiles(spark, path, dataFiles, () => reader,
+          knownSchema = logSchema, fileMeta = fileMeta)
         // the convert-imported split reads with basePath partition
         // reconstruction, and Spark renders reconstructed partition
         // columns LAST regardless of the requested schema — which
@@ -568,7 +575,9 @@ object VersionedTable {
     * convert recorded. */
   private def readDataFiles(spark: SparkSession, path: String,
                             absFiles: Seq[String],
-                            mkReader: () => org.apache.spark.sql.DataFrameReader)
+                            mkReader: () => org.apache.spark.sql.DataFrameReader,
+                            knownSchema: Option[StructType] = None,
+                            fileMeta: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
     val prefix = s"$path/"
     // under THIS table, the layout decides; a cross-table (clone)
@@ -577,8 +586,24 @@ object VersionedTable {
     // always reads plain
     val (own, ext) = absFiles.partition(f =>
       !f.startsWith(prefix) || engineOwned(f.stripPrefix(prefix)))
+    // engine-written files whose (size, mtime) the manifest recorded and
+    // whose schema the log resolved scan through a manifest-backed file
+    // index: zero listing / per-file status I/O before the scan starts
+    // (the Delta/Iceberg shape — the manifest IS the file index). Files
+    // predating fsize recording, or reads without a log-resolved schema,
+    // keep the plain reader.
+    val ownDf =
+      if (own.isEmpty) None
+      else (knownSchema, if (own.forall(fileMeta.contains)) Some(own) else None)
+        match {
+        case (Some(u), Some(fs)) =>
+          Some(org.apache.spark.sql.graftshim.FileIndexShim.parquetKnownFiles(
+            spark, fs.map(f => {
+              val (len, mt) = fileMeta(f); (f, len, mt) }), u))
+        case _ => Some(mkReader().parquet(own: _*))
+      }
     val parts = Seq(
-      if (own.nonEmpty) Some(mkReader().parquet(own: _*)) else None,
+      ownDf,
       if (ext.nonEmpty)
         Some(mkReader().option("basePath", path).parquet(ext: _*))
       else None).flatten
@@ -649,9 +674,10 @@ object VersionedTable {
     keyed.write.mode("errorifexists").partitionBy(pdirs: _*).parquet(commitDir)
     val f = fs(spark, path)
     val it = f.listFiles(new Path(commitDir), true)
-    val out = Seq.newBuilder[(String, String)]
+    val out = Seq.newBuilder[(String, String, Long, Long)]
     while (it.hasNext) {
-      val p = it.next().getPath
+      val st = it.next()
+      val p = st.getPath
       if (p.getName.endsWith(".parquet")) {
         // walk up one directory level per partition column; the manifest's
         // part key pairs the REAL column names with the (escaped) values
@@ -665,10 +691,12 @@ object VersionedTable {
               dirNames(0).stripPrefix(PartDir + "="))
           else pCols.zip(dirNames).map { case (c, dn) =>
             s"$c=${dn.substring(dn.indexOf('=') + 1)}" }.mkString("/")
-        out += ((s"$commitRel/${dirNames.mkString("/")}/${p.getName}", partKey))
+        out += ((s"$commitRel/${dirNames.mkString("/")}/${p.getName}", partKey,
+          st.getLen, st.getModificationTime))
       }
     }
-    val listed = out.result()
+    val listedFull = out.result()
+    val listed = listedFull.map { case (rel, part, _, _) => (rel, part) }
     // One read-back pass records per-file metrics for the manifest: row
     // COUNT always (the scan projects no data columns, so the vectorized
     // reader answers from row-group metadata — near-free, and it makes
@@ -692,14 +720,21 @@ object VersionedTable {
     // (dates, decimals, strings) fall back to the original Spark pass.
     val conf = spark.sparkContext.hadoopConfiguration
     def footerPass(): Option[Map[String, (Long, Seq[(String, Long, Long)])]] = {
-      val per = listed.map { case (rel, _) =>
-        val fsr = LogCodec.footerStats(conf, new Path(s"$path/$rel"), statCols)
-        if (fsr.ineligible.nonEmpty) return None
-        val ranges = statCols.flatMap(c =>
-          fsr.ranges.get(c).map { case (mn, mx) => (c, mn, mx) })
-        rel -> ((fsr.rows, ranges))
+      // footer opens are independent ~ms-scale IO — read them with a small
+      // driver pool (an 80-partition commit would otherwise serialize 80
+      // opens); java parallelStream bounds itself to the common FJ pool
+      val per = new java.util.concurrent.ConcurrentHashMap[
+        String, (Long, Seq[(String, Long, Long)])]()
+      val anyIneligible = new java.util.concurrent.atomic.AtomicBoolean(false)
+      listed.asJava.parallelStream().forEach { case (rel, _) =>
+        if (!anyIneligible.get()) {
+          val fsr = LogCodec.footerStats(conf, new Path(s"$path/$rel"), statCols)
+          if (fsr.ineligible.nonEmpty) anyIneligible.set(true)
+          else per.put(rel, (fsr.rows, statCols.flatMap(c =>
+            fsr.ranges.get(c).map { case (mn, mx) => (c, mn, mx) })))
+        }
       }
-      Some(per.toMap)
+      if (anyIneligible.get()) None else Some(per.asScala.toMap)
     }
     def sparkPass(): Map[String, (Long, Seq[(String, Long, Long)])] = {
       val statAggs =
@@ -729,7 +764,7 @@ object VersionedTable {
       if (listed.isEmpty) Map.empty // an all-deletes rewrite writes no files
       else footerPass().getOrElse(sparkPass())
     val schemaJson = df.schema.json
-    listed.map { case (rel, part) =>
+    listedFull.map { case (rel, part, flen, fmt) =>
       val st = stats.get(rel)
       val ranges = st.map(_._2).getOrElse(Nil)
       // legacy single-column fields for the table's declared stats column;
@@ -740,7 +775,13 @@ object VersionedTable {
         Some(schemaJson), st.map(_._1),
         legacy.map(_._1),
         if (extraStatsCols.nonEmpty && ranges.nonEmpty)
-          Some(renderMstats(ranges)) else None)
+          Some(renderMstats(ranges)) else None,
+        // file length + mtime recorded so snapshot reads can build their
+        // scan's file index from the MANIFEST alone — no listing, no
+        // per-file status fetches (Delta/Iceberg record size for the
+        // same reason; length also drives split planning, so it must be
+        // the file's real on-disk length)
+        fsize = Some(flen), fmtime = Some(fmt))
     }
   }
 
@@ -983,9 +1024,10 @@ object VersionedTable {
     val f = fs(spark, path)
     val rootPrefix = new Path(path).toUri.getPath + "/"
     val it = f.listFiles(new Path(path), true)
-    val listed = Seq.newBuilder[(String, String)]
+    val listed = Seq.newBuilder[(String, String, Long, Long)]
     while (it.hasNext) {
-      val p = it.next().getPath
+      val lst = it.next()
+      val p = lst.getPath
       val rel0 = p.toUri.getPath.stripPrefix(rootPrefix)
       // skip hidden/underscore paths (any segment) — Spark's own reader
       // ignores them, and a leftover _temporary/.staging file from a
@@ -1004,7 +1046,8 @@ object VersionedTable {
             s"convert: directory '$seg' does not match partition column '$c'")
           ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
         }
-        listed += ((rel, partKeyOf(pCols, vals)))
+        listed += ((rel, partKeyOf(pCols, vals),
+          lst.getLen, lst.getModificationTime))
       }
     }
     val files = listed.result()
@@ -1022,12 +1065,10 @@ object VersionedTable {
     // trip to diverge — the input_file_name() mapping this replaces needed
     // a decode dance plus a loud unmatched-key guard)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val counts: Map[String, Long] = files.map { case (rel, _) =>
-      rel -> LogCodec.footerRowCount(hconf, new Path(s"$path/$rel"))
-    }.toMap
-    val adds = files.map { case (rel, part) =>
+    val adds = files.map { case (rel, part, flen, fmt) =>
       LogEntry(0, "add", rel, part, None, None, Some(fschema),
-        nrec = counts.get(rel), None, None)
+        nrec = Some(LogCodec.footerRowCount(hconf, new Path(s"$path/$rel"))),
+        None, None, fsize = Some(flen), fmtime = Some(fmt))
     }
     if (!publishIfAbsent(spark, path, 0, adds, Nil, Nil, "convert", ts))
       // we own none of these files: on a lost race, clean NOTHING
@@ -1138,9 +1179,16 @@ object VersionedTable {
       case e if e.action == "tomb" => resolveFile(path, e.file) }
     if (dataFiles.isEmpty) read(spark, path, version, Some(Set.empty))
     else {
+      val selected = entries.filter(e => e.action == "add" &&
+        e.smin.forall(_ <= hi) && e.smax.forall(_ >= lo))
+      val meta: Map[String, (Long, Long)] = selected.iterator.collect {
+        case e if e.fsize.isDefined =>
+          resolveFile(path, e.file) -> ((e.fsize.get, e.fmtime.getOrElse(0L)))
+      }.toMap
       // split reader: convert-imported files reconstruct their partition
       // columns via basePath, like read()/changes()
-      val data = readDataFiles(spark, path, dataFiles, () => spark.read)
+      val data = readDataFiles(spark, path, dataFiles, () => spark.read,
+        knownSchema = uniformSchemaOf(selected), fileMeta = meta)
       if (tombFiles.isEmpty) data
       else {
         val tomb = spark.read.parquet(tombFiles: _*)
@@ -2015,6 +2063,21 @@ object VersionedTable {
     val fileKind: Map[String, String] = all
       .collect { case e if e.action == "add" || e.action == "tomb" =>
         e.file -> e.action }.toMap
+    // per-file add entries (schema + recorded size/mtime): a version's diff
+    // read resolves its schema and file index from the log alone when the
+    // manifest recorded them — same manifest-backed scan as read()
+    val addByFile: Map[String, LogEntry] = all
+      .collect { case e if e.action == "add" => e.file -> e }.toMap
+    val metaByAbs: Map[String, (Long, Long)] = all.iterator.collect {
+      case e if e.action == "add" && e.fsize.isDefined =>
+        resolveFile(path, e.file) -> ((e.fsize.get, e.fmtime.getOrElse(0L)))
+    }.toMap
+    def schemaOfFiles(absFiles: Seq[String]): Option[StructType] = {
+      val rels = absFiles.map { f =>
+        if (f.startsWith(s"$path/")) f.stripPrefix(s"$path/") else f }
+      val es = rels.flatMap(addByFile.get)
+      if (es.size == rels.size) unionSchemaOf(es) else None
+    }
     def reader = spark.read.option("mergeSchema", "true")
     def tag(df: DataFrame, v: Int, ct: String) =
       df.select(lit(v).as("_commit_version") +: lit(ct).as("_change_type") +:
@@ -2060,10 +2123,13 @@ object VersionedTable {
       } else {
         val added = if (addF.isEmpty) None
           else Some(tombFilter(
-            readDataFiles(spark, path, addF, () => reader), v))
+            readDataFiles(spark, path, addF, () => reader,
+              knownSchema = schemaOfFiles(addF), fileMeta = metaByAbs), v))
         val removedRows = if (remDataF.isEmpty) None
           else Some(tombFilter(
-            readDataFiles(spark, path, remDataF, () => reader), v - 1))
+            readDataFiles(spark, path, remDataF, () => reader,
+              knownSchema = schemaOfFiles(remDataF), fileMeta = metaByAbs),
+            v - 1))
         (added, removedRows) match {
           case (None, None)    => Nil
           case (Some(a), None) => Seq(tag(a, v, "insert"))
