@@ -32,8 +32,22 @@ object JobProbe {
         jobs.find(_.id == e.jobId).foreach(_.end = e.time)
       }
     })
+    case class St(id: Int, name: String, start: Long, var end: Long, var tasks: Int)
+    val stages = mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        stages.synchronized {
+          stages += St(e.stageInfo.stageId, e.stageInfo.name,
+            System.currentTimeMillis(), -1, e.stageInfo.numTasks)
+        }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.synchronized {
+          stages.find(_.id == e.stageInfo.stageId).foreach(_.end =
+            System.currentTimeMillis())
+        }
+    })
     for (round <- 1 to 2; n <- names) {
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized(jobs.clear()); stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -41,9 +55,13 @@ object JobProbe {
       jobs.synchronized {
         val tot = jobs.filter(_.end > 0).map(j => j.end - j.start).sum / 1e3
         println(f"[probe] r$round $n total=$dt%.2fs jobs=${jobs.size} jobtime=$tot%.2fs")
-        if (round == 2) {
-          jobs.foreach(j => println(f"[probe]   job${j.id}%4d ${(j.end - j.start) / 1e3}%6.2fs  ${j.desc.take(110)}"))
-        }
+      }
+      if (round == 2) stages.synchronized {
+        stages.filter(s => s.end > 0 && s.end - s.start >= 100)
+          .sortBy(s => -(s.end - s.start))
+          .take(20)
+          .foreach(s => println(
+            f"[probe]   stage${s.id}%5d ${(s.end - s.start) / 1e3}%6.2fs ${s.tasks}%4dt  ${s.name.take(100)}"))
       }
     }
     spark.stop()

@@ -662,7 +662,15 @@ object VersionedTable {
           "writeCommitFiles: clusterBy needs clusterFiles > 0")
         salted.repartitionByRange(clusterFiles, pdirCols :+ k: _*)
           .sortWithinPartitions(pdirCols :+ k: _*)
-      case None if fileSplits <= 1 => salted.repartition(pdirCols: _*)
+      // explicit numPartitions here too: AQE coalesces the keyless-count
+      // hash shuffle of a small commit to ONE post-shuffle task, and that
+      // task then creates every partition-dir's file serially (an 84-month
+      // commit = 84 sequential parquet-writer opens, ~1.3 s measured where
+      // the spread-out write takes ~0.2 s). The hash assignment of months
+      // to tasks is the same either way, so per-partition file counts —
+      // and the manifest — are unchanged; only write parallelism differs.
+      case None if fileSplits <= 1 => salted.repartition(
+        spark.sessionState.conf.numShufflePartitions, pdirCols: _*)
       // explicit numPartitions: AQE would coalesce the salted shuffle of a
       // small commit back into one task, and partitionBy only splits files
       // by PartDir WITHIN a task — the salt separates files only while the
