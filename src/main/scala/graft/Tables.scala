@@ -22,9 +22,24 @@ object Tables {
   def enableNanos(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Inferred schema per input file, resolved ONCE per process: the base
+    * tables are immutable inputs, but `spark.read.parquet` re-runs footer
+    * schema inference on every DataFrame construction — a pure-metadata
+    * cost every registered query pays once per table it touches. The cached
+    * value is the inference result itself (computed from the parquet on
+    * first touch — no hand-written schema to drift), and user-specified
+    * schemas read file sources all-nullable exactly like inference, so the
+    * resulting DataFrame is identical. No row data is cached. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") enableNanos(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
   }
 
