@@ -25,7 +25,7 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   * manifest written by an older engine all interoperate — the reader takes
   * its schema from each file's own footer, tolerating pre-`nrec`/`mstats`
   * manifests exactly like the old `collectEntries` column probe did. */
-private[sources] object LogCodec {
+private[graft] object LogCodec {
 
   /** One manifest row: the replayable entry plus the commit-metadata
     * columns (`ts`, `op`) that only history/time-travel consume. */
