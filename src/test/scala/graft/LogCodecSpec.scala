@@ -128,6 +128,28 @@ class LogCodecSpec extends AnyFunSuite {
     assert(filtered.count() == plain.filter($"o_orderkey" === 7L).count())
   }
 
+  test("CDF of an OPTIMIZE over schema-evolved commits nets to zero " +
+       "(multi-schema removed set resolves through the log)") {
+    val dir = Files.createTempDirectory("graft_cdf_evolve").toString
+    val tbl = s"$dir/t"
+    VersionedTable.create(spark, tbl,
+      Seq((1L, 10L, "p0"), (2L, 20L, "p1")).toDF("k", "v", "p"), "p")
+    // v1 widens the schema: removed files at the optimize will carry TWO
+    // recorded schemas — the union-schema read of that set must keep `w`
+    VersionedTable.appendCommit(spark, tbl,
+      Seq((3L, 30L, 7L, "p0")).toDF("k", "v", "w", "p"), "p")
+    val opt = VersionedTable.optimizeCommit(spark, tbl, "p")
+    val diff = VersionedTable.changes(spark, tbl, opt.version, opt.version)
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+    // the compacted snapshot still reads the widened column (union schema
+    // order is (k, v, p, w): v0's columns first, the widening appended)
+    val after = VersionedTable.read(spark, tbl, opt.version,
+        mergeSchema = true)
+      .select("k", "w")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(after == Seq((1L, null), (2L, null), (3L, 7L)), after.toString)
+  }
+
   test("commit manifests record real file sizes") {
     val dir = Files.createTempDirectory("graft_fsize").toString
     val tbl = s"$dir/t"
