@@ -18,6 +18,7 @@ object ExplBatch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
@@ -28,8 +29,15 @@ object ExplBatch {
         println(s"[expl] wrote $n")
       } catch { case e: Throwable =>
         println(s"[expl] $n failed: ${e.getMessage}")
+        failed += n
       }
     }
     spark.stop()
+    // Exit non-zero on any failure so evidence generation can't silently
+    // produce a partial set of plan files.
+    if (failed.nonEmpty) {
+      System.err.println(s"[expl] FAILED: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -106,8 +106,8 @@ private[graft] object LogCodec {
     * engine's history (`fschema`, `nrec`, `scol`, `mstats`, `ts`, `op`)
     * read as None when a file predates them. */
   def read(conf: Configuration, files: Seq[Path]): Seq[LogRow] = {
-    val out = Seq.newBuilder[LogRow]
-    files.foreach { p =>
+    def readOne(p: Path): Seq[LogRow] = {
+      val out = Seq.newBuilder[LogRow]
       val reader = ParquetReader.builder(new GroupReadSupport(), p)
         .withConf(conf).build()
       try {
@@ -117,8 +117,22 @@ private[graft] object LogCodec {
           g = reader.read()
         }
       } finally reader.close()
+      out.result()
     }
-    out.result()
+    if (files.sizeIs <= 1) files.flatMap(readOne)
+    else {
+      // Independent ~ms-scale file opens: read them on the common FJ pool
+      // (same bounded driver pool as the footer-stats pass) instead of
+      // serially — a 200-commit replay between checkpoints is 200 opens.
+      // Results are slotted by index, so row order (and therefore replay
+      // order) is identical to the serial read.
+      val perFile = new Array[Seq[LogRow]](files.size)
+      import scala.jdk.CollectionConverters._
+      files.zipWithIndex.asJava.parallelStream().forEach { case (p, i) =>
+        perFile(i) = readOne(p)
+      }
+      perFile.toIndexedSeq.flatten
+    }
   }
 
   private def rowOf(g: Group): LogRow = {
@@ -184,8 +198,17 @@ private[graft] object LogCodec {
             }
             val st = c.getStatistics
             if (!intOk) bad += name
-            else if (st == null || st.isEmpty || !st.hasNonNullValue) {
-              // all-null chunk for this column: contributes no range
+            // ABSENT statistics (never collected — stats disabled, or a
+            // foreign writer) are NOT the same as an all-null chunk: an
+            // uncounted chunk may hold any values, so treating it as
+            // range-free would let manifest-based file skipping
+            // (readRange/statsBounds) wrongly prune a matching file. Mark
+            // the column ineligible so the caller falls back to the Spark
+            // stats pass.
+            else if (st == null || st.isEmpty) bad += name
+            else if (!st.hasNonNullValue) {
+              // stats present, no non-null value: a GENUINE all-null chunk
+              // for this column — contributes no range
             } else {
               val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
                 case (a: java.lang.Long, b: java.lang.Long) =>

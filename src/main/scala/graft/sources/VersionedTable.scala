@@ -373,10 +373,30 @@ object VersionedTable {
     * — they are what makes versions BELOW the checkpoint still
     * resolvable. */
   def checkpoint(spark: SparkSession, path: String, version: Int): Unit = {
-    val rows = replayEntries(spark, path, version)
-      .map(e => LogCodec.LogRow(e, None, None))
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, path)
+    // Backfill file length/mtime for live entries whose commit predates
+    // size recording: the manifest-backed file index (readDataFiles) needs
+    // (fsize, fmtime) for EVERY selected file, so one legacy entry keeps a
+    // snapshot on the listing fallback forever. The checkpoint already
+    // materializes the live set — statting the few legacy files here (a
+    // bounded driver pool; each is one status call the listing fallback
+    // would pay per read anyway) upgrades the whole table to the
+    // manifest-index path from this checkpoint on. A file that is missing
+    // on disk (externally mutated table) keeps its entry unchanged — the
+    // read path fails there exactly as it did before.
+    val replayed = replayEntries(spark, path, version).toIndexedSeq
+    val filled = new Array[LogEntry](replayed.size)
+    replayed.zipWithIndex.asJava.parallelStream().forEach { case (e, i) =>
+      filled(i) =
+        if (e.action != "add" || e.fsize.isDefined) e
+        else try {
+          val st = f.getFileStatus(new Path(resolveFile(path, e.file)))
+          e.copy(fsize = Some(st.getLen),
+            fmtime = Some(st.getModificationTime))
+        } catch { case _: java.io.IOException => e }
+    }
+    val rows = filled.toSeq.map(e => LogCodec.LogRow(e, None, None))
     val tmp = new Path(s"$path/_ckpttmp_${newToken()}.parquet")
     LogCodec.write(conf, tmp, rows, withTsOp = false)
     val dest = new Path(f"${ckptDir(path)}/c$version%05d.parquet")

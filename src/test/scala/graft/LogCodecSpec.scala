@@ -150,6 +150,87 @@ class LogCodecSpec extends AnyFunSuite {
     assert(after == Seq((1L, null), (2L, null), (3L, 7L)), after.toString)
   }
 
+  test("multi-file log read preserves file order (parallel read)") {
+    val dir = Files.createTempDirectory("graft_codec_par").toString
+    def entry(v: Int, i: Int) = LogCodec.LogRow(LogEntry(v, "add",
+      s"data/c$v/f$i.parquet", s"p=$i", None, None), Some(v.toLong), Some("append"))
+    val paths = (0 until 5).map { v =>
+      val p = new Path(f"$dir/v$v%05d.parquet")
+      LogCodec.write(conf, p, (0 until 3).map(i => entry(v, i)))
+      p
+    }
+    val back = LogCodec.read(conf, paths)
+    assert(back == (0 until 5).flatMap(v => (0 until 3).map(i => entry(v, i))))
+  }
+
+  test("footer stats: ABSENT statistics are ineligible, never all-null") {
+    // a writer with column statistics disabled (foreign writers / stats
+    // collection off) must push the column to the Spark fallback — treating
+    // it as "no range" would let manifest-based skipping drop a file whose
+    // rows match
+    val dir = Files.createTempDirectory("graft_footer_absent").toString
+    val schema = org.apache.parquet.schema.MessageTypeParser
+      .parseMessageType("message m { required int64 k; }")
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    val p = new Path(s"$dir/nostats.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(p, conf))
+      .withType(schema).withConf(conf)
+      .withStatisticsEnabled(false)
+      .build()
+    try (1L to 50L).foreach(v => w.write(factory.newGroup().append("k", v)))
+    finally w.close()
+    val st = LogCodec.footerStats(conf, p, Seq("k"))
+    assert(st.rows == 50L)
+    assert(st.ineligible == Set("k"), st.toString)
+    assert(!st.ranges.contains("k"))
+  }
+
+  test("checkpoint backfills fsize/fmtime: a legacy table reaches the " +
+       "manifest-backed index after its first checkpoint") {
+    val dir = Files.createTempDirectory("graft_ckpt_backfill").toString
+    val tbl = s"$dir/t"
+    VersionedTable.create(spark, tbl,
+      Seq((1L, 10L, "p0"), (2L, 20L, "p1")).toDF("k", "v", "p"), "p")
+    VersionedTable.appendCommit(spark, tbl,
+      Seq((3L, 30L, "p0")).toDF("k", "v", "p"), "p")
+    // strip fsize/fmtime from both manifests — the pre-recording era shape
+    val f = new Path(tbl).getFileSystem(conf)
+    (0 to 1).foreach { v =>
+      val lf = new Path(f"$tbl/_log/v$v%05d.parquet")
+      val stripped = LogCodec.read(conf, Seq(lf)).map(r =>
+        r.copy(entry = r.entry.copy(fsize = None, fmtime = None)))
+      f.delete(lf, false)
+      LogCodec.write(conf, lf, stripped)
+    }
+    def scanStr(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+    val expected = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // legacy entries: the read falls back to the listing reader
+    val pre = VersionedTable.read(spark, tbl, 1)
+    assert(!scanStr(pre).contains("KnownFilesIndex"), scanStr(pre).take(400))
+    assert(content(pre) == expected)
+    // the checkpoint stats the legacy files once and records real sizes
+    VersionedTable.checkpoint(spark, tbl, 1)
+    VersionedTable.liveEntries(spark, tbl, 1).filter(_.action == "add")
+      .foreach { e =>
+        val real = new java.io.File(s"$tbl/${e.file}")
+        assert(e.fsize.contains(real.length()),
+          s"${e.file}: backfilled ${e.fsize} vs disk ${real.length()}")
+        assert(e.fmtime.exists(_ > 0L))
+      }
+    // ... so the post-checkpoint read scans through the manifest index
+    val post = VersionedTable.read(spark, tbl, 1)
+    assert(scanStr(post).contains("KnownFilesIndex"), scanStr(post).take(400))
+    assert(content(post) == expected)
+  }
+
   test("commit manifests record real file sizes") {
     val dir = Files.createTempDirectory("graft_fsize").toString
     val tbl = s"$dir/t"
