@@ -31,13 +31,22 @@ object Tables {
     * schemas read file sources all-nullable exactly like inference, so the
     * resulting DataFrame is identical. No row data is cached. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") enableNanos(spark)
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
+    // Key on (path, length, mtime), not path alone: a base table
+    // regenerated at the same path within one JVM (a fixture rebuild
+    // mid-session) must re-infer instead of silently reading with the
+    // stale schema. One local stat per table construction — micro vs the
+    // footer inference it memoizes.
+    val st = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path))
+    val schema = schemaCache.computeIfAbsent(
+      (path, st.getLen, st.getModificationTime),
       _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
@@ -72,6 +81,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact row count of a base table, read from its parquet footer on the
+    * driver — identical to `table(...).count()` (footer record counts are
+    * exact), computed from the parquet input on every call (no cache),
+    * minus the Spark job a count action costs. Used where a query derives
+    * integer PARAMETERS from COUNT(*) (the ANN auto-sizing family). */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    graft.sources.LogCodec.footerRowCount(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet"))
 
   /** Determinism rule R2: all DOUBLE measures go through DECIMAL(18,6) so
     * aggregation is exact and associative on both engines. */

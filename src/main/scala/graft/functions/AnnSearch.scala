@@ -255,11 +255,16 @@ object AnnSearch {
               gProbe: Int, excludeId: Long = -1L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               allowed: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val eq = quantize(embeddings, idCol, vecCol)
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
-    val (coarse, f2g) = coarseFine(cent, nCoarse)
-    val vf = assignTwoLevel(eq, coarse, f2g, idCol)
-    ivfServe(vf, cent, embeddings, queryDf, k, nProbe, nCoarse, gProbe,
+    val (coarseL, f2gL) = coarseFineLocal(collectCent(cent), nCoarse)
+    val vf = assignTwoLevel(eq,
+      coarseL.map(c => (c.cid, c.cv.toSeq, c.cn2)).toDF("gid", "gv", "__gn2"),
+      f2gL.map { case (c, g) => (c.cid, c.cv.toSeq, c.cn2, g) }
+        .toDF("cid", "cv", "__cn2", "gid"), idCol)
+    ivfServeLocal(vf, coarseL, f2gL, embeddings, queryDf, k, nProbe, gProbe,
       excludeId, idCol, vecCol, allowed)
   }
 
@@ -278,22 +283,36 @@ object AnnSearch {
                gProbe: Int, excludeId: Long = -1L,
                idCol: String = "vec_id", vecCol: String = "embedding",
                allowed: Option[DataFrame] = None): DataFrame = {
-    val (coarse, f2g) = coarseFine(cent, nCoarse)
-    // Query probes: gProbe coarse cells, then nProbe fine lists among them.
-    val q = queryDf.select(col("qv"),
-      expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
-    val qg = coarse.crossJoin(broadcast(q))
-      .select(col("gid"),
-        (lit(2.0) * dot(col("__qq"), col("gv")) - col("__gn2")).as("s"))
-      .orderBy(col("s").desc, col("gid").asc).limit(gProbe).select("gid")
-    val probes = f2g.join(broadcast(qg), "gid")
-      .crossJoin(broadcast(q))
-      .select(col("cid"),
-        (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
-      .orderBy(col("s").desc, col("cid").asc).limit(nProbe).select("cid")
+    val (coarseL, f2gL) = coarseFineLocal(collectCent(cent), nCoarse)
+    ivfServeLocal(vf, coarseL, f2gL, embeddings, queryDf, k, nProbe, gProbe,
+      excludeId, idCol, vecCol, allowed)
+  }
+
+  private def ivfServeLocal(vf: DataFrame,
+               coarseL: IndexedSeq[CentRow],
+               f2gL: IndexedSeq[(CentRow, Long)],
+               embeddings: DataFrame, queryDf: DataFrame, k: Int,
+               nProbe: Int, gProbe: Int, excludeId: Long,
+               idCol: String, vecCol: String,
+               allowed: Option[DataFrame]): DataFrame = {
+    val spark = vf.sparkSession
+    import spark.implicits._
+    // Query probes: gProbe coarse cells, then nProbe fine lists among them —
+    // a ranking of the ≤nC-row driver-side artifact against ONE query row
+    // (the quantized vector is collected once; bounded, never data). The
+    // former relational spelling paid a broadcast-build job per ranking.
+    val qq = queryDf.select(
+        expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
+      .head().getSeq[Double](0).toArray
+    val qgIds = topIdsByScore(qq,
+      coarseL.map(g => (g.cid, g.cv, g.cn2)), gProbe).toSet
+    val probes = topIdsByScore(qq,
+        f2gL.collect { case (c, g) if qgIds(g) => (c.cid, c.cv, c.cn2) },
+        nProbe)
+      .toDF("cid")
     // Candidate fetch touches only the probed lists' ids — at scale this
     // is the partition-pruned read of the inverted file (cid = partition
-    // key); locally AQE broadcasts the nProbe/nC-sized id set.
+    // key); the probe list itself is a LocalRelation broadcast.
     val cand0 = vf.join(broadcast(probes), "cid")
       .filter(col(idCol) =!= excludeId)
       .select(col(idCol))
@@ -326,27 +345,32 @@ object AnnSearch {
                    gProbe: Int, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val eq = quantize(embeddings, idCol, vecCol)
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
-    val (coarse, f2g) = coarseFine(cent, nCoarse)
-    val vf = assignTwoLevel(eq, coarse, f2g, idCol)
-    val q = queryDf.select(col("qid"), col("qv"),
-      expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
-    val wG = Window.partitionBy(col("qid"))
-      .orderBy(col("s").desc, col("gid").asc)
-    val qg = coarse.crossJoin(broadcast(q))
-      .select(col("qid"), col("gid"),
-        (lit(2.0) * dot(col("__qq"), col("gv")) - col("__gn2")).as("s"))
-      .withColumn("rn", row_number().over(wG)).filter(col("rn") <= gProbe)
-      .select(col("qid"), col("gid"))
-    val wP = Window.partitionBy(col("qid"))
-      .orderBy(col("s").desc, col("cid").asc)
-    val probes = f2g.join(broadcast(qg), "gid")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("cid"),
-        (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
-      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cid"))
+    val (coarseL, f2gL) = coarseFineLocal(collectCent(cent), nCoarse)
+    val vf = assignTwoLevel(eq, coarseL.map(c => (c.cid, c.cv.toSeq, c.cn2))
+      .toDF("gid", "gv", "__gn2"),
+      f2gL.map { case (c, g) => (c.cid, c.cv.toSeq, c.cn2, g) }
+        .toDF("cid", "cv", "__cn2", "gid"), idCol)
+    val q = queryDf.select(col("qid"), col("qv"))
+    // Per-query probe sets ranked on the driver over the collected
+    // artifact — same rule as [[ivfServe]], one (qid, cid) relation out
+    // (the batch is bounded; its quantized vectors are index metadata).
+    val qqs = queryDf.select(col("qid"),
+        expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val probePairs = qqs.toSeq.flatMap { case (qid, qq) =>
+      val qgIds = topIdsByScore(qq,
+        coarseL.map(g => (g.cid, g.cv, g.cn2)), gProbe).toSet
+      topIdsByScore(qq,
+        f2gL.collect { case (c, g) if qgIds(g) => (c.cid, c.cv, c.cn2) },
+        nProbe).map(cid => (qid, cid))
+    }
+    val probes = probePairs.toDF("qid", "cid")
     val cand = vf.join(broadcast(probes), "cid")
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol))
@@ -436,31 +460,40 @@ object AnnSearch {
                 gProbe: Int, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
                 rerankR: Int = 200,  excludeId: Long = -1L,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val eq = quantize(embeddings, idCol, vecCol)
     val cent = trainCentroids(eq, nCentroids, trainN, idCol)
-    val (coarse, f2g) = coarseFine(cent, nCoarse)
-    val vf = assignTwoLevel(eq, coarse, f2g, idCol)
+    val (coarseL, f2gL) = coarseFineLocal(collectCent(cent), nCoarse)
+    val vf = assignTwoLevel(eq,
+      coarseL.map(c => (c.cid, c.cv.toSeq, c.cn2)).toDF("gid", "gv", "__gn2"),
+      f2gL.map { case (c, g) => (c.cid, c.cv.toSeq, c.cn2, g) }
+        .toDF("cid", "cv", "__cn2", "gid"), idCol)
     val book = pqTrain(eq, m, dsub, ksub, trainN, idCol)
     val codes = pqEncode(eq, book, m, dsub, idCol)
-    // Query probes: identical coarse/fine selection to ivfTopK.
-    val q = queryDf.select(col("qv"),
-      expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
-    val qg = coarse.crossJoin(broadcast(q))
-      .select(col("gid"),
-        (lit(2.0) * dot(col("__qq"), col("gv")) - col("__gn2")).as("s"))
-      .orderBy(col("s").desc, col("gid").asc).limit(gProbe).select("gid")
-    val probes = f2g.join(broadcast(qg), "gid")
-      .crossJoin(broadcast(q))
-      .select(col("cid"),
-        (lit(2.0) * dot(col("__qq"), col("cv")) - col("__cn2")).as("s"))
-      .orderBy(col("s").desc, col("cid").asc).limit(nProbe).select("cid")
+    // Query probes: identical coarse/fine selection to ivfTopK, ranked on
+    // the driver over the collected centroid artifact.
+    val qq = queryDf.select(
+        expr("transform(qv, x -> round(cast(x as double) * 10000))").as("__qq"))
+      .head().getSeq[Double](0).toArray
+    val qgIds = topIdsByScore(qq,
+      coarseL.map(g => (g.cid, g.cv, g.cn2)), gProbe).toSet
+    val probes = topIdsByScore(qq,
+        f2gL.collect { case (c, g) if qgIds(g) => (c.cid, c.cv, c.cn2) },
+        nProbe)
+      .toDF("cid")
     // ADC table: m×ksub rows, one per (subspace, code) — the query's raw
-    // quantized subvector against each codeword. Broadcast everywhere.
-    val qsub = q.select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("__qq"))
-      .select(col("sub"), slice(col("__qq"), col("sub") * dsub + 1, lit(dsub)).as("qs"))
-    val adc = book.join(broadcast(qsub), "sub")
-      .select(col("sub"), col("code"),
-        (lit(2.0) * dot(col("qs"), col("cw")) - col("__wn2")).as("s"))
+    // quantized subvector against each codeword. Derived on the driver
+    // from the collected codebook (the same bounded artifact [[pqEncode]]
+    // already materializes) and broadcast as a LocalRelation.
+    val adc = book.select(col("sub"), col("code"), col("cw"), col("__wn2"))
+      .collect()
+      .map { r =>
+        val sub = r.getInt(0)
+        val cw = r.getSeq[Double](2).toArray
+        val qs = java.util.Arrays.copyOfRange(qq, sub * dsub, sub * dsub + dsub)
+        (sub, r.getLong(1), 2.0 * dotA(qs, cw) - r.getDouble(3))
+      }.toSeq.toDF("sub", "code", "s")
     // Probed-list candidates scored by ADC: m lookup-rows per candidate
     // (codes is narrow (id, sub, code)), summed map-side — the raw vector
     // is NOT touched until the rerank join below.
@@ -616,26 +649,83 @@ object AnnSearch {
     cent
   }
 
+  /** One trained-centroid row on the driver — the bounded index-build
+    * artifact (≤[[autoCentroids]]'s 4096-row cap; the same materialization
+    * policy as the collected PQ codebook in [[pqEncode]], never data). */
+  private[graft] final case class CentRow(cid: Long, cv: Array[Double],
+                                          cn2: Double)
+
+  /** Exact-integer dot of two integral-double arrays. Every product and
+    * partial sum is an exact integer below 2^53, so the result equals the
+    * codegen [[dot]] fold bit-for-bit regardless of summation order. */
+  private def dotA(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The trained-centroid artifact collected to the driver, cid-sorted. */
+  private[graft] def collectCent(cent: DataFrame): IndexedSeq[CentRow] =
+    cent.select(col("cid").cast("long"), col("cv"), col("__cn2"))
+      .collect()
+      .map(r => CentRow(r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .sortBy(_.cid).toIndexedSeq
+
+  /** Driver-side [[coarseFine]] over the collected artifact: coarse = the
+    * nCoarse lowest surviving cids; f2g = per fine centroid, the argmax
+    * coarse cell by 2·dot−‖g‖² with lowest-gid ties — the same integer-
+    * exact derivation as the former relational form (all scores are exact
+    * integers, so order of evaluation cannot matter). */
+  private[graft] def coarseFineLocal(rows: IndexedSeq[CentRow], nCoarse: Int)
+      : (IndexedSeq[CentRow], IndexedSeq[(CentRow, Long)]) = {
+    val coarse = rows.take(nCoarse)
+    val f2g = rows.map { c =>
+      var bestS = Double.NegativeInfinity
+      var bestG = Long.MaxValue
+      coarse.foreach { g =>
+        val s = 2.0 * dotA(c.cv, g.cv) - g.cn2
+        if (s > bestS || (s == bestS && g.cid < bestG)) {
+          bestS = s; bestG = g.cid
+        }
+      }
+      (c, bestG)
+    }
+    (coarse, f2g)
+  }
+
+  /** Top-`take` ids of `cands` (id, score-source vector, norm²) against the
+    * quantized query, ranked by 2·dot−‖c‖² descending with lowest-id ties —
+    * the probe-selection rule shared by every IVF query path, computed on
+    * the driver over the ≤nC-row artifact (what used to be one Spark
+    * job per ranking). */
+  private def topIdsByScore(qq: Array[Double],
+                            cands: Seq[(Long, Array[Double], Double)],
+                            take: Int): Seq[Long] =
+    cands.map { case (id, v, n2) => (2.0 * dotA(qq, v) - n2, id) }
+      .sortBy { case (s, id) => (-s, id) }
+      .take(take).map(_._2)
+
   /** Coarse quantizer (the nCoarse lowest surviving trained cids — a seed
-    * whose train slice all fled to other centroids drops out, so rank by
-    * row_number, not cid < nCoarse; single-partition window over ≤nC rows)
-    * plus the fine-centroid → coarse-cell map (nC × nG pairs —
-    * broadcast-tiny). */
+    * whose train slice all fled to other centroids drops out) plus the
+    * fine-centroid → coarse-cell map. Both are ≤nC-row derivations of the
+    * collected centroid artifact, computed on the DRIVER and returned as
+    * local relations: their former relational spelling (window + crossJoin
+    * argmax) cost a window job plus a shuffle per consumer, and every
+    * downstream use broadcasts them anyway — a LocalRelation broadcast
+    * builds without launching a job at all. Values are bit-identical
+    * (exact-integer scores; FunctionsSpec pins assignment equality). */
   private[graft] def coarseFine(cent: DataFrame,
                                 nCoarse: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val coarse = cent
-      .withColumn("rn", row_number().over(Window.orderBy(col("cid"))))
-      .filter(col("rn") <= nCoarse)
-      .select(col("cid").as("gid"), col("cv").as("gv"), col("__cn2").as("__gn2"))
-    val f2g = cent.crossJoin(broadcast(coarse))
-      .select(col("cid"), col("cv"), col("__cn2"), col("gid"),
-        (lit(2.0) * dot(col("cv"), col("gv")) - col("__gn2")).as("s"))
-      .groupBy(col("cid"))
-      .agg(max(struct(col("s"), (-col("gid")).as("ng"))).as("m"),
-        first(col("cv")).as("cv"), first(col("__cn2")).as("__cn2"))
-      .select(col("cid"), col("cv"), col("__cn2"), (-col("m.ng")).as("gid"))
-    (coarse, f2g)
+    val spark = cent.sparkSession
+    import spark.implicits._
+    val (coarseL, f2gL) = coarseFineLocal(collectCent(cent), nCoarse)
+    val coarseDf = coarseL.map(c => (c.cid, c.cv.toSeq, c.cn2))
+      .toDF("gid", "gv", "__gn2")
+    val f2gDf = f2gL.map { case (c, g) => (c.cid, c.cv.toSeq, c.cn2, g) }
+      .toDF("cid", "cv", "__cn2", "gid")
+    (coarseDf, f2gDf)
   }
 
   /** Two-level assignment of a quantized slice: nearest coarse cell

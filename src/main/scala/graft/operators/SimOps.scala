@@ -83,12 +83,13 @@ object SimOps {
     // thresholds on COUNT(*), ~16 vectors/bucket expected) so candidate
     // generation stays O(n/2^nBits) per table at any scale — a pinned
     // width degrades to a full scan once the corpus outgrows its buckets.
-    // The count() is a parquet-metadata read, not a data scan.
+    // The corpus count is a driver-side parquet-footer read (exact record
+    // count, identical to COUNT(*)) — zero Spark jobs, never a data scan.
     // FunctionsSpec additionally asserts recall against the exact top-k.
     "sim_ann_lsh" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val nBits = graft.functions.AnnSearch.autoBits(e.count())
+      val nBits = graft.functions.AnnSearch.autoBits(Tables.rowCount(s, d, "embeddings"))
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       graft.functions.AnnSearch
         .annTopK(e.filter($"vec_id" =!= 0), q, 20, dim = 64, nBits = nBits, nTables = 12)
@@ -106,7 +107,7 @@ object SimOps {
     "sim_ann_lsh_multiprobe" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val nBits = graft.functions.AnnSearch.autoBits(e.count())
+      val nBits = graft.functions.AnnSearch.autoBits(Tables.rowCount(s, d, "embeddings"))
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       graft.functions.AnnSearch
         .annTopKMulti(e.filter($"vec_id" =!= 0), q, 20, dim = 64,
@@ -130,7 +131,7 @@ object SimOps {
       import s.implicits._
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val nC = AnnSearch.autoCentroids(n)
       val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -153,7 +154,7 @@ object SimOps {
       import s.implicits._
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val nC = AnnSearch.autoCentroids(n)
       val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" < 4)
@@ -180,7 +181,7 @@ object SimOps {
       import s.implicits._
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val nC = AnnSearch.autoCentroids(n)
       val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -210,7 +211,7 @@ object SimOps {
       import s.implicits._
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val nC = AnnSearch.autoCentroids(n)
       val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -234,7 +235,7 @@ object SimOps {
       import s.implicits._
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val nC = AnnSearch.autoCentroids(n)
       val nG = AnnSearch.autoCoarse(nC)
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
@@ -263,7 +264,7 @@ object SimOps {
     "sim_ann_ivf_incremental" -> ((s, d) => {
       import graft.functions.AnnSearch
       val e = Tables.embeddings(s, d)
-      val baseN = e.count() * 9 / 10
+      val baseN = Tables.rowCount(s, d, "embeddings") * 9 / 10
       val nC = AnnSearch.autoCentroids(baseN)
       AnnSearch.ivfAppendLists(e, baseN, nC, AnnSearch.autoCoarse(nC),
         AnnSearch.autoTrainN(baseN, nC))
@@ -288,7 +289,7 @@ object SimOps {
       import graft.sources.VersionedTable
       writeAnnVtFixture(s, d)
       val e = Tables.embeddings(s, d)
-      val n = e.count()
+      val n = Tables.rowCount(s, d, "embeddings")
       val baseN = n * 9 / 10
       val nC = AnnSearch.autoCentroids(baseN)
       val nG = AnnSearch.autoCoarse(nC)
@@ -387,7 +388,7 @@ object SimOps {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(annVtRoot), true)
         val e = Tables.embeddings(s, d)
-        val n = e.count()
+        val n = Tables.rowCount(s, d, "embeddings")
         val baseN = n * 9 / 10
         val nC = AnnSearch.autoCentroids(baseN)
         val nG = AnnSearch.autoCoarse(nC)
