@@ -622,9 +622,14 @@ object Pipeline {
       // 3. graded output: merged-index summary + rebuild-equality proof
       val merged = s.read.parquet(indexDir)
         .select($"doc_id", $"band".cast("long").as("band"), $"bh")
+      // localCheckpoint: the two exceptAll sides below would otherwise
+      // each recompute the full MinHash banding of the merged corpus —
+      // the single most expensive pass in this row, paid twice for one
+      // equality proof. Values are unchanged; the pass runs once.
       val rebuilt = bandRows(
           s.read.parquet(corpusDir).select($"doc_id", $"text"))
         .select($"doc_id", $"band".cast("long").as("band"), $"bh")
+        .localCheckpoint()
       val diff = merged.exceptAll(rebuilt).count() +
         rebuilt.exceptAll(merged).count()
       merged.groupBy($"band")

@@ -284,8 +284,18 @@ object TpchQueries {
           $"p_brand", $"p_size")
         .agg(min(round($"l_extendedprice" * 100).cast("long"))
           .as("cost_c"))
-      val best = ps.groupBy($"pk".as("bpk")).agg(min($"cost_c").as("best_c"))
-      ps.join(best, $"pk" === $"bpk" && $"cost_c" === $"best_c")
+      // Per-part minimum as a WINDOW over the aggregated (pk, sk) table,
+      // not a groupBy + self-join: the self-join form planned TWO full
+      // lineitem scans + pre-aggregations (the implied not-null filters
+      // differ per branch, so ReuseExchange never fired) and met them with
+      // a sort-merge join — 5 exchanges. The window form scans once and
+      // reuses its own hash(pk) exchange for the final aggregate (2
+      // exchanges); the window sort is partition-local over 3 narrow
+      // columns. The explicit pk/cost not-null filter reproduces the old
+      // inner join's semantics exactly (a null key never matched).
+      val wPk = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
+      ps.withColumn("best_c", min($"cost_c").over(wPk))
+        .filter($"pk".isNotNull && $"cost_c" === $"best_c")
         .groupBy($"pk", $"p_brand", $"p_size", $"cost_c")
         .agg(min($"sk").as("sel_supp"))
         .join(broadcast(Tables.supplier(s, d)
@@ -475,14 +485,21 @@ object TpchQueries {
       val ps = Tables.lineitem(s, d)
         .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
         .agg(sum(round($"l_quantity" * 100).cast("long")).as("q"))
-      val tot = ps.groupBy($"pk".as("tpk"))
-        .agg(count(lit(1)).as("ns"), sum($"q").as("sq"))
-      // shuffle_hash on the per-part totals: SMJ would SORT the ~55M-row
-      // (pk,sk) table just to meet the join, the single biggest spill in
-      // the sf10 registry (33.8 GB); SHJ builds a per-partition hash on
-      // the 2M-row totals and streams ps unsorted.
-      val dominant = ps.join(tot.hint("shuffle_hash"), $"pk" === $"tpk")
-        .filter($"q" * $"ns" * 2 > $"sq" * 3)
+      // Per-part totals as a WINDOW over the aggregated (pk, sk) table,
+      // not a groupBy + join back: the join form planned TWO full lineitem
+      // scans + (pk,sk) pre-aggregations (their implied not-null filters
+      // differ, so ReuseExchange never fired) plus the totals aggregation
+      // — 4 exchanges and double the fact-table work. The window form
+      // scans once: agg → exchange(pk) → partition-local sort of 3 narrow
+      // long columns → count/sum over the pk frame (2 exchanges). This
+      // also retires the old SHJ-vs-SMJ sort concern — nothing joins on
+      // pk anymore. The explicit pk not-null filter reproduces the old
+      // inner join's semantics exactly (a null key never matched).
+      val wPk = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
+      val dominant = ps
+        .withColumn("ns", count(lit(1)).over(wPk))
+        .withColumn("sq", sum($"q").over(wPk))
+        .filter($"pk".isNotNull && $"q" * $"ns" * 2 > $"sq" * 3)
         .select($"sk")
       Tables.supplier(s, d)
         .filter($"s_nationkey" < 10)
